@@ -1,0 +1,113 @@
+"""Iterative graph operators: PageRank, triangle counting, co-occurrence
+edges (SURVEY §2.8 g-1/g-2/g-5).
+
+The genre implements these as driver-chained MapReduce jobs with state
+round-tripped through HDFS and dangling mass through global Counters.
+Here each iteration is a DataFrame join+agg with ``localCheckpoint()``
+truncating lineage (the Spark-idiomatic replacement for the HDFS
+round-trip), and the dangling mass is a one-row aggregate — the
+accumulator/Counter analog.
+
+Scale: each PageRank iteration is one shuffle on dst (plus the rank join
+on src). ``links`` is partitioned once on src and reused every iteration;
+ranks are the only moving state. Skewed hub nodes are handled by AQE
+skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected co-purchase part graph: distinct part pairs sharing an
+    order (canonicalized src < dst).
+
+    Scale: the per-order self-join is keyed on l_orderkey, so pair blowup
+    is bounded by (lines per order)² per key, never all-pairs.
+    """
+    a = lineitem.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = lineitem.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def undirected(edges: DataFrame) -> DataFrame:
+    """Symmetrize canonical edges: each (a,b) becomes (a,b) and (b,a)."""
+    return edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a directed edge list (src, dst) → (node, rank).
+
+    Fixed iteration count (not convergence-ε) so rows-only correctness
+    checks are deterministic. Dangling-node mass is redistributed
+    uniformly each iteration via a one-row aggregate (the genre's global
+    Counter).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # scalar graph size — fixed for the whole loop
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    links = edges.join(out_deg, "src").persist()
+    links.count()  # materialize once; reused every iteration
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
+    for _ in range(iterations):
+        contribs = (
+            links.join(ranks, links.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("contrib"))
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        # Counter analog: rank mass sitting on nodes with no out-edges.
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+                ).alias("rank"),
+            )
+            .localCheckpoint()  # truncate lineage each iteration
+        )
+    links.unpersist()
+    return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Count triangles in a canonical (src < dst) undirected edge list.
+
+    Two self-joins with the a<b<c ordering baked into the canonical form —
+    each triangle is counted exactly once. This is the genre's two-job
+    path-2 + existence-check pattern in one declarative plan.
+    """
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a2"), F.col("dst").alias("c2"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .agg(F.count("*").alias("n_triangles"))
+    )

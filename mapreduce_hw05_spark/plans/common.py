@@ -1,0 +1,31 @@
+"""Shared helpers for contract-query plans.
+
+Hash-stability conventions (see ``registry`` module docstring):
+``money`` / ``ratio`` round double aggregates identically on both engines;
+``lng`` pins derived integers to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def money(col: Column) -> Column:
+    """Round a currency-scale double aggregate (magnitude ≤ ~1e9).
+
+    2 decimals leaves ~5 orders of magnitude between the rounding
+    half-step and the worst-case cross-engine summation-order drift
+    (~1 ulp ≈ 1e-7 at 1e9), so both engines round to the same value.
+    """
+    return F.round(col, 2)
+
+
+def ratio(col: Column) -> Column:
+    """Round a small-scale double aggregate (averages, ratios, norms)."""
+    return F.round(col, 6)
+
+
+def lng(col: Column) -> Column:
+    """Cast a derived integer to BIGINT (DuckDB's year()/count() width)."""
+    return col.cast("long")

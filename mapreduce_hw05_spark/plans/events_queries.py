@@ -1,0 +1,228 @@
+"""Event-table contract queries (SURVEY.md §2.4 agg-2/3/4, §2.7 f-5,
+§2.9 st-1/st-2/st-3 batch analogs).
+
+The streaming operators' correctness contract is their batch analog
+(Structured Streaming's unified semantics); the live streaming variants
+with watermarks live in ``mapreduce_hw05_spark.streaming`` and are tested
+for batch-equivalence in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_hw05_spark.operators.sessions import session_stats
+from mapreduce_hw05_spark.plans.common import lng, money, ratio
+from mapreduce_hw05_spark.plans.registry import contract
+from mapreduce_hw05_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# agg-2 — average by key (the genre's (sum,count)-pair combiner lesson)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_avg_value_by_type",
+    oracle="""
+    SELECT event_type,
+           round(avg(value), 6) AS avg_value,
+           round(sum(value), 2) AS sum_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_avg_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg/sum/count of events.value per event_type.
+
+    Catalyst decomposes avg into partial (sum, count) + final divide —
+    exactly the in-mapper-combining pattern the genre hand-writes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        ratio(F.avg("value")).alias("avg_value"),
+        money(F.sum("value")).alias("sum_value"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg-3 — exact distinct / count-distinct
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_distinct_users",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event_type (two-phase shuffle in Spark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# agg-4 — approximate count-distinct (HLL++); rows-only check
+# --------------------------------------------------------------------------
+
+
+@contract("q_approx_distinct")  # no oracle: ±ε result is not hashable
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event_type (HyperLogLog++).
+
+    Rows-only contract; the engine test asserts |approx − exact| ≤ 5%.
+    Scale: HLL sketches merge associatively — constant-size shuffle
+    regardless of input rows, the right tool at 100 TB where exact
+    distinct would shuffle every key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# f-5 — JSON extraction from the props column
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(CAST(props->>'k' AS DOUBLE)) AS n_with_k,
+           round(avg(CAST(props->>'k' AS DOUBLE)), 6) AS avg_k,
+           round(sum(CAST(props->>'k' AS DOUBLE)), 2) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg/sum of the JSON field ``props.$.k`` per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        ratio(F.avg(k)).alias("avg_k"),
+        money(F.sum(k)).alias("sum_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# st-1 — tumbling window aggregation (batch analog)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_tumbling_counts",
+    oracle="""
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS hour_epoch,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per hour × event_type (1-hour tumbling window, batch analog).
+
+    Window start is emitted as epoch seconds (BIGINT) to keep the hash
+    independent of timestamp/timezone rendering on either engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        money(F.sum("value")).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# st-2 — sliding window aggregation (batch analog)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_sliding_counts",
+    oracle="""
+    SELECT CAST((epoch_us(ts) // 1000000) // 1800 * 1800 - k.off AS BIGINT)
+               AS window_start_epoch,
+           event_type,
+           count(*) AS n_events
+    FROM events, (SELECT unnest([0, 1800]) AS off) k
+    GROUP BY 1, 2
+    """,
+)
+def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min: each event lands in 2 windows.
+
+    Spark's native ``F.window(ts, '1 hour', '30 minutes')``; the oracle
+    explodes the two window-start offsets per event.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# st-3 — sessionization (batch analog; operator in operators.sessions)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS dur_secs
+        FROM numbered
+        GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           round(avg(dur_secs), 6) AS avg_session_secs,
+           round(avg(n_events), 6) AS avg_events_per_session
+    FROM per_session
+    GROUP BY user_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessions per user: session count, avg length, avg size."""
+    ev = load_table(spark, sf_dir, "events")
+    per_session = session_stats(
+        ev, "user_id", "ts", gap_seconds=1800, tiebreak_cols=("event_id",)
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        ratio(F.avg("dur_secs")).alias("avg_session_secs"),
+        ratio(F.avg("n_events")).alias("avg_events_per_session"),
+    )

@@ -1,0 +1,87 @@
+"""Iterative / graph / ML contract queries (SURVEY §2.8 g-1/g-2/g-3/g-5).
+
+All run over the co-purchase part graph (distinct part pairs sharing an
+l_orderkey) or the embeddings table. PageRank and k-means are rows-only
+contracts (no SQL analog); internal invariants (Σrank ≈ 1, inertia
+monotone ↓) are asserted in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_hw05_spark.operators.clustering import kmeans
+from mapreduce_hw05_spark.operators.graph import (
+    copurchase_edges,
+    pagerank,
+    triangle_count,
+    undirected,
+)
+from mapreduce_hw05_spark.plans.common import lng
+from mapreduce_hw05_spark.plans.registry import contract
+from mapreduce_hw05_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# g-2 — triangle count (SQL-checkable 3-way self-join)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_triangle_count",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    )
+    SELECT count(*) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e1.dst = e2.src
+    JOIN pairs e3 ON e1.src = e3.src AND e2.dst = e3.dst
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the co-purchase part graph (a<b<c canonical)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return triangle_count(copurchase_edges(li))
+
+
+# --------------------------------------------------------------------------
+# g-1 / g-5 — PageRank (rows-only; fixed 10 iterations, d=0.85)
+# --------------------------------------------------------------------------
+
+
+@contract("q_pagerank")  # rows-only: iterative float fixpoint has no SQL oracle
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank parts in the undirected co-purchase graph.
+
+    10 fixed iterations, d=0.85, dangling mass redistributed (the graph
+    is symmetric so none exists — the operator handles it regardless).
+    Rank is rounded to 9 decimals so Spark's own run-to-run partial-agg
+    order cannot flip the emitted values; node id breaks rank ties.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ranks = pagerank(undirected(copurchase_edges(li)), iterations=10, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# g-3 — k-means (rows-only; k=10, 5 iterations, label-seeded)
+# --------------------------------------------------------------------------
+
+
+@contract("q_kmeans")  # rows-only: iterative ML loop has no SQL oracle
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster sizes after 5 Lloyd iterations (k=10, label-mean seeding)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignment, _ = kmeans(emb, k=10, iterations=5)
+    return (
+        assignment.groupBy("cluster")
+        .agg(F.count("*").alias("n_vecs"))
+        .select(lng(F.col("cluster")).alias("cluster"), "n_vecs")
+    )

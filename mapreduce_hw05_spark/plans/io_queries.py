@@ -1,0 +1,116 @@
+"""Source/sink contract queries (SURVEY §2.1 src-2/src-3).
+
+Each roundtrip writes a fixture table to a non-parquet format under the
+repo-local scratch dir, reads it back with an explicit schema (never
+inferSchema in an engine path) using Spark's symmetric default timestamp
+format, and aggregates — the oracle runs the same
+aggregate on the original parquet, so any write/read corruption
+(delimiters, quoting, timestamp formats, nulls) breaks the hash.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreduce_hw05_spark.plans.common import money
+from mapreduce_hw05_spark.plans.registry import contract
+from mapreduce_hw05_spark.sources import load_table
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
+
+_LINEITEM_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+        T.StructField("l_shipdate", T.TimestampType()),
+    ]
+)
+
+
+def _scratch_dir(name: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return tempfile.mkdtemp(prefix=f"{name}_", dir=_SCRATCH)
+
+
+@contract(
+    "q_csv_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(epoch_us(max(l_shipdate)) // 1000000 AS BIGINT) AS max_ship_epoch
+    FROM lineitem
+    """,
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → CSV (header, explicit ts format) → re-read → aggregate.
+
+    The oracle aggregates the original parquet, so the CSV write+read must
+    be lossless for longs, doubles, and ms timestamps to hash-match.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    path = _scratch_dir("csv_roundtrip")
+    (
+        li.write.mode("overwrite")
+        .option("header", "true")
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(_LINEITEM_CSV_SCHEMA)
+        .option("header", "true")
+        .csv(path)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        money(F.sum("l_quantity")).alias("sum_qty"),
+        money(F.sum("l_extendedprice")).alias("sum_price"),
+        F.unix_timestamp(F.max("l_shipdate")).alias("max_ship_epoch"),
+    )
+
+
+_ORDERS_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+    ]
+)
+
+
+@contract(
+    "q_json_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price,
+           CAST(epoch_us(max(o_orderdate)) // 1000000 AS BIGINT) AS max_order_epoch
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → JSON-lines → re-read with explicit schema → aggregate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    path = _scratch_dir("json_roundtrip")
+    o.write.mode("overwrite").json(path)
+    back = (
+        spark.read.schema(_ORDERS_JSON_SCHEMA)
+        .json(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        money(F.sum("o_totalprice")).alias("sum_price"),
+        F.unix_timestamp(F.max("o_orderdate")).alias("max_order_epoch"),
+    )

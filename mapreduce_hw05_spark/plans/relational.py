@@ -1,0 +1,559 @@
+"""Relational core contract queries (SURVEY.md §2.2–2.4, 2.6).
+
+Covers: pf-1, pf-2 (+f-4 CASE WHEN), agg-1, agg-6, agg-7, j-1…j-8,
+s-1, s-2, set-1…set-3.
+
+Every query is declared with the DataFrame API so Catalyst owns the
+physical plan: filters/projections push into the parquet scan, partial
+aggregation is automatic (the genre's hand-written Combiner), join
+strategy is broadcast for dims and sort-merge/shuffled-hash for facts
+(AQE re-plans at runtime). Scale notes are per-query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_hw05_spark.plans.common import lng, money, ratio
+from mapreduce_hw05_spark.plans.registry import contract
+from mapreduce_hw05_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# pf-1 — project + filter (the genre's map-only job)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_filter_project",
+    oracle="""
+    SELECT count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(avg(l_quantity), 6) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    """,
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems shipped in 1996: count + sum(extendedprice) + avg(qty).
+
+    Scale: the date range is a raw column predicate (not ``year()``), so
+    it pushes down into the parquet scan and only 3 columns are read.
+    Single global aggregate → map-side partial agg, one-row shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        ).agg(
+            F.count("*").alias("n_items"),
+            money(F.sum("l_extendedprice")).alias("sum_price"),
+            ratio(F.avg("l_quantity")).alias("avg_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# pf-2 — predicate battery (=, IN, LIKE, BETWEEN, range, NOT) + f-4 CASE WHEN
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_predicates",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price,
+           CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high_value
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_totalprice BETWEEN 10000 AND 200000
+      AND o_orderdate >= TIMESTAMP '1995-06-01'
+      AND NOT (o_orderdate >= TIMESTAMP '2000-01-01')
+      AND o_custkey IS NOT NULL
+    GROUP BY o_orderstatus
+    """,
+)
+def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate battery over orders; CASE WHEN folded into the output."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus").isin("O", "F"))
+        .filter(F.col("o_orderpriority").like("%URGENT%"))
+        .filter(F.col("o_totalprice").between(10000, 200000))
+        .filter(F.col("o_orderdate") >= "1995-06-01")
+        .filter(~(F.col("o_orderdate") >= "2000-01-01"))
+        .filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("sum_price"),
+            lng(F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0))).alias(
+                "n_high_value"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# agg-1 / agg-7 — TPC-H-Q1-style grouped aggregation (the flagship)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_groupagg_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_groupagg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (flagship; SURVEY §7 r1).
+
+    Scale: classic partial+final hash aggregate on a low-cardinality key
+    (6 groups) — the shuffle moves 6 rows per task regardless of input
+    size. This is the Spark-automatic version of the genre's hand-written
+    Combiner.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum("l_quantity")).alias("sum_qty"),
+            money(F.sum("l_extendedprice")).alias("sum_base_price"),
+            money(F.sum(disc_price)).alias("sum_disc_price"),
+            money(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            ratio(F.avg("l_quantity")).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            ratio(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# agg-6 — rollup (subtotals per nation, per nation×segment, grand total)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_rollup_nation_segment",
+    oracle="""
+    SELECT coalesce(n_name, '__ALL__') AS nation,
+           coalesce(c_mktsegment, '__ALL__') AS segment,
+           count(c_custkey) AS n_customers,
+           round(sum(c_acctbal), 2) AS sum_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def q_rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(n_name, c_mktsegment): count + sum(acctbal) at 3 levels.
+
+    NULL grouping keys are coalesced to a sentinel on both engines so the
+    subtotal rows hash identically (fixture values are never NULL).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            money(F.sum("c_acctbal")).alias("sum_acctbal"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("__ALL__")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("__ALL__")).alias("segment"),
+            "n_customers",
+            "sum_acctbal",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# j-1 — equi inner join (the genre's reduce-side join)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_join_orders_customer",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue + order count per market segment (fact ⋈ dim).
+
+    Scale: customer is small relative to orders at any SF ratio here, but
+    at 100 TB both sides are large → Catalyst picks sort-merge with AQE
+    skew splitting; no hint on purpose. Aggregation keys are
+    low-cardinality so the post-join agg is map-side partial.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# j-2 — broadcast (map-side) join
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_join_lineitem_part_bcast",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_join_lineitem_part_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue per brand; part is explicitly broadcast.
+
+    Scale: the explicit ``F.broadcast`` replaces the genre's
+    DistributedCache replicated join — zero shuffle of the fact table.
+    Part at real TPC-H SF grows, but the projected (p_partkey, p_brand)
+    pair stays comfortably under executor memory into the tens of GB of
+    raw part data; above that, drop the hint and let AQE decide.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# j-3 — multi-way dimension chain join
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_join_dim_chain",
+    oracle="""
+    SELECT r_name,
+           count(*) AS n_customers,
+           round(avg(c_acctbal), 4) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_join_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region: count + avg(acctbal) per region.
+
+    Scale: both dims broadcast; Catalyst flattens the chain into two
+    broadcast hash joins inside one stage — no shuffle until the final
+    5-group aggregate.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# j-4 — left outer join (unmatched side kept with nulls)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order count including order-less customers (0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# j-5 / j-6 — semi and anti joins (EXISTS / NOT EXISTS)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers that have at least one order (left-semi join).
+
+    Scale: semi join shuffles only the distinct keys of the right side —
+    strictly cheaper than inner-join + distinct.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@contract(
+    "q_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders (left-anti join)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+# --------------------------------------------------------------------------
+# j-7 — cross join
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_cross_region_pairs",
+    oracle="""
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey < b.r_regionkey
+    """,
+)
+def q_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All unordered region pairs via explicit crossJoin.
+
+    (The heavy cross-join use case is similarity search — llm-2 — which
+    gates the cross product behind blocking; this query just proves the
+    operator.)
+    """
+    r = load_table(spark, sf_dir, "region")
+    a = r.select(F.col("r_regionkey").alias("k1"), F.col("r_name").alias("r1"))
+    b = r.select(F.col("r_regionkey").alias("k2"), F.col("r_name").alias("r2"))
+    return a.crossJoin(b).filter(F.col("k1") < F.col("k2")).select("r1", "r2")
+
+
+# --------------------------------------------------------------------------
+# j-8 — range join (equi + band predicate) and pure theta join
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_range_join",
+    oracle="""
+    SELECT p_brand, count(*) AS n_in_band
+    FROM lineitem JOIN part
+      ON l_partkey = p_partkey
+     AND l_extendedprice BETWEEN p_retailprice * 0.9 AND p_retailprice * 1.1
+    GROUP BY p_brand
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems priced within ±10% of their part's retail price.
+
+    Scale: the equi key carries the join (hash/broadcast); the band
+    predicate is evaluated post-match, so this never degenerates into a
+    nested-loop cross product.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (li.l_partkey == p.p_partkey)
+        & (li.l_extendedprice >= p.p_retailprice * 0.9)
+        & (li.l_extendedprice <= p.p_retailprice * 1.1)
+    )
+    return (
+        li.join(F.broadcast(p), cond)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_in_band"))
+    )
+
+
+@contract(
+    "q_theta_join",
+    oracle="""
+    SELECT a.s_suppkey AS s1, count(*) AS n_richer
+    FROM supplier a JOIN supplier b ON b.s_acctbal > a.s_acctbal
+    GROUP BY a.s_suppkey
+    """,
+)
+def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta self-join on a capped table: per supplier, how many
+    suppliers hold a strictly larger balance.
+
+    Scale: pure-theta is inherently O(n²) (broadcast-nested-loop) — the
+    engine only allows it on bounded inputs; unbounded band joins get
+    bucketized first (see operators.ranges).
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("s1"), F.col("s_acctbal").alias("bal1"))
+    b = s.select(F.col("s_acctbal").alias("bal2"))
+    return (
+        a.join(F.broadcast(b), F.col("bal2") > F.col("bal1"))
+        .groupBy("s1")
+        .agg(F.count("*").alias("n_richer"))
+    )
+
+
+# --------------------------------------------------------------------------
+# s-1 / s-2 — global sort and top-k
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_global_sort",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 slice of a global sort (range-partitioned in Spark).
+
+    o_orderkey tiebreak makes the LIMIT set deterministic across engines.
+    Spark plans this as TakeOrderedAndProject (per-partition top-k +
+    driver merge) — no full global sort is materialized.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+@contract(
+    "q_topk_customers",
+    oracle="""
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY revenue DESC, o_custkey
+    LIMIT 10
+    """,
+)
+def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by total order revenue.
+
+    The ORDER BY key is the *rounded* revenue (identical on both engines)
+    plus custkey, so the top-10 set is deterministic. This is the genre's
+    in-mapper-TreeMap top-k pattern: Spark's TakeOrderedAndProject does
+    the same per-partition heap + merge automatically.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(money(F.sum("o_totalprice")).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# set-1 / set-2 / set-3 — union / intersect / except over event users
+# --------------------------------------------------------------------------
+
+
+def _users(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == event_type).select("user_id")
+
+
+@contract(
+    "q_union_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who click ∪ users who purchase (distinct union)."""
+    return (
+        _users(spark, sf_dir, "click").union(_users(spark, sf_dir, "purchase")).distinct()
+    )
+
+
+@contract(
+    "q_intersect_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who both click and purchase."""
+    return _users(spark, sf_dir, "click").intersect(_users(spark, sf_dir, "purchase"))
+
+
+@contract(
+    "q_except_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who view but never purchase (distinct EXCEPT)."""
+    return _users(spark, sf_dir, "view").subtract(_users(spark, sf_dir, "purchase"))

@@ -1,0 +1,130 @@
+"""Scalar-function battery contract queries (SURVEY.md §2.7: f-1, f-2, f-3).
+
+These replace the genre's per-mapper ``java.lang.String`` /
+``SimpleDateFormat`` / ``java.lang.Math`` calls with Catalyst expressions
+— JVM-side, whole-stage-codegen'd, never a Python round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_hw05_spark.plans.common import lng, money, ratio
+from mapreduce_hw05_spark.plans.registry import contract
+from mapreduce_hw05_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# f-1 — string functions
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS seg_lower,
+           substring(c_name, 10, 9) AS name_digits,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           concat(trim(c_mktsegment), '-', c_name) AS seg_name,
+           regexp_extract(c_name, '([0-9]+)$', 1) AS digits_re,
+           replace(c_name, 'Customer', 'Cust') AS name_short
+    FROM customer
+    WHERE c_custkey < 500
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String battery over customer names (Customer#000000123 shaped)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 10, 9).alias("name_digits"),
+        lng(F.length("c_name")).alias("name_len"),
+        F.concat(F.trim(F.col("c_mktsegment")), F.lit("-"), F.col("c_name")).alias(
+            "seg_name"
+        ),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("digits_re"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+    )
+
+
+# --------------------------------------------------------------------------
+# f-2 — date/time functions
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_date_funcs",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+           count(*) AS n_orders,
+           round(avg(date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE))), 4) AS avg_ship_lag_days
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per year×quarter + average order→ship lag in days.
+
+    Both engines cast timestamp→date before differencing so the lag is a
+    whole-day count with identical semantics.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            lng(F.year("o_orderdate")).alias("order_year"),
+            lng(F.quarter("o_orderdate")).alias("order_quarter"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.avg(F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))), 4
+            ).alias("avg_ship_lag_days"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# f-3 — math functions
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey % 7 AS bucket,
+           round(sum(sqrt(l_extendedprice)), 2) AS sum_sqrt_price,
+           round(sum(ln(l_extendedprice)), 4) AS sum_ln_price,
+           round(sum(pow(l_discount, 2)), 6) AS sum_disc_sq,
+           round(sum(abs(l_quantity - 25.0)), 2) AS sum_abs_dev,
+           CAST(sum(CAST(ceil(l_quantity / 10.0) AS BIGINT)) AS BIGINT) AS sum_ceil_bin,
+           CAST(sum(CAST(floor(l_tax * 100) AS BIGINT)) AS BIGINT) AS sum_floor_tax
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery (sqrt/ln/pow/abs/ceil/floor/%) aggregated per key-mod bucket."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy((F.col("l_orderkey") % 7).alias("bucket"))
+        .agg(
+            money(F.sum(F.sqrt("l_extendedprice"))).alias("sum_sqrt_price"),
+            F.round(F.sum(F.log(F.col("l_extendedprice"))), 4).alias("sum_ln_price"),
+            ratio(F.sum(F.pow(F.col("l_discount"), 2))).alias("sum_disc_sq"),
+            money(F.sum(F.abs(F.col("l_quantity") - 25.0))).alias("sum_abs_dev"),
+            lng(F.sum(F.ceil(F.col("l_quantity") / 10.0).cast("long"))).alias(
+                "sum_ceil_bin"
+            ),
+            lng(F.sum(F.floor(F.col("l_tax") * 100).cast("long"))).alias(
+                "sum_floor_tax"
+            ),
+        )
+    )

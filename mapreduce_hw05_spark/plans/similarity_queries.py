@@ -1,0 +1,213 @@
+"""Similarity / near-dedup contract queries (SURVEY §2.11 llm-2/3/7).
+
+The Spark side uses the float64 NumPy kernels in operators.similarity
+(broadcast reference matrix + mapInPandas BLAS batches); oracles compute
+the same similarity in explicit float64 SQL — DuckDB's native
+``list_cosine_similarity`` is float32 (measured ~1.6e-7 error) and would
+not survive round-to-6 hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_hw05_spark.operators.similarity import (
+    cosine_pairs_topk_per_row,
+    global_topk_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from mapreduce_hw05_spark.operators.text import tokenize
+from mapreduce_hw05_spark.plans.common import lng, ratio
+from mapreduce_hw05_spark.plans.registry import contract
+from mapreduce_hw05_spark.sources import load_table
+
+#: float64 cosine between two FLOAT[] columns (DuckDB SQL fragment).
+_COS = """(
+    list_sum(list_transform(list_zip({a}, {b}),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x)))
+     * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x))))
+)"""
+
+
+# --------------------------------------------------------------------------
+# llm-2 — top-k most-similar embedding pairs
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_similarity_topk",
+    oracle=f"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round({_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY cos_sim DESC, id1, id2
+    LIMIT 20
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-cosine-similar embedding pairs.
+
+    Scale: per-row top-k against a broadcast reference matrix (the global
+    top-k is a subset of the per-row top-k union); at reference sizes
+    beyond executor memory this routes through LSH/IVF blocking instead
+    (operators.similarity module doc).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_topk_per_row(emb, emb, "vec_id", "embedding", k=20, mode="pairs")
+    return global_topk_pairs(pairs, k=20)
+
+
+# --------------------------------------------------------------------------
+# llm-7 — kNN majority-label vote accuracy
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_knn_accuracy",
+    oracle=f"""
+    WITH sims AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               a.label AS label1, b.label AS label2,
+               round({_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), nn AS (
+        SELECT id1, label1, label2,
+               row_number() OVER (PARTITION BY id1
+                                  ORDER BY cos_sim DESC, id2) AS rn
+        FROM sims
+    ), votes AS (
+        SELECT id1, label1, label2, count(*) AS cnt
+        FROM nn WHERE rn <= 5
+        GROUP BY id1, label1, label2
+    ), winner AS (
+        SELECT id1, label1, label2 AS pred,
+               row_number() OVER (PARTITION BY id1
+                                  ORDER BY cnt DESC, label2) AS vr
+        FROM votes
+    )
+    SELECT count(*) AS n_vecs,
+           round(avg(CASE WHEN pred = label1 THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+    FROM winner WHERE vr = 1
+    """,
+)
+def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN cosine majority-vote label accuracy over embeddings.
+
+    (FIXTURES.md: labels are not geometrically clustered — accuracy
+    ≈ 0.108 ≈ random; this is a determinism contract, not a quality one.)
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    nn = cosine_pairs_topk_per_row(emb, emb, "vec_id", "embedding", k=5, mode="knn")
+    votes = (
+        nn.join(labels.withColumnsRenamed({"vec_id": "id1", "label": "label1"}), "id1")
+        .join(labels.withColumnsRenamed({"vec_id": "id2", "label": "label2"}), "id2")
+        .groupBy("id1", "label1", "label2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("id1").orderBy(F.col("cnt").desc(), "label2")
+    winner = votes.withColumn("vr", F.row_number().over(w)).filter(F.col("vr") == 1)
+    return winner.agg(
+        F.count("*").alias("n_vecs"),
+        ratio(
+            F.avg(F.when(F.col("label2") == F.col("label1"), 1.0).otherwise(0.0))
+        ).alias("accuracy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# llm-3 — near-duplicate detection: exact Jaccard (oracle) + LSH fast path
+# --------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+        SELECT t1.doc_id AS id1, t2.doc_id AS id2, count(*) AS n_common
+        FROM toks t1 JOIN toks t2
+          ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           round(CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON id1 = s1.doc_id
+    JOIN sizes s2 ON id2 = s2.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.8
+"""
+
+
+def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id").distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    t1 = toks.withColumnRenamed("doc_id", "id1")
+    t2 = toks.withColumnRenamed("doc_id", "id2")
+    inter = (
+        t1.join(t2, "token")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.withColumnsRenamed({"doc_id": "id1", "n": "n1"})
+    s2 = sizes.withColumnsRenamed({"doc_id": "id2", "n": "n2"})
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .filter(jac >= threshold)
+        .select("id1", "id2", ratio(jac).alias("jaccard"))
+    )
+
+
+@contract("q_near_dup_jaccard", oracle=_JACCARD_ORACLE)
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs with token-set Jaccard ≥ 0.8 (exact pairwise, contract
+    scale only — the token self-join is keyed on token, never all-pairs,
+    but hot tokens still fan out; the scale path is the LSH variant)."""
+    return _exact_jaccard_pairs(spark, sf_dir, threshold=0.8)
+
+
+@contract("q_near_dup_lsh")  # rows-only: LSH is probabilistic-recall
+def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup path: signatures → banding → candidate pairs →
+    exact Jaccard verify ≥ 0.8 on candidates only.
+
+    Scale: this is the 100-TB design — candidate generation touches only
+    (band, bucket) groups; the quadratic verify runs on candidates, not
+    the corpus. Engine test asserts candidates ⊇ the high-Jaccard truth
+    set at contract scale (128 hashes / 32 bands → s-curve threshold ≈0.4).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=128)
+    cands = lsh_candidate_pairs(sigs, "doc_id", num_bands=32)
+
+    toks = tokenize(docs, "text", "doc_id").distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    t1 = toks.withColumnRenamed("doc_id", "id1")
+    t2 = toks.withColumnRenamed("doc_id", "id2")
+    inter = (
+        cands.join(t1, "id1")
+        .join(t2, ["id2", "token"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.withColumnsRenamed({"doc_id": "id1", "n": "n1"})
+    s2 = sizes.withColumnsRenamed({"doc_id": "id2", "n": "n2"})
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .filter(jac >= 0.8)
+        .select("id1", "id2", ratio(jac).alias("jaccard"))
+    )

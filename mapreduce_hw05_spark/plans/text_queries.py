@@ -1,0 +1,206 @@
+"""Text / LLM-pipeline contract queries (SURVEY §2.11 llm-1/4/5/6, §2.7 f-6/f-8).
+
+All token work is Catalyst-side (explode/split); see operators.text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_hw05_spark.operators.text import exact_duplicates, tokenize, word_counts
+from mapreduce_hw05_spark.plans.common import lng, ratio
+from mapreduce_hw05_spark.plans.registry import contract
+from mapreduce_hw05_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# llm-1 / f-8 — exact dedup via md5 hash-groupBy (HAVING > 1)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, count(*) AS n_dups
+    FROM documents
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate document groups (empty at sf0.01 — the schema and
+    the empty hash must still match the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs, "text")
+
+
+# --------------------------------------------------------------------------
+# llm-4 — wordcount (the genre's own flagship), top-20
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_wordcount",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens over documents.text (count desc, token tiebreak)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return word_counts(docs).orderBy(F.col("n").desc(), "token").limit(20)
+
+
+# --------------------------------------------------------------------------
+# llm-5 — per-language corpus stats
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_text_stats_by_lang",
+    oracle="""
+    WITH doc_stats AS (
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(n_chars), 4) AS avg_chars,
+               round(avg(len(string_split(text, ' '))), 6) AS avg_tokens_per_doc
+        FROM documents
+        GROUP BY lang
+    ), token_stats AS (
+        SELECT lang, count(DISTINCT token) AS n_distinct_tokens
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY lang
+    )
+    SELECT d.lang, d.n_docs, d.avg_chars, d.avg_tokens_per_doc,
+           t.n_distinct_tokens
+    FROM doc_stats d JOIN token_stats t ON d.lang = t.lang
+    """,
+)
+def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per language: doc count, avg chars, avg tokens/doc, distinct tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    doc_stats = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        ratio(F.avg(F.size(F.split(F.col("text"), " ")))).alias("avg_tokens_per_doc"),
+    )
+    token_stats = (
+        tokenize(docs, "text", "lang")
+        .groupBy("lang")
+        .agg(F.countDistinct("token").alias("n_distinct_tokens"))
+    )
+    return doc_stats.join(token_stats, "lang").select(
+        "lang", "n_docs", "avg_chars", "avg_tokens_per_doc", "n_distinct_tokens"
+    )
+
+
+# --------------------------------------------------------------------------
+# llm-6 — TF-IDF: top-3 terms per source
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), n_docs AS (
+        SELECT count(*) AS n FROM documents
+    ), doc_freq AS (
+        SELECT token, count(DISTINCT doc_id) AS df
+        FROM tokens GROUP BY token
+    ), tf AS (
+        SELECT source, token, count(*) AS cnt
+        FROM tokens GROUP BY source, token
+    ), scored AS (
+        SELECT tf.source, tf.token,
+               round(tf.cnt * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+        FROM tf
+        JOIN doc_freq d ON tf.token = d.token
+        CROSS JOIN n_docs n
+    )
+    SELECT source, token, tfidf, rnk
+    FROM (
+        SELECT source, token, tfidf,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY tfidf DESC, token) AS BIGINT) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per source by TF-IDF (tf = source-level term count,
+    idf = ln(total docs / docs containing term)).
+
+    Ranking happens on the *rounded* score + token tiebreak so the top-3
+    set is deterministic across engines. Scale: two token-keyed
+    aggregates + one broadcast-able doc_freq join; nothing quadratic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id", "source")
+    n_docs = docs.count()  # scalar, computed once; fine to inline as literal
+    doc_freq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf = toks.groupBy("source", "token").agg(F.count("*").alias("cnt"))
+    scored = tf.join(F.broadcast(doc_freq), "token").select(
+        "source",
+        "token",
+        ratio(F.col("cnt") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rnk", lng(F.row_number().over(w)))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "token", "tfidf", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# f-6 — array functions over the embedding column
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_array_ops",
+    oracle="""
+    SELECT CAST(label AS BIGINT) AS label,
+           count(*) AS n_vecs,
+           CAST(max(len(embedding)) AS BIGINT) AS dim,
+           round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_first,
+           round(avg(sqrt(list_sum(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))), 6) AS avg_norm,
+           CAST(sum(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos_first
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery over embeddings: size, element_at, higher-order L2 norm.
+
+    (Contract-scale only — the performant vector path is the pandas_udf
+    kernel in operators.similarity; Catalyst higher-order functions are
+    ~40× slower for per-row vector math, see BASELINE.md q11.)
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = F.element_at("embedding", 1).cast("double")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return emb.groupBy(lng(F.col("label")).alias("label")).agg(
+        F.count("*").alias("n_vecs"),
+        lng(F.max(F.size("embedding"))).alias("dim"),
+        ratio(F.avg(first)).alias("avg_first"),
+        ratio(F.avg(norm)).alias("avg_norm"),
+        lng(F.sum(F.when(first > 0, 1).otherwise(0))).alias("n_pos_first"),
+    )

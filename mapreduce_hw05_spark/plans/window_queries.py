@@ -1,0 +1,119 @@
+"""Window-function contract queries (SURVEY.md §2.5: w-1, w-2, w-3).
+
+These are the genre's "secondary sort" (composite key + grouping
+comparator + custom partitioner, ~150 LoC each) expressed as one-line
+window specs. Every window ORDER BY carries a unique tiebreak column so
+results are deterministic across engines.
+
+Scale: a window partitioned by a high-cardinality key (customer, user)
+shuffles once on that key and sorts within partitions — no global sort.
+Skewed partition keys are the risk at 100 TB; AQE cannot split a window
+partition, so heavy-hitter keys should be pre-aggregated or salted
+upstream where semantics allow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_hw05_spark.plans.common import lng, money, ratio
+from mapreduce_hw05_spark.plans.registry import contract
+from mapreduce_hw05_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# w-1 — ranking: top-3 orders per customer
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice (row_number ≤ k)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", lng(F.row_number().over(w)))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# w-2 — running totals + lag
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev,
+           date_diff('day',
+               CAST(lag(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS DATE),
+               CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running revenue + days since the previous order.
+
+    This is the genre's secondary-sorted reducer holding the previous
+    record; ``lag`` + a cumulative ROWS frame replace all of it.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        money(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0))).alias(
+            "running_rev"
+        ),
+        lng(
+            F.datediff(
+                F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+            )
+        ).alias("gap_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# w-3 — explicit frame: 10-row moving average
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_window_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+    FROM events
+    """,
+)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-row moving average of events.value per user ordered by time."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    return ev.select(
+        "event_id", "user_id", ratio(F.avg("value").over(w)).alias("moving_avg")
+    )

@@ -1,0 +1,3 @@
+from mapreduce_hw05_spark.sources.fixtures import TABLES, load_table, register_views
+
+__all__ = ["TABLES", "load_table", "register_views"]
