@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Query keys q1…q12 correspond 1:1 to BASELINE.md's rows (same shapes,
+same data) so rounds are directly comparable. q11 is the re-baselined
+similarity kernel (pandas_udf/NumPy) replacing the SQL higher-order
+function anti-pattern measured in BASELINE.md.
+
+Protocol mirrors BASELINE.md: warm the session, 3 runs per query,
+report warm = best of runs 2–3; results are collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreduce_hw05_spark.plans import QUERIES  # noqa: E402
+from mapreduce_hw05_spark.session import get_spark  # noqa: E402
+
+#: BASELINE.md row → registry contract query.
+BENCH_QUERIES: dict[str, tuple[str, ...]] = {
+    "q1": ("q_filter_project",),
+    "q2": ("q_groupagg_pricing",),
+    "q3": ("q_join_orders_customer",),
+    "q4": ("q_join_lineitem_part_bcast",),
+    "q5": ("q_join_dim_chain",),
+    "q6": ("q_topk_customers",),
+    "q7": ("q_window_rank",),
+    "q8": ("q_wordcount",),
+    # baseline q9 did count-distinct + JSON extract in one query; the
+    # registry keeps them separate — q9 times both back to back.
+    "q9": ("q_distinct_users", "q_json_extract"),
+    "q10": ("q_sessionize",),
+    "q11": ("q_similarity_topk",),
+    "q12": ("q_dedup_exact",),
+}
+
+RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench")
+
+    # Warm the JVM/codegen once (BASELINE.md: cold-run spikes are JIT).
+    QUERIES["q_groupagg_pricing"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for key, names in BENCH_QUERIES.items():
+        per_run = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            for name in names:
+                QUERIES[name](spark, sf_dir).collect()
+            per_run.append(time.perf_counter() - t0)
+        times[key] = round(min(per_run[1:]), 4)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "warm_total_headline_sec",
+                "value": round(sum(times.values()), 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
