@@ -1,0 +1,117 @@
+"""Streaming operator definitions (st-1…st-7): transformations over an
+unbounded events DataFrame.
+
+Each function takes the streaming DataFrame (schema =
+``replay.EVENTS_STREAM_SCHEMA``) and returns the transformed streaming
+DataFrame; the caller picks sink + output mode. Watermarks bound state:
+at scale every stateful op here holds state proportional to
+(keys × open windows), never to stream length.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# ---------------------------------------------------------------- st-1/st-2
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Events per 1-hour tumbling window × event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp("win.start").alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """1-hour windows sliding every 30 minutes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("win.start").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+# ------------------------------------------------------------------- st-3
+
+
+def session_window_stats(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Native session windows per user (Spark's session_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("win.start").alias("session_start_epoch"),
+            "n_events",
+        )
+    )
+
+
+# ------------------------------------------------------------------- st-5
+
+
+def dedup_events(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Stateful exact-once dedup on event_id within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+# ------------------------------------------------------------------- st-6
+
+
+def enrich_with_users(events: DataFrame, customer_dim: DataFrame) -> DataFrame:
+    """Stream-static join: events ⋈ broadcast customer dim on user_id."""
+    dim = F.broadcast(
+        customer_dim.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+        )
+    )
+    return events.join(dim, "user_id", "left")
+
+
+# ------------------------------------------------------------------- st-7
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful op via applyInPandasWithState: per-user running
+    event count + running value sum, emitted once per micro-batch.
+
+    State = one (count, sum) pair per user — constant per key, the
+    applyInPandasWithState analog of the genre's stateful reducer.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,175 @@
+"""Streaming engine tests (SURVEY §5.2 item 3): batch-equivalence by file
+replay, watermark late-data drop, stateful ops.
+
+Each test replays the sf0.001 events fixture (1000 rows) in controlled
+micro-batches (write chunk → processAllAvailable → next chunk) into a
+memory sink, then compares against the batch analog.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_hw05_spark.sources import load_table
+from mapreduce_hw05_spark.streaming import ops
+from mapreduce_hw05_spark.streaming.replay import FileReplay, time_ordered_chunks
+
+SF_DIR = "/root/testdata/sf0.001"
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+
+
+@pytest.fixture()
+def events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+def replay_through(spark, chunks, op, output_mode: str, schema=None):
+    """Run a streaming op over a chunked replay; return the memory table DF."""
+    name = "sink_" + uuid.uuid4().hex[:8]
+    root = os.path.join(SCRATCH, name)
+    replay = FileReplay(spark, chunks, root)
+    stream_df = op(replay.stream(schema) if schema else replay.stream())
+    ckpt = os.path.join(root, "ckpt")
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        while replay.push_next():
+            q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    out = out.localCheckpoint()  # detach from the stopped query
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def as_sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_batch_equivalence(spark, events):
+    """st-1: streaming tumbling counts == batch analog after full replay."""
+    got = replay_through(
+        spark, time_ordered_chunks(events, "ts", 5), ops.tumbling_counts, "complete"
+    )
+    expect = (
+        events.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    assert as_sorted_rows(got) == as_sorted_rows(expect)
+
+
+def test_sliding_batch_equivalence(spark, events):
+    """st-2: sliding windows — every event in exactly 2 windows."""
+    got = replay_through(
+        spark, time_ordered_chunks(events, "ts", 4), ops.sliding_counts, "complete"
+    )
+    n_events = events.count()
+    assert got.agg(F.sum("n_events")).first()[0] == 2 * n_events
+
+
+def test_session_window_batch_equivalence(spark, events):
+    """st-3: native session_window session counts == lag+cumsum operator."""
+    from mapreduce_hw05_spark.operators.sessions import session_stats
+
+    got = replay_through(
+        spark,
+        time_ordered_chunks(events, "ts", 5),
+        lambda s: ops.session_window_stats(s, gap="30 minutes"),
+        "complete",
+    )
+    got_per_user = got.groupBy("user_id").agg(F.count("*").alias("n_sessions"))
+    expect_per_user = (
+        session_stats(events, "user_id", "ts", 1800, ("event_id",))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    assert as_sorted_rows(got_per_user) == as_sorted_rows(expect_per_user)
+
+
+def test_watermark_drops_late_rows(spark, events):
+    """st-4: a row arriving far behind the watermark is dropped (append mode)."""
+    on_time = events.filter(F.col("event_id") != 0)
+    late_row = events.filter(F.col("event_id") == 0).withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    # chunk order: all on-time data first (advances watermark to stream end),
+    # then one chunk containing only the very-late row
+    chunks = time_ordered_chunks(on_time, "ts", 3) + [late_row]
+    got = replay_through(
+        spark, chunks, lambda s: ops.tumbling_counts(s, watermark="10 minutes"), "append"
+    )
+    # append mode only emits finalized windows; the late row's window
+    # (2024-01-01 00:00) was finalized long before it arrived → dropped.
+    late_epoch = 1704067200  # 2024-01-01T00:00:00Z
+    late_window = got.filter(
+        (F.col("hour_epoch") == late_epoch) & (F.col("event_type").isNotNull())
+    )
+    on_time_first_hour = on_time.filter(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) == late_epoch
+    ).count()
+    emitted = late_window.agg(F.coalesce(F.sum("n_events"), F.lit(0))).first()[0]
+    assert emitted == on_time_first_hour  # late row not counted
+
+
+def test_streaming_dedup(spark, events):
+    """st-5: duplicated chunk is emitted once (dropDuplicates state)."""
+    chunks = time_ordered_chunks(events, "ts", 3)
+    chunks = [chunks[0], chunks[0], chunks[1], chunks[2]]  # replay chunk 0 twice
+    got = replay_through(spark, chunks, ops.dedup_events, "append")
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_stream_static_join(spark, events):
+    """st-6: stream-static broadcast join enriches every event."""
+    customer = load_table(spark, SF_DIR, "customer")
+    got = replay_through(
+        spark,
+        time_ordered_chunks(events, "ts", 3),
+        lambda s: ops.enrich_with_users(s, customer),
+        "append",
+    )
+    assert got.count() == events.count()
+    # user_id domain ⊂ custkey domain at this SF → every row enriched
+    n_users = customer.count()
+    matched = got.filter(F.col("c_mktsegment").isNotNull()).count()
+    assert matched == events.filter(F.col("user_id") < n_users).count()
+
+
+def test_stateful_user_counts(spark, events):
+    """st-7: applyInPandasWithState running counts converge to batch totals."""
+    got = replay_through(
+        spark, time_ordered_chunks(events, "ts", 4), ops.stateful_user_counts, "update"
+    )
+    # memory sink in update mode appends each emission; last per user wins
+    from pyspark.sql import Window as W
+
+    latest = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )
+    expect = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    assert as_sorted_rows(latest) == as_sorted_rows(expect)
