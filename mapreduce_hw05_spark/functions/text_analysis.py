@@ -1,0 +1,155 @@
+"""Text-analysis functions for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting, SimHash.
+
+Everything here is pure Catalyst (split/explode/regexp/md5/CASE) — these
+run at scan throughput inside whole-stage codegen, no Python workers.
+The SQL-oracle versions of each are generated alongside so contract
+queries stay hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword profiles over the fixture vocabulary.
+#: Real deployments swap in real stopword lists; the mechanism (argmax of
+#: per-language stopword hit-ratio with deterministic tiebreak) is the same.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("key", "hash", "group"),
+    "en": ("the", "a", "fast", "data"),
+    "es": ("value", "row", "query"),
+    "fr": ("table", "scan", "merge"),
+    "zh": ("spark", "line", "stream"),
+}
+
+#: words treated as stopwords for quality scoring
+STOPWORDS: tuple[str, ...] = ("the", "a", "value", "table", "key", "row")
+
+
+def language_scores(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-(doc, candidate lang) stopword-hit ratio; input = exploded tokens."""
+    score_cols = [
+        (
+            F.sum(F.when(F.col("token").isin(*words), 1).otherwise(0))
+            / F.count("*")
+        ).alias(f"score_{lang}")
+        for lang, words in sorted(LANG_PROFILES.items())
+    ]
+    return tokens.groupBy(id_col).agg(*score_cols)
+
+
+def predict_language(scored: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """argmax over the score columns; ties break to the alphabetically
+    first language (so predictions are deterministic and SQL-replicable).
+    """
+    langs = sorted(LANG_PROFILES)
+    # greatest() then first matching column = argmax with asc-name tiebreak
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scored.select(id_col, pred.alias("predicted_lang"))
+
+
+def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + combined score per document.
+
+    length_score: saturating length preference; stopword_ratio: fraction
+    of stopword tokens; mean_token_len; alpha_ratio: alphabetic chars /
+    all chars. quality = weighted blend in [0, 1].
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    length_score = F.least(F.lit(1.0), F.length(text_col) / F.lit(300.0))
+    stopword_ratio = stop_hits / n_toks
+    mean_token_len = (F.length(text_col) - (n_toks - 1)) / n_toks
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-z]", ""))
+    alpha_ratio = alpha_chars / F.length(text_col)
+    quality = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * (F.lit(1.0) - stopword_ratio)
+        + F.lit(0.3) * alpha_ratio
+    )
+    return docs.withColumns(
+        {
+            "length_score": F.round(length_score, 6),
+            "stopword_ratio": F.round(stopword_ratio, 6),
+            "mean_token_len": F.round(mean_token_len, 6),
+            "alpha_ratio": F.round(alpha_ratio, 6),
+            "quality": F.round(quality, 6),
+        }
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + regex word count + char count per doc."""
+    return docs.withColumns(
+        {
+            "n_ws_tokens": F.size(F.split(F.col(text_col), " ")).cast("long"),
+            "n_word_tokens": F.regexp_count(F.col(text_col), F.lit("[a-z]+")).cast(
+                "long"
+            ),
+            "n_chars_measured": F.length(text_col).cast("long"),
+        }
+    )
+
+
+def char_ngram_fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over all char n-grams.
+
+    A shared fingerprint ⇒ the documents share at least one n-char run —
+    the cheap first pass of containment/near-dup detection. Rolling over
+    positions via explode(sequence) stays in codegen.
+    """
+    pos = F.explode(F.sequence(F.lit(1), F.length(text_col) - (n - 1))).alias("i")
+    grams = docs.select(F.col(id_col), F.col(text_col), pos)
+    gram = F.expr(f"substring({text_col}, i, {n})")
+    return grams.groupBy(id_col).agg(
+        F.min(F.md5(gram.cast("binary"))).alias("fingerprint")
+    )
+
+
+def simhash16(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash per document from exploded tokens.
+
+    Bit *i* of the fingerprint = sign of Σ_tokens (±1), where a token
+    votes +1 iff the i-th hex digit of md5(token) has its top nibble bit
+    set. 16 bits keeps the oracle SQL tractable; the production variant
+    is the same construction at 64 bits via xxhash64 (Spark-side only).
+    """
+    digest = F.md5(F.col("token").cast("binary"))
+    bit_sums = [
+        F.sum(
+            F.when(F.substring(digest, i, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(1, 17)
+    ]
+    sums = tokens.groupBy(id_col).agg(*bit_sums)
+    fp = sum(
+        (F.when(F.col(f"b{i}") > 0, F.lit(1 << (16 - i))).otherwise(F.lit(0)))
+        for i in range(1, 17)
+    )
+    return sums.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def simhash16_oracle_sql() -> str:
+    """DuckDB SQL computing the identical 16-bit SimHash."""
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN substring(md5(token), {i}, 1) >= '8' THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(1, 17)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << (16 - i)} ELSE 0 END)" for i in range(1, 17)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), sums AS (
+        SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+    """

@@ -11,6 +11,7 @@ from mapreduce_hw05_spark.plans import (  # noqa: F401  (import = register)
     window_queries,
     events_queries,
     text_queries,
+    text_analysis_queries,
     similarity_queries,
     udf_queries,
     graph_queries,

@@ -1,0 +1,227 @@
+"""Contract queries for the text-analysis surface (driver-mandated
+training-data-pipeline ops): language ID, quality scoring, token
+counting, document fingerprinting, SimHash.
+
+All five stay pure Catalyst (split/filter/regexp/md5 inside whole-stage
+codegen) — at 100 TB these run at scan throughput with one hash-partition
+shuffle for the final per-key aggregate. The oracle SQL strings are
+GENERATED from the same constants (``LANG_PROFILES``/``STOPWORDS``) so the
+two sides can never drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_hw05_spark.functions.text_analysis import (
+    LANG_PROFILES,
+    STOPWORDS,
+    char_ngram_fingerprint,
+    language_scores,
+    predict_language,
+    quality_metrics,
+    simhash16,
+    simhash16_oracle_sql,
+    token_counts,
+)
+from mapreduce_hw05_spark.operators.text import tokenize
+from mapreduce_hw05_spark.plans.common import lng, ratio
+from mapreduce_hw05_spark.plans.registry import contract
+from mapreduce_hw05_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Language identification — confusion counts actual×predicted
+# --------------------------------------------------------------------------
+
+
+def _sql_in(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _language_id_oracle() -> str:
+    langs = sorted(LANG_PROFILES)
+    score_exprs = ",\n               ".join(
+        f"sum(CASE WHEN token IN ({_sql_in(LANG_PROFILES[lang])}) THEN 1 ELSE 0 END)"
+        f" * 1.0 / count(*) AS score_{lang}"
+        for lang in langs
+    )
+    greatest = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN score_{lang} = {greatest} THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), scores AS (
+        SELECT doc_id, any_value(lang) AS lang,
+               {score_exprs}
+        FROM toks GROUP BY doc_id
+    )
+    SELECT lang, {case} AS predicted_lang, count(*) AS n_docs
+    FROM scores
+    GROUP BY lang, predicted_lang
+    """
+
+
+@contract("q_language_id", oracle=_language_id_oracle())
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: confusion counts (actual × predicted).
+
+    argmax of per-language stopword-hit ratio, ties to the alphabetically
+    first language (deterministic, SQL-replicable). One explode + one
+    doc-key aggregate — linear, partial-agg friendly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id", "lang")
+    scored = language_scores(toks, "doc_id")
+    actual = docs.select("doc_id", "lang")
+    pred = predict_language(scored, "doc_id").join(actual, "doc_id")
+    return pred.groupBy("lang", "predicted_lang").agg(F.count("*").alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# Quality scoring — per-language aggregate of the per-doc heuristics
+# --------------------------------------------------------------------------
+
+
+def _quality_oracle() -> str:
+    stop_in = _sql_in(STOPWORDS)
+    return f"""
+    WITH per_doc AS (
+        SELECT lang,
+               round(least(1.0, len(text) / 300.0), 6) AS length_score,
+               round(len(list_filter(string_split(text, ' '),
+                         t -> t IN ({stop_in}))) * 1.0
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               round((len(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                     / len(string_split(text, ' ')), 6) AS mean_token_len,
+               round(len(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+                     / len(text), 6) AS alpha_ratio,
+               round(0.4 * least(1.0, len(text) / 300.0)
+                     + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+                                   t -> t IN ({stop_in}))) * 1.0
+                              / len(string_split(text, ' ')))
+                     + 0.3 * (len(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+                              / len(text)), 6) AS quality
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(length_score), 4) AS avg_length_score,
+           round(avg(stopword_ratio), 4) AS avg_stopword_ratio,
+           round(avg(mean_token_len), 4) AS avg_mean_token_len,
+           round(avg(alpha_ratio), 4) AS avg_alpha_ratio,
+           round(avg(quality), 4) AS avg_quality,
+           CAST(sum(CASE WHEN quality >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high_quality
+    FROM per_doc
+    GROUP BY lang
+    """
+
+
+@contract("q_quality_score", oracle=_quality_oracle())
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-quality profile (length / stopword / alpha
+    heuristics blended into a [0,1] score) + high-quality doc count."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_metrics(docs, "text")
+    return q.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("length_score"), 4).alias("avg_length_score"),
+        F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+        F.round(F.avg("mean_token_len"), 4).alias("avg_mean_token_len"),
+        F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha_ratio"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        lng(F.sum(F.when(F.col("quality") >= 0.7, 1).otherwise(0))).alias(
+            "n_high_quality"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token counting — whitespace vs regex-word tokenizers, per source
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_token_stats",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT)
+               AS total_word_tokens,
+           CAST(sum(len(text)) AS BIGINT) AS total_chars,
+           round(avg(len(string_split(text, ' '))), 6) AS avg_ws_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count battery per source: whitespace tokenizer vs regex word
+    tokenizer vs raw chars. The BPE-ish regex count and the whitespace
+    count bracket a real tokenizer's output."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = token_counts(docs, "text")
+    return counted.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        lng(F.sum("n_ws_tokens")).alias("total_ws_tokens"),
+        lng(F.sum("n_word_tokens")).alias("total_word_tokens"),
+        lng(F.sum("n_chars_measured")).alias("total_chars"),
+        ratio(F.avg("n_ws_tokens")).alias("avg_ws_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting — shared min-8-gram winnowing fingerprints
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_fingerprint_groups",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, unnest(generate_series(1, len(text) - 7)) AS i, text
+        FROM documents
+    ), fps AS (
+        SELECT doc_id, min(md5(substring(text, i, 8))) AS fingerprint
+        FROM grams GROUP BY doc_id
+    )
+    SELECT fingerprint, count(*) AS n_docs
+    FROM fps
+    GROUP BY fingerprint
+    HAVING count(*) > 1
+    """,
+)
+def q_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint collisions: documents sharing a minimum
+    char-8-gram md5 — the cheap first pass of containment detection.
+    explode(sequence) stays in codegen; the per-doc min is partial-agg
+    friendly so the n-gram blowup never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = char_ngram_fingerprint(docs, "text", "doc_id", n=8)
+    return (
+        fps.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash — 16-bit fingerprint per document (near-dup building block)
+# --------------------------------------------------------------------------
+
+
+@contract("q_simhash", oracle=simhash16_oracle_sql())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level 16-bit SimHash from md5 token votes (bit-identical to the
+    DuckDB oracle). The production variant is the same construction at 64
+    bits over xxhash64; Hamming-ball lookup then buckets by bit-masked
+    prefixes rather than comparing all pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id")
+    return simhash16(toks, "doc_id")
