@@ -111,3 +111,64 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .join(e3, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def cooccurrence_edges_min_support(lineitem: DataFrame, min_orders: int = 2) -> DataFrame:
+    """Co-purchase edges kept only when the pair shares ≥ ``min_orders``
+    distinct orders — the support-thresholded (sparser) variant of
+    :func:`copurchase_edges`. Same keyed self-join, one extra aggregate."""
+    a = lineitem.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = lineitem.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_orders)
+        .select("src", "dst")
+    )
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Connected components by min-label propagation → (node, comp).
+
+    Each node starts labeled with its own id; every iteration each node
+    takes the min of its label and its neighbors' labels. Converges in
+    O(graph diameter) iterations; the fixpoint is unique, so results are
+    deterministic and hash-checkable against a transitive-closure SQL
+    oracle. The per-iteration change count is a one-row driver scalar
+    (the genre's convergence Counter), NOT a data collect.
+
+    Scale: one keyed join + one min-aggregate per iteration, lineage
+    truncated with localCheckpoint. For web-scale high-diameter graphs
+    swap in large-star/small-star (Kiveris et al., "Connected Components
+    in MapReduce and Beyond") — same DataFrame machinery, O(log n) rounds.
+    """
+    sym = undirected(edges).persist()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_labels = sym.join(
+            labels, sym.src == labels.node
+        ).select(F.col("dst").alias("node"), "comp")
+        new_labels = (
+            labels.union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

@@ -226,3 +226,54 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(F.avg("dur_secs")).alias("avg_session_secs"),
         ratio(F.avg("n_events")).alias("avg_events_per_session"),
     )
+
+
+# --------------------------------------------------------------------------
+# j-9 — as-of join (operator in operators.asof)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(c.ts) AS click_ts_us,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+           c.value AS click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase joined to the same user's most recent prior click
+    (timestamp, value, gap); purchases with no prior click keep nulls.
+
+    The engine's as-of realization is union + one window pass
+    (operators.asof) — a single key shuffle, vs the oracle's native
+    ``ASOF LEFT JOIN``.
+    """
+    from mapreduce_hw05_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, clicks, on=["user_id"], ts_col="ts", carry_cols=["value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.unix_micros("ts_asof").alias("click_ts_us"),
+        (F.unix_micros("ts") - F.unix_micros("ts_asof")).alias("gap_us"),
+        F.col("value_asof").alias("click_value"),
+    )

@@ -85,3 +85,49 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vecs"))
         .select(lng(F.col("cluster")).alias("cluster"), "n_vecs")
     )
+
+
+# --------------------------------------------------------------------------
+# g-4 — connected components (min-label propagation; SQL-checkable via
+# DuckDB recursive-CTE transitive closure on the thresholded graph)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_connected_components",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), edges AS (
+        SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+    ), reach AS (
+        SELECT node, node AS comp FROM nodes
+        UNION
+        SELECT e.dst AS node, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT comp, count(*) AS n_nodes
+    FROM (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+    GROUP BY comp
+    """,
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component sizes of the support-≥2 co-purchase graph.
+
+    The engine iterates min-label propagation to the (unique) fixpoint;
+    the oracle materializes the transitive closure recursively — different
+    algorithms, identical answer, which is the point of the check.
+    """
+    from mapreduce_hw05_spark.operators.graph import (
+        connected_components,
+        cooccurrence_edges_min_support,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    comps = connected_components(cooccurrence_edges_min_support(li, 2))
+    return comps.groupBy("comp").agg(F.count("*").alias("n_nodes"))
