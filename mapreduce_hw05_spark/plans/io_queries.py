@@ -114,3 +114,31 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(F.sum("o_totalprice")).alias("sum_price"),
         F.unix_timestamp(F.max("o_orderdate")).alias("max_order_epoch"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm-8 — multimodal columns (rows-only: binary payloads have no SQL oracle)
+# --------------------------------------------------------------------------
+
+
+@contract("q_multimodal_features")  # rows-only; engine tests cover invariants
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media-kind feature profile over synthesized binary payloads.
+
+    Exercises the full multimodal pipeline: binary column + typed metadata
+    struct (Catalyst) → Arrow-batched mapInPandas decode/feature-extract →
+    relational aggregate. Deterministic (payloads derive from doc text),
+    so the driver's rows-only check is stable across runs.
+    """
+    from mapreduce_hw05_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_fake_media(docs))
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_bin1"),
+    )

@@ -1,0 +1,106 @@
+"""Engine-level tests for surfaces with no SQL oracle: map functions
+(SURVEY §2.7 f-7) and multimodal column plumbing (§2.11 llm-8).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_hw05_spark.operators import multimodal
+from mapreduce_hw05_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------- f-7
+
+
+def test_map_functions_roundtrip(spark):
+    """create_map → map_keys/map_values/element_at → str_to_map."""
+    nation = load_table(spark, SF_DIR, "nation")
+    mapped = nation.select(
+        F.create_map(F.lit("name"), F.col("n_name"),
+                     F.lit("region"), F.col("n_regionkey").cast("string")).alias("m"),
+        "n_nationkey",
+    )
+    row = mapped.select(
+        F.map_keys("m").alias("ks"),
+        F.element_at("m", F.lit("name")).alias("name"),
+        F.size("m").alias("n"),
+    ).first()
+    assert row["ks"] == ["name", "region"]
+    assert row["n"] == 2
+
+    parsed = spark.range(1).select(
+        F.str_to_map(F.lit("a:1,b:2"), F.lit(","), F.lit(":")).alias("m")
+    ).first()["m"]
+    assert parsed == {"a": "1", "b": "2"}
+
+
+def test_map_aggregation(spark):
+    """map_from_entries over collect_list — per-group key→value maps."""
+    orders = load_table(spark, SF_DIR, "orders")
+    per_status = (
+        orders.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("o_orderstatus", "n")))
+            ).alias("by_status")
+        )
+        .first()["by_status"]
+    )
+    assert set(per_status) == {"O", "F", "P"}
+    assert all(v > 0 for v in per_status.values())
+
+
+# -------------------------------------------------------------------- llm-8
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    return multimodal.attach_fake_media(docs).persist()
+
+
+def test_media_schema_and_kinds(media):
+    dtypes = dict(media.dtypes)
+    assert dtypes["payload"] == "binary"
+    assert dtypes["media_meta"].startswith("struct<kind:string,format:string")
+    kinds = {r["kind"] for r in media.select("media_meta.kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    # payload is deterministic: same doc_id → same bytes across runs
+    a = media.orderBy("doc_id").select("payload").first()["payload"]
+    b = media.orderBy("doc_id").select("payload").first()["payload"]
+    assert a == b and len(a) == 128
+
+
+def test_feature_extraction_batch_shape(media):
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == media.count()  # narrow op: one feature row per input
+    for r in rows[:20]:
+        assert len(r["features"]) == multimodal.N_FEATURES
+        assert r["n_bytes"] == 128
+        assert abs(sum(r["features"]) - 1.0) < 1e-6  # normalized histogram
+
+
+def test_feature_extraction_deterministic(media):
+    f1 = {r["doc_id"]: r["features"] for r in multimodal.extract_features(media).collect()}
+    f2 = {r["doc_id"]: r["features"] for r in multimodal.extract_features(media).collect()}
+    assert f1 == f2
+
+
+def test_frame_sampling(media):
+    frames = multimodal.sample_frames(media, every=2)
+    pdf = frames.toPandas()
+    n_videos = media.filter(F.col("media_meta.kind") == "video").count()
+    assert len(pdf) == n_videos * 4  # 8 frames, every 2nd → 4 per video
+    assert set(pdf["frame_idx"]) == {0, 2, 4, 6}
+    assert all(len(f) == 16 for f in pdf["frame"])  # 128 bytes / 8 frames
+
+
+def test_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG", "png")
