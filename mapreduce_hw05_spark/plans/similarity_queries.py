@@ -211,3 +211,47 @@ def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.8)
         .select("id1", "id2", ratio(jac).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# llm-2 (scale path) — embedding-cosine near-dup + IVF approximate search
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_near_dup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round({_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
+    """,
+)
+def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding pairs with cosine ≥ 0.4 — near-duplicate detection in
+    embedding space. The threshold filter runs inside the NumPy batch
+    kernel; only qualifying pairs materialize."""
+    from mapreduce_hw05_spark.operators.similarity import cosine_pairs_above
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_above(emb, 0.4, "vec_id", "embedding")
+    return pairs.select("id1", "id2", ratio(F.col("sim")).alias("cos_sim"))
+
+
+@contract("q_ann_ivf_topk")  # rows-only: IVF recall is probabilistic
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 similar pairs via IVF coarse quantization — the
+    scale path that replaces the broadcast brute-force kernel when the
+    reference side outgrows executor memory.
+
+    Label-seeded centroids (k=10), nprobe=4. Engine test measures recall
+    against the exact kernel. Candidate generation shuffles only on
+    bucket id; no executor holds more than one inverted list.
+    """
+    from mapreduce_hw05_spark.operators.ann import ivf_knn_candidates
+    from mapreduce_hw05_spark.operators.clustering import label_seeded_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = label_seeded_centroids(emb)
+    cands = ivf_knn_candidates(emb, emb, centroids, k=20, nprobe=4, mode="pairs")
+    return global_topk_pairs(cands, k=20)

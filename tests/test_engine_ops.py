@@ -104,3 +104,40 @@ def test_frame_sampling(media):
 def test_real_codec_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x89PNG", "png")
+
+
+# ------------------------------------------------------------- ANN (IVF)
+
+
+def test_ivf_recall_and_exactness_at_full_probe(spark):
+    """IVF machinery: nprobe=k must reproduce the exact kernel bit-for-bit
+    (coarse quantization with all lists probed IS brute force); partial
+    probing must retain reasonable recall even on this near-orthogonal
+    (worst-case) fixture geometry."""
+    from mapreduce_hw05_spark.operators.ann import ivf_knn_candidates
+    from mapreduce_hw05_spark.operators.clustering import label_seeded_centroids
+    from mapreduce_hw05_spark.operators.similarity import (
+        cosine_pairs_topk_per_row,
+        global_topk_pairs,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").persist()
+    centroids = label_seeded_centroids(emb)
+    k_buckets = centroids.shape[0]
+
+    exact = global_topk_pairs(
+        cosine_pairs_topk_per_row(emb, emb, "vec_id", "embedding", k=20), k=20
+    ).toPandas()
+    exact_pairs = set(zip(exact["id1"], exact["id2"]))
+
+    full = global_topk_pairs(
+        ivf_knn_candidates(emb, emb, centroids, k=20, nprobe=k_buckets), k=20
+    ).toPandas()
+    assert set(zip(full["id1"], full["id2"])) == exact_pairs
+    assert list(full["cos_sim"]) == list(exact["cos_sim"])
+
+    partial = global_topk_pairs(
+        ivf_knn_candidates(emb, emb, centroids, k=20, nprobe=4), k=20
+    ).toPandas()
+    recall = len(set(zip(partial["id1"], partial["id2"])) & exact_pairs) / 20
+    assert recall >= 0.5, recall
