@@ -1,0 +1,117 @@
+"""Property-based differential testing (SURVEY §5.2 item 4): hypothesis
+generates filter + group-by + aggregate specs over the fixture schema;
+each spec is compiled BOTH to a DataFrame plan and to DuckDB SQL and the
+results must match exactly.
+
+This hunts the class of bug the fixed contract queries can't: operator
+interactions (predicate × group-by × agg combinations) across the whole
+spec grammar. Deterministic: derandomize=True, so CI never flakes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from mapreduce_hw05_spark.sources import load_table
+from tests.conftest import SF_DIR, compare_frames
+
+# ---------------------------------------------------------------- grammar
+
+_STATUS = ["O", "F", "P"]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+predicate = st.fixed_dictionaries(
+    {
+        "statuses": st.sets(st.sampled_from(_STATUS), min_size=1, max_size=3),
+        "price_lo": st.integers(min_value=0, max_value=200_000),
+        "price_span": st.integers(min_value=10_000, max_value=400_000),
+        "year_cut": st.integers(min_value=1992, max_value=1998),
+        "year_op": st.sampled_from(["<", ">="]),
+        "priority_like": st.one_of(st.none(), st.sampled_from(["URGENT", "HIGH", "LOW"])),
+        "negate_like": st.booleans(),
+    }
+)
+
+grouping = st.sampled_from(["o_orderstatus", "o_orderpriority", "order_year"])
+
+aggs = st.sets(
+    st.sampled_from(["n", "sum_price", "min_price", "max_price", "n_cust"]),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _spark_query(orders, spec, group_col, agg_names):
+    cond = orders["o_orderstatus"].isin(*sorted(spec["statuses"]))
+    lo = float(spec["price_lo"])
+    hi = float(spec["price_lo"] + spec["price_span"])
+    cond &= orders["o_totalprice"].between(lo, hi)
+    cut = f"{spec['year_cut']}-01-01"
+    cond &= (
+        orders["o_orderdate"] < cut
+        if spec["year_op"] == "<"
+        else orders["o_orderdate"] >= cut
+    )
+    if spec["priority_like"] is not None:
+        like = orders["o_orderpriority"].like(f"%{spec['priority_like']}%")
+        cond &= ~like if spec["negate_like"] else like
+    df = orders.filter(cond).withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    agg_map = {
+        "n": F.count("*").alias("n"),
+        "sum_price": F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        "min_price": F.min("o_totalprice").alias("min_price"),
+        "max_price": F.max("o_totalprice").alias("max_price"),
+        "n_cust": F.countDistinct("o_custkey").alias("n_cust"),
+    }
+    return df.groupBy(group_col).agg(*[agg_map[a] for a in sorted(agg_names)])
+
+
+def _oracle_sql(spec, group_col, agg_names):
+    statuses = ", ".join(f"'{s}'" for s in sorted(spec["statuses"]))
+    lo = float(spec["price_lo"])
+    hi = float(spec["price_lo"] + spec["price_span"])
+    cut = f"{spec['year_cut']}-01-01"
+    preds = [
+        f"o_orderstatus IN ({statuses})",
+        f"o_totalprice BETWEEN {lo} AND {hi}",
+        f"o_orderdate {spec['year_op']} TIMESTAMP '{cut}'",
+    ]
+    if spec["priority_like"] is not None:
+        neg = "NOT " if spec["negate_like"] else ""
+        preds.append(f"o_orderpriority {neg}LIKE '%{spec['priority_like']}%'")
+    agg_sql = {
+        "n": "count(*) AS n",
+        "sum_price": "round(sum(o_totalprice), 2) AS sum_price",
+        "min_price": "min(o_totalprice) AS min_price",
+        "max_price": "max(o_totalprice) AS max_price",
+        "n_cust": "count(DISTINCT o_custkey) AS n_cust",
+    }
+    select_group = (
+        "CAST(year(o_orderdate) AS BIGINT) AS order_year"
+        if group_col == "order_year"
+        else group_col
+    )
+    cols = ", ".join(agg_sql[a] for a in sorted(agg_names))
+    return (
+        f"SELECT {select_group}, {cols} FROM orders "
+        f"WHERE {' AND '.join(preds)} GROUP BY 1"
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=predicate, group_col=grouping, agg_names=aggs)
+def test_random_filter_agg_specs_match_oracle(spark, oracle, spec, group_col, agg_names):
+    orders = load_table(spark, SF_DIR, "orders")
+    spark_pdf = _spark_query(orders, spec, group_col, agg_names).toPandas()
+    oracle_pdf = oracle.execute(_oracle_sql(spec, group_col, agg_names)).df()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{spec} {group_col} {sorted(agg_names)}: {problems}"
