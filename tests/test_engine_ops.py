@@ -141,3 +141,67 @@ def test_ivf_recall_and_exactness_at_full_probe(spark):
     ).toPandas()
     recall = len(set(zip(partial["id1"], partial["id2"])) & exact_pairs) / 20
     assert recall >= 0.5, recall
+
+
+# ----------------------------------------------------- skew / bucketing
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting changes only shuffle distribution, never results."""
+    from mapreduce_hw05_spark.operators.skew import salted_join, two_phase_agg
+
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    plain = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    salted = (
+        salted_join(
+            orders.withColumnRenamed("o_custkey", "c_custkey"),
+            customer,
+            "c_custkey",
+            salt_buckets=8,
+        )
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    tp = two_phase_agg(orders, "o_orderstatus", "o_totalprice", salt_buckets=8)
+    direct = orders.groupBy("o_orderstatus").agg(
+        F.sum("o_totalprice").alias("sum_o_totalprice"), F.count("*").alias("n_rows")
+    )
+    t = {r["o_orderstatus"]: (round(r["sum_o_totalprice"], 2), r["n_rows"]) for r in tp.collect()}
+    d = {r["o_orderstatus"]: (round(r["sum_o_totalprice"], 2), r["n_rows"]) for r in direct.collect()}
+    assert t == d
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key: the join plans with ZERO
+    Exchange operators (the 'pay the shuffle once at ingest' invariant)."""
+    from mapreduce_hw05_spark.sources.bucketing import read_table, write_bucketed
+
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer")
+    write_bucketed(orders.withColumnRenamed("o_custkey", "custkey"),
+                   "t_orders_b", "custkey", num_buckets=4)
+    write_bucketed(customer.withColumnRenamed("c_custkey", "custkey"),
+                   "t_customer_b", "custkey", num_buckets=4)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = read_table(spark, "t_orders_b").join(
+                read_table(spark, "t_customer_b"), "custkey"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan[:800]
+            assert joined.count() == orders.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
