@@ -45,12 +45,28 @@ def _l2_normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+#: Hard cap on broadcast-able reference rows (~2 GB at 64-dim float64).
+#: Beyond this, brute force is the wrong physical strategy — route through
+#: operators.ann (IVF) or LSH banding instead.
+MAX_BROADCAST_REFERENCE_ROWS = 4_000_000
+
+
 def _reference_matrix(df: DataFrame, id_col: str, vec_col: str, normalize: bool):
     """Materialize the reference side as (ids, float64 matrix).
 
     Driver-side collect is intentional and bounded — identical role to a
-    broadcast hash join's build side; callers gate on size (see module doc).
+    broadcast hash join's build side. The row gate fails fast with a
+    pointer to the IVF path rather than letting a 100-TB reference OOM
+    the driver.
     """
+    n_ref = df.count()
+    if n_ref > MAX_BROADCAST_REFERENCE_ROWS:
+        raise ValueError(
+            f"reference side has {n_ref} rows (cap "
+            f"{MAX_BROADCAST_REFERENCE_ROWS}); broadcast brute force would "
+            "OOM the driver — use operators.ann.ivf_knn_candidates (IVF) "
+            "or LSH banding instead"
+        )
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy(dtype=np.int64)
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
