@@ -16,6 +16,7 @@ from mapreduce_hw05_spark.plans import (  # noqa: F401  (import = register)
     udf_queries,
     graph_queries,
     io_queries,
+    streaming_queries,
 )
 from mapreduce_hw05_spark.plans.registry import ORACLES, QUERIES
 

@@ -1,0 +1,71 @@
+"""Streaming contract query (SURVEY §2.1 src-4 / §2.9): a genuinely
+streaming-EXECUTED query in the correctness registry.
+
+Structured Streaming's unified semantics guarantee that a streaming
+aggregation's final state equals the batch query over the same data —
+so the streaming run can be hash-checked against the *batch* SQL oracle.
+This query replays the events fixture as a chunked file stream (the
+local stand-in for Kafka), runs the tumbling-window aggregation
+incrementally across micro-batches, and returns the final result table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_hw05_spark.plans.registry import contract
+from mapreduce_hw05_spark.sources import load_table
+from mapreduce_hw05_spark.streaming import ops
+from mapreduce_hw05_spark.streaming.replay import FileReplay, time_ordered_chunks
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
+
+
+@contract(
+    "q_stream_batch_equiv",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour counts computed BY THE STREAMING ENGINE (file
+    replay in 4 micro-batches, complete output mode) — final state must
+    hash-match the batch SQL oracle. Watermark state stays bounded by
+    (open windows × event types), never stream length.
+    """
+    events = load_table(spark, sf_dir, "events")
+    root = os.path.join(_SCRATCH, "q_stream_" + uuid.uuid4().hex[:8])
+    os.makedirs(root, exist_ok=True)
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4), root)
+    name = "stream_equiv_" + uuid.uuid4().hex[:8]
+    query = (
+        ops.tumbling_counts(replay.stream())
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        while replay.push_next():
+            query.processAllAvailable()
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    # Materialize off the (session-scoped) memory sink so the caller gets
+    # a plain DataFrame whose contents survive sink/table cleanup.
+    result = spark.createDataFrame(
+        spark.table(name).collect(), schema=spark.table(name).schema
+    )
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
