@@ -205,3 +205,23 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+# ------------------------------------------------------ cluster sizing
+
+
+def test_cluster_scale_confs_sizing():
+    from mapreduce_hw05_spark.session import cluster_scale_confs
+
+    small = cluster_scale_confs(input_tb=1, executors=50, cores_per_executor=4)
+    big = cluster_scale_confs(input_tb=100, executors=1000, cores_per_executor=4)
+    # partitions scale with data volume, floored at 2× total cores
+    assert int(small["spark.sql.shuffle.partitions"]) == 8192  # 1 TiB / 128 MiB
+    assert int(big["spark.sql.shuffle.partitions"]) == 819200  # 100 TiB / 128 MiB
+    assert int(big["spark.sql.shuffle.partitions"]) > 2 * 1000 * 4
+    # tiny input on a big cluster: floor keeps every core busy
+    floor = cluster_scale_confs(input_tb=0.01, executors=1000)
+    assert int(floor["spark.sql.shuffle.partitions"]) == 8000
+    for conf in (small, big):
+        assert conf["spark.sql.adaptive.enabled"] == "true"
+        assert int(conf["spark.sql.autoBroadcastJoinThreshold"]) == 64 << 20
