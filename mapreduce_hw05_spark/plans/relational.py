@@ -557,3 +557,80 @@ def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Users who view but never purchase (distinct EXCEPT)."""
     return _users(spark, sf_dir, "view").subtract(_users(spark, sf_dir, "purchase"))
+
+
+# --------------------------------------------------------------------------
+# agg-8 (ext) — pivot: long→wide aggregation with a fixed column domain
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_pivot_status_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_open,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_filled,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_partial,
+           round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS filled_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts pivoted to one column per status, per year.
+
+    The pivot domain is declared explicitly (['O','F','P']) — at scale an
+    undeclared domain forces an extra distinct-scan job before planning.
+    One hash aggregate either way; pivot is a column-layout choice, not an
+    extra shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.withColumn("order_year", lng(F.year("o_orderdate")))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money(F.sum("o_totalprice")).alias("total"),
+        )
+    )
+    return wide.select(
+        "order_year",
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("n_partial"),
+        F.col("F_total").alias("filled_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# pf-3 (ext) — scalar + correlated subqueries (Catalyst decorrelation)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_above_avg,
+           round(sum(o_totalprice), 2) AS sum_above_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price, per status — the SQL entry
+    point's scalar subquery, expressed DataFrame-side as a one-row
+    broadcast join (exactly what Catalyst rewrites the subquery into)."""
+    o = load_table(spark, sf_dir, "orders")
+    global_avg = o.agg(F.avg("o_totalprice").alias("__avg"))
+    return (
+        o.join(F.broadcast(global_avg))
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_above_avg"),
+            money(F.sum("o_totalprice")).alias("sum_above_avg"),
+        )
+    )
