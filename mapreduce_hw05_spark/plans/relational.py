@@ -634,3 +634,110 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum("o_totalprice")).alias("sum_above_avg"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg-9 (ext) — unpivot / melt: wide→long
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(avg(l_discount), 6) AS avg_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'avg_disc', avg_disc FROM wide
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate lineitem per returnflag, then melt the metric columns to
+    (returnflag, metric, value) rows — wide→long without re-scanning.
+    Unpivot is a projection (Expand node), zero extra shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        money(F.sum("l_quantity")).alias("sum_qty"),
+        money(F.sum("l_extendedprice")).alias("sum_price"),
+        ratio(F.avg("l_discount")).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "avg_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# --------------------------------------------------------------------------
+# agg-6b — cube (all grouping-set combinations) with grouping_id
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_cube_year_status",
+    oracle="""
+    WITH src AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderstatus
+        FROM orders
+    )
+    SELECT order_year,
+           o_orderstatus,
+           CAST(grouping(order_year) * 2 + grouping(o_orderstatus)
+                AS BIGINT) AS gid,
+           count(*) AS n_orders
+    FROM src
+    GROUP BY CUBE (order_year, o_orderstatus)
+    """,
+)
+def q_cube_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts over CUBE(year, status): every grouping-set combo in
+    one pass (Catalyst expands to a single Expand + aggregate, not four
+    scans); grouping_id disambiguates NULL-as-total from NULL data."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", lng(F.year("o_orderdate")))
+        .cube("order_year", "o_orderstatus")
+        .agg(
+            lng(F.grouping_id()).alias("gid"),
+            F.count("*").alias("n_orders"),
+        )
+        .select("order_year", "o_orderstatus", "gid", "n_orders")
+    )
+
+
+# --------------------------------------------------------------------------
+# agg-10 (ext) — exact interpolated percentiles
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of events.value per type (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, verified bit-equal after
+    round-6). Scale note: exact percentiles sort per group; prefer
+    approx_percentile (t-digest, mergeable sketches) at 100 TB — kept
+    exact here because the contract needs hash equality."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        ratio(F.expr("percentile(value, 0.25)")).alias("p25"),
+        ratio(F.expr("percentile(value, 0.5)")).alias("p50"),
+        ratio(F.expr("percentile(value, 0.95)")).alias("p95"),
+    )
