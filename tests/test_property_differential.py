@@ -115,3 +115,84 @@ def test_random_filter_agg_specs_match_oracle(spark, oracle, spec, group_col, ag
     oracle_pdf = oracle.execute(_oracle_sql(spec, group_col, agg_names)).df()
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{spec} {group_col} {sorted(agg_names)}: {problems}"
+
+
+# ----------------------------------------------------------- join grammar
+
+join_spec = st.fixed_dictionaries(
+    {
+        "how": st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+        "segments": st.sets(
+            st.sampled_from(
+                ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+        "acctbal_min": st.integers(min_value=-1000, max_value=5000),
+        "statuses": st.sets(st.sampled_from(_STATUS), min_size=1, max_size=3),
+    }
+)
+
+
+def _spark_join(customer, orders, spec):
+    c = customer.filter(
+        customer["c_mktsegment"].isin(*sorted(spec["segments"]))
+        & (customer["c_acctbal"] >= float(spec["acctbal_min"]))
+    )
+    o = orders.filter(orders["o_orderstatus"].isin(*sorted(spec["statuses"])))
+    joined = c.join(o, c["c_custkey"] == o["o_custkey"], spec["how"])
+    if spec["how"] in ("left_semi", "left_anti"):
+        return joined.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def _join_oracle_sql(spec):
+    segments = ", ".join(f"'{s}'" for s in sorted(spec["segments"]))
+    statuses = ", ".join(f"'{s}'" for s in sorted(spec["statuses"]))
+    c_pred = (
+        f"c_mktsegment IN ({segments}) AND c_acctbal >= {float(spec['acctbal_min'])}"
+    )
+    o_pred = f"o_orderstatus IN ({statuses})"
+    if spec["how"] in ("left_semi", "left_anti"):
+        exists = "EXISTS" if spec["how"] == "left_semi" else "NOT EXISTS"
+        return f"""
+        SELECT c_mktsegment, count(*) AS n,
+               round(sum(c_acctbal), 2) AS sum_acctbal
+        FROM customer
+        WHERE {c_pred} AND {exists} (
+            SELECT 1 FROM orders WHERE {o_pred} AND o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+        """
+    how = "JOIN" if spec["how"] == "inner" else "LEFT JOIN"
+    return f"""
+    SELECT c_mktsegment, count(*) AS n,
+           count(o_orderkey) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM (SELECT * FROM customer WHERE {c_pred}) c
+    {how} (SELECT * FROM orders WHERE {o_pred}) o ON c.c_custkey = o.o_custkey
+    GROUP BY c_mktsegment
+    """
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=join_spec)
+def test_random_join_specs_match_oracle(spark, oracle, spec):
+    customer = load_table(spark, SF_DIR, "customer")
+    orders = load_table(spark, SF_DIR, "orders")
+    spark_pdf = _spark_join(customer, orders, spec).toPandas()
+    oracle_pdf = oracle.execute(_join_oracle_sql(spec)).df()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{spec}: {problems}"
