@@ -1,0 +1,69 @@
+"""Internal invariants for rows-only contracts (SURVEY §5.2 item 2):
+ops with no SQL oracle are pinned by mathematical properties instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
+
+from mapreduce_hw05_spark.operators.clustering import kmeans
+from mapreduce_hw05_spark.operators.graph import (
+    copurchase_edges,
+    pagerank,
+    undirected,
+)
+from mapreduce_hw05_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_approx_distinct_within_5pct_of_exact(spark):
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    both = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id").alias("approx"),
+        )
+        .collect()
+    )
+    for row in both:
+        assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"], row
+
+
+def test_pagerank_mass_conservation(spark):
+    """Σ rank = 1 after every damped iteration (dangling mass included)."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    ranks = pagerank(undirected(copurchase_edges(li)), iterations=3)
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9, total
+
+
+def test_kmeans_inertia_monotone_decreasing(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    inertias = []
+    for iters in (1, 3, 5):
+        assignment, _ = kmeans(emb, k=10, iterations=iters)
+        inertias.append(assignment.agg(F.sum("sq_dist")).first()[0])
+    assert inertias[0] >= inertias[1] >= inertias[2], inertias
+
+
+def test_observe_metrics_accumulator_analog(spark):
+    """df.observe — the engine's replacement for Hadoop Counters (g-5):
+    side-channel metrics collected during a single pass, no extra job."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum("l_quantity").alias("qty_seen"),
+    )
+    n = observed.filter(F.col("l_quantity") > 25).count()
+    metrics = obs.get
+    assert metrics["rows_seen"] == li.count()
+    assert metrics["qty_seen"] == pytest.approx(
+        li.agg(F.sum("l_quantity")).first()[0]
+    )
+    assert 0 < n < metrics["rows_seen"]
