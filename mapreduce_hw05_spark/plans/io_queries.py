@@ -11,7 +11,7 @@ aggregate on the original parquet, so any write/read corruption
 from __future__ import annotations
 
 import os
-import tempfile
+
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,8 +35,12 @@ _LINEITEM_CSV_SCHEMA = T.StructType(
 
 
 def _scratch_dir(name: str) -> str:
-    os.makedirs(_SCRATCH, exist_ok=True)
-    return tempfile.mkdtemp(prefix=f"{name}_", dir=_SCRATCH)
+    """Fixed per-query scratch path: the writer's mode('overwrite')
+    replaces prior contents, so repeated invocations don't accumulate
+    directories under .tmp (they did with mkdtemp)."""
+    path = os.path.join(_SCRATCH, name)
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 @contract(
