@@ -117,3 +117,43 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", ratio(F.avg("value").over(w)).alias("moving_avg")
     )
+
+
+# --------------------------------------------------------------------------
+# w-4 (ext) — navigation functions: first/last/nth value, ntile
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_window_navigation",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: first/last/2nd order price + quartile.
+
+    last_value needs the full-partition frame explicitly (the default
+    frame ends at CURRENT ROW on both engines); order ties broken by
+    o_orderkey so every navigation value is deterministic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        lng(F.ntile(4).over(w)).alias("quartile"),
+    )
