@@ -66,6 +66,14 @@ def pagerank(
     links = edges.join(out_deg, "src").persist()
     links.count()  # materialize once; reused every iteration
 
+    # Dangling-node SET is fixed by the graph shape — detect it once, not
+    # per iteration; symmetric graphs (our fixtures) skip the per-iteration
+    # dangling-mass job entirely.
+    dangling_nodes = nodes.join(
+        out_deg, nodes.node == out_deg.src, "left_anti"
+    ).persist()
+    has_dangling = dangling_nodes.count() > 0
+
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
     for _ in range(iterations):
         contribs = (
@@ -76,9 +84,11 @@ def pagerank(
         )
         # Counter analog: rank mass sitting on nodes with no out-edges.
         dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            ranks.join(dangling_nodes.select("node"), "node")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .first()[0]
+            if has_dangling
+            else 0.0
         )
         ranks = (
             nodes.join(contribs, "node", "left")
@@ -93,6 +103,7 @@ def pagerank(
             .localCheckpoint()  # truncate lineage each iteration
         )
     links.unpersist()
+    dangling_nodes.unpersist()
     return ranks
 
 
@@ -136,8 +147,12 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     takes the min of its label and its neighbors' labels. Converges in
     O(graph diameter) iterations; the fixpoint is unique, so results are
     deterministic and hash-checkable against a transitive-closure SQL
-    oracle. The per-iteration change count is a one-row driver scalar
-    (the genre's convergence Counter), NOT a data collect.
+    oracle.
+
+    Convergence detection: labels only ever decrease, so the fixpoint is
+    reached exactly when Σ comp stops changing — a one-row aggregate per
+    iteration (the genre's convergence Counter), strictly cheaper than
+    re-joining old vs new labels to count diffs.
 
     Scale: one keyed join + one min-aggregate per iteration, lineage
     truncated with localCheckpoint. For web-scale high-diameter graphs
@@ -151,24 +166,20 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
     for _ in range(max_iterations):
         neighbor_labels = sym.join(
             labels, sym.src == labels.node
         ).select(F.col("dst").alias("node"), "comp")
-        new_labels = (
+        labels = (
             labels.union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("comp")).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     return labels
