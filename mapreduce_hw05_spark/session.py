@@ -46,6 +46,20 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
             # construction; a foreign session without it will fail loudly
             # at read time, which is the right signal.
             pass
+    # A foreign local-mode session left at Spark's 200-partition default
+    # over-shuffles the fixture workloads badly; right-size it to the
+    # machine. Never touches an explicitly-configured value, and never
+    # fires off local mode (cluster sizing belongs to cluster_scale_confs).
+    try:
+        master = spark.conf.get("spark.master", "")
+        if master.startswith("local") and (
+            spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        ):
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(os.cpu_count() or 8)
+            )
+    except Exception:
+        pass
     return spark
 
 
