@@ -41,3 +41,22 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.count("*").alias("n_dups"))
         .filter(F.col("n_dups") > 1)
     )
+
+
+def word_shingles(df: DataFrame, n: int = 2, text_col: str = "text",
+                  *keep_cols: str) -> DataFrame:
+    """One row per (keep_cols…, shingle): contiguous n-word grams.
+
+    Built with transform(sequence(...)) over the split array — pure
+    Catalyst, pipelined inside codegen like tokenize(). Shingles (vs
+    single tokens) make Jaccard sensitive to word ORDER, which is what
+    near-dup detection wants.
+    """
+    sp = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(sp) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(sp, i + j) for j in range(n)]
+        ),
+    )
+    return df.select(*keep_cols, F.explode(grams).alias("shingle"))

@@ -255,3 +255,64 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = label_seeded_centroids(emb)
     cands = ivf_knn_candidates(emb, emb, centroids, k=20, nprobe=4, mode="pairs")
     return global_topk_pairs(cands, k=20)
+
+
+# --------------------------------------------------------------------------
+# llm-3b — n-gram (word-bigram) Jaccard near-dup: order-sensitive variant
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_near_dup_ngram",
+    oracle="""
+    WITH shingled AS (
+        SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+            generate_series(1, len(sp) - 1), i -> sp[i] || ' ' || sp[i+1])) AS g
+        FROM shingled
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+    ), inter AS (
+        SELECT g1.doc_id AS id1, g2.doc_id AS id2, count(*) AS n_common
+        FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           round(CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common), 6)
+               AS jaccard
+    FROM inter
+    JOIN sizes s1 ON id1 = s1.doc_id
+    JOIN sizes s2 ON id2 = s2.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5
+    """,
+)
+def q_near_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs with word-bigram-set Jaccard ≥ 0.5 — the order-sensitive
+    n-gram variant of near-dup (unigram Jaccard can't tell a shuffled
+    copy from a true near-dup; shingles can). Same keyed-join shape as
+    the token variant: shuffles on shingle, never all-pairs."""
+    from mapreduce_hw05_spark.operators.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = word_shingles(docs, 2, "text", "doc_id").distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    g1 = grams.withColumnRenamed("doc_id", "id1")
+    g2 = grams.withColumnRenamed("doc_id", "id2")
+    inter = (
+        g1.join(g2, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.withColumnsRenamed({"doc_id": "id1", "n": "n1"})
+    s2 = sizes.withColumnsRenamed({"doc_id": "id2", "n": "n2"})
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .filter(jac >= 0.5)
+        .select("id1", "id2", ratio(jac).alias("jaccard"))
+    )
