@@ -225,3 +225,37 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(docs, "text", "doc_id")
     return simhash16(toks, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup: identical-fingerprint pairs via bucket join
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_simhash_near_dup",
+    oracle=f"""
+    WITH sims AS ({simhash16_oracle_sql()})
+    SELECT a.doc_id AS id1, b.doc_id AS id2, a.simhash
+    FROM sims a JOIN sims b
+      ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """,
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs = documents with IDENTICAL SimHash.
+
+    This is the scale form of SimHash dedup: a self-join keyed on the
+    fingerprint (bucket join), never all-pairs. The Hamming-ball variant
+    (distance ≤ k) buckets on k+1 disjoint fingerprint segments — by
+    pigeonhole any pair within distance k collides on at least one
+    segment — then verifies bit_count(xor) on candidates only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sims = simhash16(tokenize(docs, "text", "doc_id"), "doc_id")
+    a = sims.withColumnRenamed("doc_id", "id1")
+    b = sims.withColumnRenamed("doc_id", "id2")
+    return (
+        a.join(b, "simhash")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "simhash")
+    )
