@@ -277,3 +277,59 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") - F.unix_micros("ts_asof")).alias("gap_us"),
         F.col("value_asof").alias("click_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts-1 (ext) — gap-fill / resample: dense hourly series with zero-fill
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_gapfill_hourly",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events WHERE event_type = 'purchase'
+    ), hours AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ), actual AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT CAST(epoch(h.hour) AS BIGINT) AS hour_epoch,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_purchases,
+           coalesce(a.sum_value, 0.0) AS sum_value
+    FROM hours h LEFT JOIN actual a ON h.hour = a.hour
+    """,
+)
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly purchase series: every hour between the first and
+    last purchase appears, empty hours zero-filled.
+
+    The dense axis comes from sequence()+explode over the min/max bounds
+    (one-row cross join — broadcast, no skew); actual counts left-join
+    onto it. This is the batch analog of a streaming tumbling window with
+    emit-on-empty, and the standard shape for training-data time curves.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    actual = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n"), money(F.sum("value")).alias("sum_value")
+    )
+    return hours.join(actual, "hour", "left").select(
+        F.unix_timestamp("hour").alias("hour_epoch"),
+        lng(F.coalesce("n", F.lit(0))).alias("n_purchases"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )

@@ -157,3 +157,42 @@ def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
         lng(F.ntile(4).over(w)).alias("quartile"),
     )
+
+
+# --------------------------------------------------------------------------
+# w-3b (ext) — time-based RANGE frame: trailing-hour aggregates per user
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_window_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing_hour,
+           round(sum(value) OVER w, 2) AS sum_trailing_hour
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: count + sum of the same user's events in the trailing
+    hour (inclusive) — a time-based RANGE frame, not a row frame.
+
+    RANGE frames are tie-safe by construction (all rows at equal ts share
+    one frame), so no tiebreak column is needed for determinism. Spark
+    needs the numeric-epoch ordering form; the frame is [-3600 s, 0 s].
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        lng(F.count("*").over(w)).alias("n_trailing_hour"),
+        money(F.sum("value").over(w)).alias("sum_trailing_hour"),
+    )
