@@ -741,3 +741,36 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(F.expr("percentile(value, 0.5)")).alias("p50"),
         ratio(F.expr("percentile(value, 0.95)")).alias("p95"),
     )
+
+
+# --------------------------------------------------------------------------
+# f-9 (ext) — exact decimal arithmetic (no float drift by construction)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_decimal_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS total_exact,
+           min(CAST(o_totalprice AS DECIMAL(18, 2))) AS min_exact,
+           max(CAST(o_totalprice AS DECIMAL(18, 2))) AS max_exact,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money aggregation in DECIMAL(18,2): sums are EXACT regardless of
+    partial-aggregation order, so no rounding discipline is needed —
+    the right type for financial columns at any scale (the double-based
+    queries in this repo round instead because the fixtures are doubles).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(price).alias("total_exact"),
+        F.min(price).alias("min_exact"),
+        F.max(price).alias("max_exact"),
+        F.count("*").alias("n_orders"),
+    )

@@ -225,3 +225,28 @@ def test_cluster_scale_confs_sizing():
     for conf in (small, big):
         assert conf["spark.sql.adaptive.enabled"] == "true"
         assert int(conf["spark.sql.autoBroadcastJoinThreshold"]) == 64 << 20
+
+
+# ----------------------------------------------------------- as-of join
+
+
+def test_asof_join_edge_cases(spark):
+    """No-match rows keep nulls; equal timestamps match (>= semantics);
+    the latest at-or-before right row wins."""
+    from mapreduce_hw05_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "l1"), (1, 200, "l2"), (2, 50, "l3")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 150, 15.0), (1, 300, 30.0), (3, 10, 99.0)],
+        "k long, ts long, v double",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["ts_asof"], r["v_asof"])
+        for r in asof_join(left, right, ["k"], "ts", ["v"]).collect()
+    }
+    assert out[(1, 100)] == (100, 10.0)   # tie: equal ts matches
+    assert out[(1, 200)] == (150, 15.0)   # latest at-or-before, not 300
+    assert out[(2, 50)] == (None, None)   # no right rows for key 2
