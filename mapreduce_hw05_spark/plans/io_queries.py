@@ -125,14 +125,38 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@contract("q_multimodal_features")  # rows-only; engine tests cover invariants
+@contract(
+    "q_multimodal_features",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               repeat(sha256(text), 4) AS hx
+        FROM documents
+    ), per_doc AS (
+        SELECT kind,
+               round(len(list_filter(
+                   list_transform(generate_series(1, 255, 2),
+                                  i -> substring(hx, i, 1)),
+                   c -> c = '0')) / 128.0, 6) AS bin1
+        FROM m
+    )
+    SELECT kind, count(*) AS n_media,
+           CAST(count(*) * 128 AS BIGINT) AS total_bytes,
+           round(avg(bin1), 6) AS avg_bin1
+    FROM per_doc GROUP BY kind
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-media-kind feature profile over synthesized binary payloads.
 
     Exercises the full multimodal pipeline: binary column + typed metadata
     struct (Catalyst) → Arrow-batched mapInPandas decode/feature-extract →
-    relational aggregate. Deterministic (payloads derive from doc text),
-    so the driver's rows-only check is stable across runs.
+    relational aggregate. The oracle re-derives the payload bytes in SQL
+    (sha256 hex, high nibble = odd hex positions), so even the Python
+    decode kernel is hash-checked, not just row-counted.
     """
     from mapreduce_hw05_spark.operators.multimodal import (
         attach_fake_media,

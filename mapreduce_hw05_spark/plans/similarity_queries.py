@@ -176,15 +176,19 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_pairs(spark, sf_dir, threshold=0.8)
 
 
-@contract("q_near_dup_lsh")  # rows-only: LSH is probabilistic-recall
+@contract("q_near_dup_lsh", oracle=_JACCARD_ORACLE)
 def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup path: signatures → banding → candidate pairs →
     exact Jaccard verify ≥ 0.8 on candidates only.
 
-    Scale: this is the 100-TB design — candidate generation touches only
-    (band, bucket) groups; the quadratic verify runs on candidates, not
-    the corpus. Engine test asserts candidates ⊇ the high-Jaccard truth
-    set at contract scale (128 hashes / 32 bands → s-curve threshold ≈0.4).
+    Oracle = the exact pairwise Jaccard query: LSH recall is nominally
+    probabilistic, but signatures are seed-deterministic and at 128
+    hashes / 32 bands the s-curve threshold (≈0.4) sits far below the
+    0.8 target, so candidates provably cover the truth set on this
+    corpus (asserted in tests/test_near_dup.py) and verified output ≡
+    exact output. Scale: candidate generation touches only (band,
+    bucket) groups; the quadratic verify runs on candidates, not the
+    corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=128)
