@@ -17,6 +17,8 @@ from mapreduce_hw05_spark.plans import (  # noqa: F401  (import = register)
     graph_queries,
     io_queries,
     streaming_queries,
+    subquery_queries,
+    agg_ext_queries,
 )
 from mapreduce_hw05_spark.plans.registry import ORACLES, QUERIES
 

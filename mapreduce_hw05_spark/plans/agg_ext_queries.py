@@ -1,0 +1,343 @@
+"""Aggregation / join extensions: grouping sets, FILTER-clause aggregates,
+ordered string_agg, min_by/max_by, statistical moments, null-safe join,
+deterministic hash sampling, rank-distribution windows, and correctness
+contracts for the skew utilities in :mod:`operators.skew`.
+
+Everything here is a single Catalyst aggregate or window over a pruned
+scan — no Python in the hot path; the skew contracts prove that salting
+changes ONLY the shuffle distribution, never the result set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from mapreduce_hw05_spark.operators.skew import salted_join, two_phase_agg
+from mapreduce_hw05_spark.plans.common import lng, money, ratio
+from mapreduce_hw05_spark.plans.registry import contract
+from mapreduce_hw05_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# agg-11 (ext) — GROUPING SETS (arbitrary set list, not rollup/cube)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_grouping_sets",
+    oracle="""
+    WITH src AS (
+        SELECT n_name, c_mktsegment, c_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_name, c_mktsegment,
+           CAST(grouping(n_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM src
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer counts by nation, by segment, and in total — an explicit
+    GROUPING SETS list (not derivable from rollup/cube), exercised via
+    the SQL entry point. One Expand + one aggregate, not three scans."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    src = c.join(n, c.c_nationkey == n.n_nationkey).select(
+        "n_name", "c_mktsegment", "c_acctbal"
+    )
+    src.createOrReplaceTempView("gs_src")
+    return spark.sql(
+        """
+        SELECT n_name, c_mktsegment,
+               CAST(grouping(n_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS sum_bal
+        FROM gs_src
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# agg-12 (ext) — conditional aggregation (FILTER clause / count_if)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_conditional_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_positive,
+           round(sum(c_acctbal) FILTER (c_acctbal > 0), 2) AS sum_positive,
+           round(avg(c_acctbal) FILTER (c_acctbal < 0), 6) AS avg_negative
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per segment: conditional counts/sums/avgs in ONE aggregate pass —
+    the FILTER-clause family (count_if + sum/avg over when()), never a
+    self-join per condition."""
+    c = load_table(spark, sf_dir, "customer")
+    pos = F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))
+    neg = F.when(F.col("c_acctbal") < 0, F.col("c_acctbal"))
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        lng(F.count_if(F.col("c_acctbal") > 0)).alias("n_positive"),
+        money(F.sum(pos)).alias("sum_positive"),
+        ratio(F.avg(neg)).alias("avg_negative"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg-13 (ext) — ordered string aggregation (deterministic collect)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_string_agg",
+    oracle="""
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nation_list
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per region: its nations as one sorted comma-joined string.
+    collect_list is order-nondeterministic under parallel merge, so the
+    list is array_sort-ed before joining — the only way a collected
+    string is reproducible across partitionings (and engines)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            lng(F.count("*")).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nation_list"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# agg-14 (ext) — min_by / max_by (argmin/argmax accessory aggregates)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_min_max_by",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           arg_max(o_totalprice, o_orderkey) AS price_of_last_key,
+           arg_min(o_totalprice, o_orderkey) AS price_of_first_key,
+           epoch_us(arg_max(o_orderdate, o_orderkey)) AS date_us_of_last_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per status: accessory-column argmin/argmax. All three order by the
+    unique o_orderkey, so they are tie-free by construction — argmax over
+    a NON-unique ordering column (e.g. a day-granular date) is
+    engine-nondeterministic and must not sit in a checked contract."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.max_by("o_totalprice", "o_orderkey").alias("price_of_last_key"),
+        F.min_by("o_totalprice", "o_orderkey").alias("price_of_first_key"),
+        F.unix_micros(
+            F.max_by("o_orderdate", "o_orderkey").cast("timestamp")
+        ).alias("date_us_of_last_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg-15 (ext) — statistical moments: stddev/variance/corr/covar
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per returnflag — all four are single-pass
+    mergeable aggregates (sum/sumsq/cross-product partials), so they
+    partial-aggregate map-side like any sum. Rounded because moment sums
+    are summation-order-dependent in the last ulps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        ratio(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        ratio(F.var_samp("l_quantity")).alias("var_qty"),
+        ratio(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        money(F.covar_samp("l_quantity", "l_extendedprice")).alias("covar_qty_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# j-11 (ext) — null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_null_safe_join",
+    oracle="""
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+    FROM (SELECT nullif(c_nationkey, 3) AS k FROM customer) c
+    JOIN (SELECT nullif(n_nationkey, 7) AS k, n_name FROM nation) n
+      ON (c.k IS NOT DISTINCT FROM n.k)
+    GROUP BY n_name
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join: nulls manufactured on BOTH sides with
+    different nullif pivots, so the null↔null matches (nation-3 customers
+    landing on NATION_7) are produced ONLY by <=> semantics — a plain
+    equi-join would drop them. Null-safe equality stays hash-joinable
+    (null is an ordinary key value), unlike general non-equi predicates.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(3)).alias("ck")
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey"), F.lit(7)).alias("nk"), "n_name"
+    )
+    return (
+        c.join(F.broadcast(n), F.col("ck").eqNullSafe(F.col("nk")))
+        .groupBy("n_name")
+        .agg(lng(F.count("*")).alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# src-5 (ext) — deterministic hash sampling (reproducible TABLESAMPLE)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_sample_hash",
+    oracle="""
+    SELECT count(*) AS n_sampled,
+           round(sum(o_totalprice), 2) AS sum_price,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A deterministic ~1/8 sample of orders: rows whose key's md5 starts
+    with '0' or '1'. Unlike TABLESAMPLE/rand(), a content-hash sample is
+    reproducible across engines, retries, and partitionings — the only
+    sampling that can sit inside a correctness-checked pipeline (and the
+    standard trick for holdout splits in training-data pipelines)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    return o.filter(bucket.isin("0", "1")).agg(
+        F.count("*").alias("n_sampled"),
+        money(F.sum("o_totalprice")).alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# w-5 (ext) — rank-distribution windows: percent_rank / cume_dist
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_rank_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative price position of every order within its status:
+    percent_rank = (rank-1)/(n-1) and cume_dist = |rows ≤ current|/n,
+    identical definitions on both engines; ties broken by the unique
+    orderkey so ranks are deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        ratio(F.percent_rank().over(w)).alias("pct_rank"),
+        ratio(F.cume_dist().over(w)).alias("cum_dist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# skew-1 / skew-2 — correctness contracts for the skew utilities
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_salted_join_contract",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_salted_join_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders⋈customer executed through operators.skew.salted_join with
+    16 salt buckets, checked against the PLAIN join oracle — proof that
+    salting redistributes the shuffle without changing the result set
+    (the property that makes it safe to deploy on a skewed key)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, "custkey", salt_buckets=16)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        money(F.sum("o_totalprice")).alias("sum_price"),
+    )
+
+
+@contract(
+    "q_two_phase_agg_contract",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2) AS sum_l_quantity,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_two_phase_agg_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation vs the plain GROUP BY oracle: the
+    (key, salt) pre-aggregate followed by the key final-aggregate must be
+    value-identical to the direct aggregate (rounded — the two summation
+    orders differ in the last ulp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = two_phase_agg(li, "l_returnflag", "l_quantity", salt_buckets=16)
+    return agg.select(
+        "l_returnflag", money(F.col("sum_l_quantity")).alias("sum_l_quantity"), "n_rows"
+    )

@@ -1,0 +1,213 @@
+"""Correlated-subquery contract queries (TPC-H Q4/Q17/Q18/Q21 shapes).
+
+The MapReduce genre expresses every one of these as a reduce-side
+co-group with driver-chained jobs; here each is declared as the join /
+semi-join Catalyst decorrelates the subquery into, so the optimizer owns
+join order and strategy (SURVEY.md §2.3, §3.2).
+
+Scale notes: every correlated predicate below decorrelates to an equi
+shuffle join on a key column (orderkey / partkey / brand), so the plans
+survive a 100× scale-up as ordinary sort-merge joins; none falls back to
+a nested-loop. The per-group thresholds (avg-quantity, max-price) are
+computed with a partial-aggregated groupBy, never a per-row re-scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from mapreduce_hw05_spark.plans.common import lng, money, ratio
+from mapreduce_hw05_spark.plans.registry import contract
+from mapreduce_hw05_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# sq-1 — correlated EXISTS over a non-key predicate (TPC-H Q4 shape)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_exists_shiplag",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 75 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_exists_shiplag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1995 orders with any lineitem shipped >75 days after ordering,
+    counted per priority — correlated EXISTS expressed as the left-semi
+    join Catalyst decorrelates it to (equi on orderkey + residual date
+    predicate evaluated inside the join)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 75 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# sq-2 — correlated scalar subquery: per-group average threshold (Q17 shape)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_correlated_avg_qty",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_small_lots
+    FROM lineitem l1
+    WHERE l_quantity < (SELECT round(0.5 * avg(l_quantity), 6)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def q_correlated_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue locked in small lots: lineitems below half their part's
+    average quantity (TPC-H Q17). The correlated scalar subquery becomes
+    one groupBy(partkey) aggregate joined back to the fact — one shuffle
+    each side on the same key, no per-row re-scan.
+
+    The threshold is rounded to 6 decimals on BOTH engines before the
+    comparison: avg() of doubles drifts in the last ulp with partial-agg
+    order, and an unrounded threshold could flip a boundary row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy("l_partkey").agg(
+        F.round(0.5 * F.avg("l_quantity"), 6).alias("__thr")
+    )
+    return (
+        li.join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__thr"))
+        .agg(
+            money(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_small_lots"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# sq-3 — IN (grouped HAVING subquery): large-volume orders (Q18 shape)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_having_in_big_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+    GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+    """,
+)
+def q_having_in_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers holding orders whose total quantity exceeds 200 (TPC-H
+    Q18). The IN-subquery is the same groupBy the outer query needs, so
+    it is computed ONCE and reused as the driving table instead of a
+    semi-join — one lineitem shuffle total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(money(F.sum("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# sq-4 — correlated scalar with equality: argmax rows per group
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_max_price_in_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice
+    FROM part p
+    WHERE p_retailprice = (SELECT max(p2.p_retailprice)
+                           FROM part p2 WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def q_max_price_in_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every part priced at its brand's maximum — the correlated-equality
+    subquery expressed as a window max (one shuffle on brand, no join).
+    The comparison is raw-double equality against a value drawn from the
+    same column, so it is exact on both engines."""
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand")
+    return (
+        p.withColumn("__brand_max", F.max("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("__brand_max"))
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# sq-5 — EXISTS with inequality correlation on two tables (Q21 shape)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_multi_supplier_late",
+    oracle="""
+    SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_late_shared
+    FROM supplier
+    JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    """,
+)
+def q_multi_supplier_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier: how many multi-supplier orders it shipped late into
+    (TPC-H Q21 skeleton). The EXISTS-with-<> correlates on the join key
+    plus an inequality; decorrelated as a left-semi join on orderkey with
+    the suppkey inequality as a residual predicate. Supplier is a dim →
+    broadcast."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = l1.join(o, l1.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    )
+    shared = late.join(
+        l2,
+        (F.col("l_orderkey") == F.col("__ok2"))
+        & (F.col("l_suppkey") != F.col("__sk2")),
+        "left_semi",
+    )
+    return (
+        shared.join(F.broadcast(s), shared.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(lng(F.count_distinct("l_orderkey")).alias("n_late_shared"))
+    )
