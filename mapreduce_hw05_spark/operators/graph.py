@@ -16,7 +16,7 @@ skew-join splitting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -63,7 +63,10 @@ def pagerank(
     )
     n_nodes = nodes.count()  # scalar graph size — fixed for the whole loop
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    links = edges.join(out_deg, "src").persist()
+    # Hash-partition the static side on the join key ONCE: every
+    # iteration's links⋈ranks join then reshuffles only the (much
+    # smaller) moving rank state — the cached partitioning is reused.
+    links = edges.join(out_deg, "src").repartition("src").persist()
     links.count()  # materialize once; reused every iteration
 
     # Dangling-node SET is fixed by the graph shape — detect it once, not
@@ -74,7 +77,19 @@ def pagerank(
     ).persist()
     has_dangling = dangling_nodes.count() > 0
 
+    # Nodes carry a static is_dangling flag so each iteration's dangling
+    # mass rides the checkpoint job as an Observation metric (the
+    # accumulator analog) instead of costing a separate aggregate job.
+    nodes_flagged = nodes.join(
+        out_deg.select(F.col("src").alias("node"), F.lit(True).alias("__has_out")),
+        "node",
+        "left",
+    ).select("node", F.col("__has_out").isNull().alias("__dangling"))
+    if has_dangling:
+        nodes_flagged = nodes_flagged.persist()
+
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
+    dangling = dangling_nodes.count() / n_nodes if has_dangling else 0.0
     for _ in range(iterations):
         contribs = (
             links.join(ranks, links.src == ranks.node)
@@ -82,28 +97,30 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("contrib").alias("in_mass"))
         )
-        # Counter analog: rank mass sitting on nodes with no out-edges.
-        dangling = (
-            ranks.join(dangling_nodes.select("node"), "node")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-            if has_dangling
-            else 0.0
+        new_ranks = nodes_flagged.join(contribs, "node", "left").select(
+            "node",
+            "__dangling",
+            (
+                F.lit((1.0 - damping) / n_nodes)
+                + F.lit(damping)
+                * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+            ).alias("rank"),
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n_nodes)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling / n_nodes))
-                ).alias("rank"),
+        if has_dangling:
+            obs = Observation()
+            new_ranks = new_ranks.observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.when(F.col("__dangling"), F.col("rank"))), F.lit(0.0)
+                ).alias("dangling_mass"),
             )
-            .localCheckpoint()  # truncate lineage each iteration
-        )
+        ranks = new_ranks.drop("__dangling").localCheckpoint()  # truncate lineage
+        if has_dangling:
+            dangling = obs.get["dangling_mass"]  # mass for the NEXT iteration
     links.unpersist()
     dangling_nodes.unpersist()
+    if has_dangling:
+        nodes_flagged.unpersist()
     return ranks
 
 
@@ -181,7 +198,10 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     swap in large-star/small-star (Kiveris et al., "Connected Components
     in MapReduce and Beyond") — same DataFrame machinery, O(log n) rounds.
     """
-    sym = undirected(edges).persist()
+    # Static side partitioned on the join key once (see pagerank); the
+    # per-iteration Σcomp convergence counter rides the checkpoint job as
+    # an Observation metric instead of a second action per iteration.
+    sym = undirected(edges).repartition("src").persist()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -193,13 +213,15 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
         neighbor_labels = sym.join(
             labels, sym.src == labels.node
         ).select(F.col("dst").alias("node"), "comp")
+        obs = Observation()
         labels = (
             labels.union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+            .observe(obs, F.sum("comp").alias("comp_sum"))
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("comp")).first()[0]
+        new_sum = obs.get["comp_sum"]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

@@ -41,6 +41,25 @@ def test_pagerank_mass_conservation(spark):
     assert abs(total - 1.0) < 1e-9, total
 
 
+def test_pagerank_dangling_mass_redistributed(spark):
+    """On a directed graph WITH dangling nodes, Σ rank must still be 1:
+    the sink's mass is re-injected uniformly each iteration (the Counter
+    analog, carried by an Observation on the checkpoint job). Chain
+    1→2→3 plus 4→2: nodes 3 and 4-reachable sinks leak mass without
+    redistribution, so this asserts the dangling path specifically."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 2)], ["src", "dst"]
+    )
+    ranks = pagerank(edges, iterations=4)
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9, total
+    assert ranks.count() == 4
+    # node 2 has two in-edges and must outrank its sources
+    by_node = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert by_node[2] > by_node[1]
+    assert by_node[2] > by_node[4]
+
+
 def test_kmeans_inertia_monotone_decreasing(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     inertias = []
