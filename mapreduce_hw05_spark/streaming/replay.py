@@ -61,7 +61,7 @@ def time_ordered_chunks(df: DataFrame, ts_col: str, n_chunks: int) -> list[DataF
 
     chunked = df.withColumn(
         "_chunk", F.ntile(n_chunks).over(W.orderBy(ts_col))
-    )
+    ).localCheckpoint()  # sort once; the per-chunk filters reread it
     return [
         chunked.filter(F.col("_chunk") == i + 1).drop("_chunk")
         for i in range(n_chunks)
