@@ -120,6 +120,39 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@contract(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_parts,
+           round(sum(p_retailprice), 2) AS sum_price,
+           CAST(max(p_size) AS BIGINT) AS max_size
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → ORC → re-read → aggregate vs the original-parquet oracle.
+
+    ORC is the second columnar container Spark ships a vectorized
+    reader/writer for; the roundtrip proves type fidelity (longs,
+    doubles, strings) through the ORC writer path. Schema comes from the
+    files themselves — columnar formats are self-describing, unlike the
+    CSV path's explicit schema.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    path = _scratch_dir("orc_roundtrip")
+    p.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        money(F.sum("p_retailprice")).alias("sum_price"),
+        F.max("p_size").cast("long").alias("max_size"),
+    )
+
+
 # --------------------------------------------------------------------------
 # llm-8 — multimodal columns (rows-only: binary payloads have no SQL oracle)
 # --------------------------------------------------------------------------

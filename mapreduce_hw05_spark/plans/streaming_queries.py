@@ -69,3 +69,63 @@ def q_stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+@contract(
+    "q_stream_stream_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(c.ts) AS click_ts_us,
+           c.value AS click_value
+    FROM purchases p
+    JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases joined to the same user's clicks in the trailing hour,
+    executed BY THE STREAMING ENGINE as a watermarked stream-stream inner
+    join over a 3-chunk file replay, hash-checked against the batch join
+    oracle. Inner matches emit per micro-batch (append mode); click state
+    is evicted an hour-plus-delay behind the watermark, so final state is
+    bounded by one hour of per-user clicks — the 100 TB posture.
+
+    Chunks are time-ordered, so a purchase's 1-hour lookback is always
+    within watermark-retained state and the stream result is EXACTLY the
+    batch join (the unified-semantics guarantee this contract checks).
+    """
+    events = load_table(spark, sf_dir, "events")
+    root = os.path.join(_SCRATCH, "q_ssj_" + uuid.uuid4().hex[:8])
+    os.makedirs(root, exist_ok=True)
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 3), root)
+    name = "ssj_" + uuid.uuid4().hex[:8]
+    query = (
+        ops.interval_join_clicks_purchases(replay.stream())
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        while replay.push_next():
+            query.processAllAvailable()
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    result = spark.createDataFrame(
+        spark.table(name).collect(), schema=spark.table(name).schema
+    )
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(root, ignore_errors=True)
+    return result

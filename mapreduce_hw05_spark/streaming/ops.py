@@ -86,6 +86,54 @@ def enrich_with_users(events: DataFrame, customer_dim: DataFrame) -> DataFrame:
     return events.join(dim, "user_id", "left")
 
 
+# ------------------------------------------------------------------- st-8
+
+
+def interval_join_clicks_purchases(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    clicks in the preceding hour (inclusive bound on both ends).
+
+    Both sides carry a watermark and the join condition bounds event-time
+    distance, so click state is evicted once the watermark passes
+    click_ts + 1 h + delay — state is proportional to one hour of
+    clicks per user, never stream length. Inner-join matches emit as soon
+    as both rows have arrived (no watermark emission delay — only OUTER
+    stream-stream joins hold results back).
+
+    The watermark is applied BEFORE the event_type filters so any event
+    advances it (lets a replay's tail rows flush residual state).
+    """
+    wm = events.withWatermark("ts", watermark)
+    clicks = wm.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = wm.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+        "click_value",
+    )
+
+
 # ------------------------------------------------------------------- st-7
 
 
