@@ -153,6 +153,42 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@contract(
+    "q_partitioned_pruning",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE year(o_orderdate) BETWEEN 1996 AND 1997
+    GROUP BY 1, 2
+    """,
+)
+def q_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + partition-pruned scan (src-3's
+    partitionBy surface): orders written partitioned by order year, then
+    re-read with a year predicate that resolves against directory names —
+    pruned partitions are never opened (tests assert the plan's
+    PartitionFilters), which at 100 TB is the difference between scanning
+    two years and scanning all of them.
+    """
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = _scratch_dir("partitioned_orders")
+    o.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_year").between(1996, 1997))
+        .groupBy(F.col("o_year").cast("long").alias("o_year"), "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # llm-8 — multimodal columns (rows-only: binary payloads have no SQL oracle)
 # --------------------------------------------------------------------------

@@ -128,3 +128,51 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# f-7 — map functions
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_map_funcs",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), totals AS (
+        SELECT user_id,
+               count(*) AS n_types,
+               CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN n END),
+                             0) AS BIGINT) AS n_clicks
+        FROM per GROUP BY 1
+    )
+    SELECT p.user_id, t.n_types, t.n_clicks, p.event_type, p.n
+    FROM per p JOIN totals t USING (user_id)
+    WHERE p.n >= 2
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType battery (f-7): per-user event_type→count maps built with
+    map_from_entries, probed with map_keys/size and element_at, filtered
+    with the map_filter higher-order function, and exploded back to rows.
+
+    The map is real on the Spark side; the output is plain columns, so
+    the oracle expresses the identical result relationally (DuckDB map
+    syntax diverges from Spark's — the contract checks semantics, not
+    syntax).
+    """
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    return maps.select(
+        "user_id",
+        F.size(F.map_keys("m")).alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias("n_clicks"),
+        F.explode(F.map_filter("m", lambda k, v: v >= F.lit(2))).alias(
+            "event_type", "n"
+        ),
+    )

@@ -16,7 +16,9 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from mapreduce_hw05_spark.plans.common import money
 from mapreduce_hw05_spark.plans.registry import contract
 from mapreduce_hw05_spark.sources import load_table
 from mapreduce_hw05_spark.streaming import ops
@@ -63,6 +65,63 @@ def q_stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.stop()
     # Materialize off the (session-scoped) memory sink so the caller gets
     # a plain DataFrame whose contents survive sink/table cleanup.
+    result = spark.createDataFrame(
+        spark.table(name).collect(), schema=spark.table(name).schema
+    )
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+@contract(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st-6 executed BY THE STREAMING ENGINE: the events file-replay
+    stream enriched with the static (broadcast) customer dim, then
+    aggregated per market segment in complete output mode — hash-checked
+    against the batch left-join oracle.
+
+    Stream-static joins are stateless (the dim is re-broadcast per
+    micro-batch, so dim updates between batches are picked up); at
+    cluster scale the same plan joins a Kafka stream against a warehouse
+    dimension table with zero shuffle on the stream side.
+    """
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    root = os.path.join(_SCRATCH, "q_sstat_" + uuid.uuid4().hex[:8])
+    os.makedirs(root, exist_ok=True)
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 3), root)
+    enriched = ops.enrich_with_users(replay.stream(), customer)
+    agg = (
+        enriched.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            money(F.sum("value")).alias("sum_value"),
+        )
+    )
+    name = "sstat_" + uuid.uuid4().hex[:8]
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        while replay.push_next():
+            query.processAllAvailable()
+        query.processAllAvailable()
+    finally:
+        query.stop()
     result = spark.createDataFrame(
         spark.table(name).collect(), schema=spark.table(name).schema
     )

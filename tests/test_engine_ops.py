@@ -250,3 +250,29 @@ def test_asof_join_edge_cases(spark):
     assert out[(1, 100)] == (100, 10.0)   # tie: equal ts matches
     assert out[(1, 200)] == (150, 15.0)   # latest at-or-before, not 300
     assert out[(2, 50)] == (None, None)   # no right rows for key 2
+
+
+# ------------------------------------------------------ partition pruning
+
+
+def test_partitioned_scan_prunes_directories(spark, tmp_path):
+    """A year predicate on a partitionBy('o_year') layout resolves against
+    directory names: the scan's partition count drops to the two matching
+    years and the pruned data is never read."""
+    path = str(tmp_path / "orders_by_year")
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    n_years = orders.select("o_year").distinct().count()
+    orders.write.partitionBy("o_year").parquet(path)
+
+    pruned = spark.read.parquet(path).filter(F.col("o_year").between(1996, 1997))
+    scan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the year bounds must reach the scan's PARTITION filter list (they
+    # resolve against directory names, so pruned years are never opened) —
+    # not merely the row-level PushedFilters
+    pf = scan[scan.index("PartitionFilters") :].split("]")[0]
+    assert ">= 1996" in pf and "<= 1997" in pf, pf
+    assert n_years > 2  # the pruning actually dropped directories
+    expected = orders.filter(F.col("o_year").between(1996, 1997)).count()
+    assert pruned.count() == expected
