@@ -19,6 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+# Rank/label state up to this many nodes is broadcast per iteration
+# (~2 M × 16 B ≈ 32 MB serialized — comfortably inside executor memory);
+# larger graphs use the shuffled-join path.
+_PAGERANK_BROADCAST_NODE_LIMIT = 2_000_000
+
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Undirected co-purchase part graph: distinct part pairs sharing an
@@ -56,6 +61,10 @@ def pagerank(
     uniformly each iteration via a one-row aggregate (the genre's global
     Counter).
     """
+    # The edge list is usually an unmaterialized DAG (e.g. the co-purchase
+    # self-join): persist it first so the setup aggregates and the loop
+    # never recompute it.
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -63,10 +72,19 @@ def pagerank(
     )
     n_nodes = nodes.count()  # scalar graph size — fixed for the whole loop
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # Hash-partition the static side on the join key ONCE: every
-    # iteration's links⋈ranks join then reshuffles only the (much
-    # smaller) moving rank state — the cached partitioning is reused.
-    links = edges.join(out_deg, "src").repartition("src").persist()
+    # The moving state is NODE-sized; links are EDGE-sized. When the rank
+    # table fits an executor, broadcast it every iteration and partition
+    # the static links on dst ONCE — the contribs aggregation then reuses
+    # that partitioning and an iteration touches edges in a single
+    # shuffle-free map pass. Past the broadcast limit (billion-node
+    # graphs) fall back to partitioning links on src: the join reshuffles
+    # only the rank state and the agg pays the one edge-sized shuffle.
+    bcast_ranks = n_nodes <= _PAGERANK_BROADCAST_NODE_LIMIT
+    links = (
+        edges.join(out_deg, "src")
+        .repartition("dst" if bcast_ranks else "src")
+        .persist()
+    )
     links.count()  # materialize once; reused every iteration
 
     # Dangling-node SET is fixed by the graph shape — detect it once, not
@@ -80,22 +98,30 @@ def pagerank(
     # Nodes carry a static is_dangling flag so each iteration's dangling
     # mass rides the checkpoint job as an Observation metric (the
     # accumulator analog) instead of costing a separate aggregate job.
-    nodes_flagged = nodes.join(
-        out_deg.select(F.col("src").alias("node"), F.lit(True).alias("__has_out")),
-        "node",
-        "left",
-    ).select("node", F.col("__has_out").isNull().alias("__dangling"))
-    if has_dangling:
-        nodes_flagged = nodes_flagged.persist()
+    # Node-sized and referenced EVERY iteration — checkpoint it so the
+    # loop never re-derives it from the (edge-sized) inputs.
+    nodes_flagged = (
+        nodes.join(
+            out_deg.select(
+                F.col("src").alias("node"), F.lit(True).alias("__has_out")
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.col("__has_out").isNull().alias("__dangling"))
+        .localCheckpoint()
+    )
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
     dangling = dangling_nodes.count() / n_nodes if has_dangling else 0.0
     for _ in range(iterations):
+        moving = F.broadcast(ranks) if bcast_ranks else ranks
         contribs = (
-            links.join(ranks, links.src == ranks.node)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("contrib"))
-            .groupBy("node")
+            links.join(moving, links.src == moving["node"])
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("contrib"))
+            .groupBy("dst")
             .agg(F.sum("contrib").alias("in_mass"))
+            .withColumnRenamed("dst", "node")
         )
         new_ranks = nodes_flagged.join(contribs, "node", "left").select(
             "node",
@@ -119,8 +145,7 @@ def pagerank(
             dangling = obs.get["dangling_mass"]  # mass for the NEXT iteration
     links.unpersist()
     dangling_nodes.unpersist()
-    if has_dangling:
-        nodes_flagged.unpersist()
+    edges.unpersist()
     return ranks
 
 
