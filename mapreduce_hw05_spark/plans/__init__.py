@@ -19,6 +19,7 @@ from mapreduce_hw05_spark.plans import (  # noqa: F401  (import = register)
     streaming_queries,
     subquery_queries,
     agg_ext_queries,
+    etl_queries,
 )
 from mapreduce_hw05_spark.plans.registry import ORACLES, QUERIES
 

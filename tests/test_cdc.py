@@ -1,0 +1,74 @@
+"""Semantic unit tests for the CDC operators (merge_upsert paths,
+SCD2 interval edges) on tiny in-memory frames — the oracle parity test
+covers the fixture-scale contracts."""
+
+from __future__ import annotations
+
+from mapreduce_hw05_spark.operators.cdc import merge_upsert, scd2_intervals
+
+
+def test_merge_upsert_all_paths(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "s", "v"],
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "B", 21.0, "U"),  # matched update
+            (3, None, 0.0, "D"),  # matched delete
+            (4, "d", 40.0, "U"),  # unmatched upsert -> insert
+            (5, None, 0.0, "D"),  # unmatched delete -> no-op
+        ],
+        ["k", "s", "v", "op"],
+    )
+    out = {r.k: (r.s, r.v) for r in merge_upsert(base, changes, ["k"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("B", 21.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_composite_key(spark):
+    base = spark.createDataFrame([(1, "x", 1.0)], ["k1", "k2", "v"])
+    changes = spark.createDataFrame([(1, "x", 2.0, "U")], ["k1", "k2", "v", "op"])
+    rows = merge_upsert(base, changes, ["k1", "k2"]).collect()
+    assert [(r.k1, r.k2, r.v) for r in rows] == [(1, "x", 2.0)]
+
+
+def test_scd2_intervals_collapse_and_current(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10, 100),  # user 1: a,a,b -> [a: 10..30), [b: 30..)
+            (1, "a", 20, 101),
+            (1, "b", 30, 102),
+            (2, "x", 10, 200),  # user 2: single state, always current
+        ],
+        ["uid", "state", "ts", "eid"],
+    )
+    rows = scd2_intervals(df, "uid", "state", "ts", "eid").collect()
+    got = {(r.uid, r.state): (r.valid_from, r.valid_to, r.is_current) for r in rows}
+    assert got == {
+        (1, "a"): (10, 30, False),
+        (1, "b"): (30, None, True),
+        (2, "x"): (10, None, True),
+    }
+
+
+def test_scd2_reentrant_state_gets_new_interval(spark):
+    # a -> b -> a again: the second 'a' is a NEW interval, not a merge.
+    df = spark.createDataFrame(
+        [(1, "a", 10, 1), (1, "b", 20, 2), (1, "a", 30, 3)],
+        ["uid", "state", "ts", "eid"],
+    )
+    rows = scd2_intervals(df, "uid", "state", "ts", "eid").collect()
+    spans = sorted((r.valid_from, r.valid_to, r.state) for r in rows)
+    assert spans == [(10, 20, "a"), (20, 30, "b"), (30, None, "a")]
+
+
+def test_scd2_same_ts_tiebreak(spark):
+    # Equal timestamps: eid orders deterministically, so state 'b' wins
+    # as the later record and 'a' closes at ts=10.
+    df = spark.createDataFrame(
+        [(1, "a", 10, 1), (1, "b", 10, 2)],
+        ["uid", "state", "ts", "eid"],
+    )
+    rows = scd2_intervals(df, "uid", "state", "ts", "eid").collect()
+    got = sorted((r.state, r.valid_from, r.valid_to) for r in rows)
+    assert got == [("a", 10, 10), ("b", 10, None)]
