@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_hw05_spark.operators.cdc import merge_upsert, scd2_intervals
+from mapreduce_hw05_spark.operators.profiling import profile
 from mapreduce_hw05_spark.plans.common import lng, money
 from mapreduce_hw05_spark.plans.registry import contract
 from mapreduce_hw05_spark.sources import load_table
@@ -130,3 +131,40 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("valid_to").alias("valid_to_us"),
         lng(F.col("is_current").cast("int")).alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------------
+# etl-3 (ext) — one-pass table profiling (data-quality stats per column)
+# --------------------------------------------------------------------------
+
+_PROFILE_ORACLE_ROW = """
+    SELECT '{c}' AS col_name, count(*) AS n_rows, count({c}) AS n_nonnull,
+           count(DISTINCT {c}) AS n_distinct,
+           {mn} AS min_num, {mx} AS max_num
+    FROM events
+"""
+
+
+def _profile_oracle() -> str:
+    rows = []
+    for c, numeric in [
+        ("event_id", True),
+        ("ts", False),
+        ("user_id", True),
+        ("event_type", False),
+        ("value", True),
+        ("props", False),
+    ]:
+        mn = f"CAST(min({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(max({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        rows.append(_PROFILE_ORACLE_ROW.format(c=c, mn=mn, mx=mx))
+    return " UNION ALL ".join(rows)
+
+
+@contract("q_profile_events", oracle=_profile_oracle())
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/cardinality/range profile of ``events`` computed
+    in ONE aggregate over one scan (the oracle needs six) — the
+    data-quality first pass a pipeline runs on every new drop."""
+    ev = load_table(spark, sf_dir, "events")
+    return profile(ev)

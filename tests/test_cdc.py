@@ -72,3 +72,27 @@ def test_scd2_same_ts_tiebreak(spark):
     rows = scd2_intervals(df, "uid", "state", "ts", "eid").collect()
     got = sorted((r.state, r.valid_from, r.valid_to) for r in rows)
     assert got == [("a", 10, 10), ("b", 10, None)]
+
+
+def test_profile_nulls_and_types(spark):
+    from mapreduce_hw05_spark.operators.profiling import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, None), (2, "b", 2.5)],
+        ["k", "s", "v"],
+    )
+    got = {r.col_name: r for r in profile(df).collect()}
+    assert got["k"].n_rows == 3
+    assert (got["k"].n_nonnull, got["k"].n_distinct) == (3, 2)
+    assert (got["s"].n_nonnull, got["s"].n_distinct) == (2, 2)
+    assert got["s"].min_num is None and got["s"].max_num is None
+    assert (got["v"].min_num, got["v"].max_num) == (1.5, 2.5)
+
+
+def test_profile_approx_mode_runs(spark):
+    from mapreduce_hw05_spark.operators.profiling import profile
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], ["k", "v"])
+    got = {r.col_name: r for r in profile(df, approx=True).collect()}
+    # HLL estimate within 5% of exact at this cardinality
+    assert abs(got["k"].n_distinct - 100) <= 5
