@@ -60,3 +60,37 @@ def word_shingles(df: DataFrame, n: int = 2, text_col: str = "text",
         ),
     )
     return df.select(*keep_cols, F.explode(grams).alias("shingle"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 50,
+    stride: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap —
+    (id, chunk_idx, chunk_text, n_tokens), the standard pre-training
+    chunking pass (size 50 / stride 40 → 10 tokens of overlap).
+
+    Pure Catalyst: split → sequence of window starts → posexplode →
+    slice. The explode multiplies rows by ~tokens/(doc·stride) but stays
+    pipelined inside codegen; no shuffle at all — chunking composes with
+    whatever partitioning the surrounding pipeline already has.
+    """
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start"), size)
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )

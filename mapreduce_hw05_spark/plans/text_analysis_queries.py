@@ -259,3 +259,36 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2", "simhash")
     )
+
+
+# --------------------------------------------------------------------------
+# Document chunking — fixed-size token windows with overlap (pre-training
+# chunking pass; size 50, stride 40)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_chunk_documents",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), starts AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t), 1), 40)) AS s
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 40 AS BIGINT) AS chunk_idx,
+           array_to_string(t[s:least(s + 49, len(t))], ' ') AS chunk_text,
+           CAST(len(t[s:least(s + 49, len(t))]) AS BIGINT) AS n_tokens
+    FROM starts
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document split into 50-token chunks at stride 40 (10-token
+    overlap); full chunk text is the contract so windowing, ordering,
+    and tail handling all hash-match."""
+    from mapreduce_hw05_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=50, stride=40)

@@ -276,3 +276,19 @@ def test_partitioned_scan_prunes_directories(spark, tmp_path):
     assert n_years > 2  # the pruning actually dropped directories
     expected = orders.filter(F.col("o_year").between(1996, 1997)).count()
     assert pruned.count() == expected
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from mapreduce_hw05_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(12))  # 12 tokens
+    df = spark.createDataFrame([(1, words), (2, "solo")], ["doc_id", "text"])
+    rows = chunk_documents(df, size=5, stride=4).collect()
+    got = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens) for r in rows}
+    # doc 1: starts at tokens 0,4,8 -> windows of 5,5,4 with 1-token overlap
+    assert got[(1, 0)] == ("w0 w1 w2 w3 w4", 5)
+    assert got[(1, 1)] == ("w4 w5 w6 w7 w8", 5)
+    assert got[(1, 2)] == ("w8 w9 w10 w11", 4)
+    # doc shorter than one window -> single whole-doc chunk
+    assert got[(2, 0)] == ("solo", 1)
+    assert len(got) == 4
