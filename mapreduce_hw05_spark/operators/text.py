@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def tokenize(df: DataFrame, text_col: str = "text", *keep_cols: str) -> DataFrame:
@@ -93,4 +94,33 @@ def chunk_documents(
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    group_col: str,
+    order_cols: list[str],
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign each chunk to a token-budget bin (sequence packing): within
+    each group, chunks are laid out in ``order_cols`` order and a chunk
+    lands in the bin where its running token total starts
+    (``bin_id = exclusive-cumsum // budget``) — the deterministic
+    contiguous approximation of greedy packing, so bins can overflow by
+    at most one chunk.
+
+    Scale: one window pass per group partition (single shuffle on
+    ``group_col``); no global sort. ``order_cols`` must be unique per
+    group for a deterministic layout.
+    """
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn(
+        "bin_id", F.floor(cum_excl / F.lit(budget)).cast("long")
     )

@@ -168,3 +168,98 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-quality first pass a pipeline runs on every new drop."""
     ev = load_table(spark, sf_dir, "events")
     return profile(ev)
+
+
+# --------------------------------------------------------------------------
+# etl-4 (ext) — stratified hash sampling (training-mix construction)
+# --------------------------------------------------------------------------
+
+_MIX_RATES = {"en": 0.5, "zh": 0.25, "de": 0.125}
+_MIX_DEFAULT = 0.0625
+
+
+def _stratified_oracle() -> str:
+    from mapreduce_hw05_spark.operators.sampling import (
+        stratified_sample_oracle_where,
+    )
+
+    where = stratified_sample_oracle_where("lang", "doc_id", _MIX_RATES, _MIX_DEFAULT)
+    return f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE {where}
+    GROUP BY lang
+    """
+
+
+@contract("q_stratified_sample", oracle=_stratified_oracle())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample documents per language at mix rates (en 50%, zh 25%,
+    de 12.5%, rest 6.25%) with a content-hash acceptance test — the
+    reproducible training-mix sampler. Per-lang count + id/char
+    checksums are the contract."""
+    from mapreduce_hw05_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_hash_sample(docs, "lang", "doc_id", _MIX_RATES, _MIX_DEFAULT)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        lng(F.sum("doc_id")).alias("id_checksum"),
+        lng(F.sum("n_chars")).alias("sum_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# etl-5 (ext) — token-budget sequence packing over document chunks
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_pack_sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ), starts AS (
+        SELECT doc_id, lang, t,
+               unnest(generate_series(1, greatest(len(t), 1), 40)) AS s
+        FROM toks
+    ), chunks AS (
+        SELECT doc_id, lang,
+               CAST((s - 1) // 40 AS BIGINT) AS chunk_idx,
+               CAST(len(t[s:least(s + 49, len(t))]) AS BIGINT) AS n_tokens
+        FROM starts
+    ), binned AS (
+        SELECT lang,
+               CAST(floor(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 512) AS BIGINT) AS bin_id,
+               n_tokens
+        FROM chunks
+    )
+    SELECT lang, bin_id, count(*) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM binned
+    GROUP BY lang, bin_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack 50/40 document chunks into 512-token training sequences per
+    language: each chunk lands in the bin where its running token total
+    starts (contiguous greedy packing, deterministic layout by
+    (doc_id, chunk_idx)). Per-bin chunk/token totals are the contract."""
+    from mapreduce_hw05_spark.operators.text import chunk_documents, pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, size=50, stride=40).join(
+        F.broadcast(docs.select("doc_id", "lang")), "doc_id"
+    )
+    packed = pack_sequences(
+        chunks, budget=512, group_col="lang", order_cols=["doc_id", "chunk_idx"]
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_chunks"),
+        lng(F.sum("n_tokens")).alias("bin_tokens"),
+    )

@@ -96,3 +96,33 @@ def test_profile_approx_mode_runs(spark):
     got = {r.col_name: r for r in profile(df, approx=True).collect()}
     # HLL estimate within 5% of exact at this cardinality
     assert abs(got["k"].n_distinct - 100) <= 5
+
+
+def test_stratified_hash_sample_rates_and_determinism(spark):
+    from mapreduce_hw05_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)], ["id", "cls"]
+    )
+    rates = {"a": 0.5, "b": 0.0}
+    got1 = stratified_hash_sample(df, "cls", "id", rates).collect()
+    got2 = stratified_hash_sample(df, "cls", "id", rates).collect()
+    assert sorted(r.id for r in got1) == sorted(r.id for r in got2)  # reproducible
+    by_cls = {}
+    for r in got1:
+        by_cls[r.cls] = by_cls.get(r.cls, 0) + 1
+    assert by_cls.get("b", 0) == 0  # zero-rate stratum fully dropped
+    assert 400 <= by_cls["a"] <= 600  # ~50% of the 1000 'a' rows
+
+
+def test_pack_sequences_bins(spark):
+    from mapreduce_hw05_spark.operators.text import pack_sequences
+
+    # budget 10; token runs 6,6,6 -> cumsum-exclusive 0,6,12 -> bins 0,0,1
+    df = spark.createDataFrame(
+        [("g", 1, 6), ("g", 2, 6), ("g", 3, 6), ("h", 1, 25)],
+        ["grp", "ord", "n_tokens"],
+    )
+    rows = pack_sequences(df, budget=10, group_col="grp", order_cols=["ord"]).collect()
+    got = {(r.grp, r.ord): r.bin_id for r in rows}
+    assert got == {("g", 1): 0, ("g", 2): 0, ("g", 3): 1, ("h", 1): 0}
