@@ -263,3 +263,48 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunks"),
         lng(F.sum("n_tokens")).alias("bin_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# etl-6 (ext) — benchmark decontamination (exact-hash overlap vs held-out)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_decontaminate",
+    oracle="""
+    WITH bench AS (
+        SELECT md5(text) AS h FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    ), train AS (
+        SELECT lang, doc_id, md5(text) AS h FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+    )
+    SELECT lang, count(*) AS n_contaminated,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM train
+    WHERE h IN (SELECT h FROM bench)
+    GROUP BY lang
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs whose exact text hash
+    appears in the held-out split (a deterministic ~1/16 hash sample of
+    doc ids) counted per language. The benchmark hash set is broadcast,
+    so the check is a map-side semi-join over the training scan — no
+    shuffle however large the corpus. The fixture corpus has no exact
+    duplicate texts at sf0.01, so the empty result's schema/hash is
+    itself the contract (same precedent as q_dedup_exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    h = F.md5(F.col("text").cast("binary"))
+    bench = docs.filter(split == "0").select(h.alias("h"))
+    train = docs.filter(split != "0").select("lang", "doc_id", h.alias("h"))
+    return (
+        train.join(F.broadcast(bench), "h", "left_semi")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_contaminated"),
+            lng(F.sum("doc_id")).alias("id_checksum"),
+        )
+    )

@@ -126,3 +126,23 @@ def test_pack_sequences_bins(spark):
     rows = pack_sequences(df, budget=10, group_col="grp", order_cols=["ord"]).collect()
     got = {(r.grp, r.ord): r.bin_id for r in rows}
     assert got == {("g", 1): 0, ("g", 2): 0, ("g", 3): 1, ("h", 1): 0}
+
+
+def test_decontamination_finds_planted_overlap(spark):
+    # Plant an exact-text collision across the held-out/train hash split
+    # and assert the semi-join flags it (the fixture corpus has none).
+    # md5("27") starts with '0' -> doc 27 is in the benchmark split;
+    # md5("1000") does not -> doc 1000 stays in train with 27's text.
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en") for i in range(64)]
+        + [(1000, "text 27", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    h = F.md5(F.col("text").cast("binary"))
+    bench = docs.filter(split == "0").select(h.alias("h"))
+    train = docs.filter(split != "0").select("doc_id", h.alias("h"))
+    hits = {r.doc_id for r in train.join(F.broadcast(bench), "h", "left_semi").collect()}
+    assert hits == {1000}
