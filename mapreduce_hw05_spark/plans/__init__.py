@@ -20,6 +20,7 @@ from mapreduce_hw05_spark.plans import (  # noqa: F401  (import = register)
     subquery_queries,
     agg_ext_queries,
     etl_queries,
+    analytics_queries,
 )
 from mapreduce_hw05_spark.plans.registry import ORACLES, QUERIES
 

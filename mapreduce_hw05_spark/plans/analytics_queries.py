@@ -1,0 +1,270 @@
+"""Behavioral / statistical analytics contract queries (ext, beyond
+SURVEY §2's genre surface): funnel conversion, cohort retention,
+regression aggregates, fixed-width histograms, and IQR outlier
+detection.
+
+All are pure Catalyst plans — chained equi-joins, window-free
+conditional aggregation, and two-pass bound-join shapes that scale as
+ordinary shuffles (no all-pairs work, no driver loops). Each oracle
+re-states the identical arithmetic in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_hw05_spark.plans.common import lng, money, ratio
+from mapreduce_hw05_spark.plans.registry import contract
+from mapreduce_hw05_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# an-1 — ordered funnel conversion (view → click → purchase)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_funnel_steps",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS v_ts
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS c_ts
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT count(*) AS n_view_users,
+           count(c.c_ts) AS n_click_users,
+           count(p.p_ts) AS n_purchase_users,
+           round(avg(CASE WHEN p.p_ts IS NOT NULL THEN
+               (epoch_us(p.p_ts) - epoch_us(v.v_ts)) / 1000000.0 END), 6)
+               AS avg_funnel_secs
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON c.user_id = p.user_id
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 3-step funnel: users whose first view precedes a
+    click precedes a purchase, with the mean view→purchase latency.
+
+    Each stage is a per-user min-timestamp aggregate equi-joined to the
+    previous stage — three key-partitioned shuffles, no windows, no
+    self-cross products, so the plan scales linearly in users at 100 TB
+    (and the stage tables shrink monotonically down the funnel).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    funnel = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    full_secs = F.when(
+        F.col("p_ts").isNotNull(),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")) / 1000000.0,
+    )
+    return funnel.agg(
+        F.count("*").alias("n_view_users"),
+        F.count("c_ts").alias("n_click_users"),
+        F.count("p_ts").alias("n_purchase_users"),
+        ratio(F.avg(full_secs)).alias("avg_funnel_secs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# an-2 — weekly cohort retention
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_cohort_retention",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cw
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+    )
+    SELECT CAST(epoch(c.cw) AS BIGINT) AS cohort_week_epoch,
+           CAST((epoch(a.aw) - epoch(c.cw)) // 604800 AS BIGINT) AS week_offset,
+           count(*) AS n_active_users
+    FROM cohort c JOIN activity a ON c.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users grouped by first-activity week,
+    counted in each subsequent week they return.
+
+    Week offsets are exact 604800-second multiples between Monday
+    truncations (UTC session, no DST), so the integer division is safe
+    on both engines. Two shuffles total: the per-user min and the
+    cohort×offset count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("aw")
+    ).distinct()
+    joined = cohort.join(activity, "user_id")
+    return joined.groupBy(
+        F.unix_timestamp("cw").alias("cohort_week_epoch"),
+        ((F.unix_timestamp("aw") - F.unix_timestamp("cw")) / 604800)
+        .cast("long")
+        .alias("week_offset"),
+    ).agg(F.count("*").alias("n_active_users"))
+
+
+# --------------------------------------------------------------------------
+# an-3 — linear-regression / correlation aggregates
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_regression_stats",
+    oracle="""
+    SELECT l_returnflag,
+           regr_count(l_extendedprice, l_quantity) AS n_pairs,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_pq
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of extendedprice on quantity per returnflag: slope,
+    intercept, R², correlation, and sample covariance.
+
+    These are the one-pass mergeable regression aggregates (sum, sum of
+    squares, cross products) — the distributed-friendly way to fit a
+    simple model at 100 TB without an ML library round-trip.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n_pairs"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        ratio(F.regr_r2(y, x)).alias("r2"),
+        ratio(F.corr(y, x)).alias("corr_pq"),
+        money(F.covar_samp(y, x)).alias("covar_pq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# an-4 — fixed-width histogram
+# --------------------------------------------------------------------------
+
+_BUCKET_WIDTH = 25_000
+_MAX_BUCKET = 19
+
+
+@contract(
+    "q_histogram_totalprice",
+    oracle=f"""
+    SELECT least(CAST(floor(o_totalprice / {_BUCKET_WIDTH}) AS BIGINT),
+                 {_MAX_BUCKET}) AS bucket,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value histogram: 25k-wide buckets with a top catch-all.
+
+    Fixed bounds keep it a single map-side bucket expression + one
+    aggregate shuffle — the scalable first look at any value
+    distribution (data-dependent equi-depth bounds are q_percentiles /
+    q_iqr_outliers territory).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / _BUCKET_WIDTH).cast("long"),
+        F.lit(_MAX_BUCKET).cast("long"),
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_orders"),
+        money(F.sum("o_totalprice")).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# an-5 — IQR outlier detection (two-pass: exact quartiles, then flag)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_iqr_outliers",
+    oracle="""
+    WITH bounds AS (
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25)
+                     - 1.5 * (quantile_cont(l_extendedprice, 0.75)
+                              - quantile_cont(l_extendedprice, 0.25)), 6) AS lo,
+               round(quantile_cont(l_extendedprice, 0.75)
+                     + 1.5 * (quantile_cont(l_extendedprice, 0.75)
+                              - quantile_cont(l_extendedprice, 0.25)), 6) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, b.lo, b.hi,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN l.l_extendedprice < b.lo
+                           OR l.l_extendedprice > b.hi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers of extendedprice per returnflag: exact
+    quartiles (pass 1) define [q1−1.5·IQR, q3+1.5·IQR]; pass 2 counts
+    rows outside.
+
+    The bounds table is group-cardinality-sized, so the second pass is a
+    broadcast join against the fact scan — the standard two-pass shape
+    for data-dependent filters at scale. Spark's exact ``percentile``
+    and DuckDB's ``quantile_cont`` share linear interpolation; bounds
+    are rounded on both sides before comparison so the fence itself is
+    bit-identical.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q1 = F.percentile("l_extendedprice", F.lit(0.25))
+    q3 = F.percentile("l_extendedprice", F.lit(0.75))
+    bounds = li.groupBy("l_returnflag").agg(
+        F.round(q1 - 1.5 * (q3 - q1), 6).alias("lo"),
+        F.round(q3 + 1.5 * (q3 - q1), 6).alias("hi"),
+    )
+    joined = li.join(F.broadcast(bounds), "l_returnflag")
+    is_out = (F.col("l_extendedprice") < F.col("lo")) | (
+        F.col("l_extendedprice") > F.col("hi")
+    )
+    return joined.groupBy("l_returnflag", "lo", "hi").agg(
+        F.count("*").alias("n_rows"),
+        lng(F.sum(is_out.cast("int"))).alias("n_outliers"),
+    )
