@@ -204,6 +204,39 @@ def cooccurrence_edges_min_support(lineitem: DataFrame, min_orders: int = 2) -> 
     )
 
 
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Min-hop BFS from a seed set → ``(node, hop)``, hop ∈ [0, max_hops].
+
+    ``edges`` is directed ``(src, dst)`` (pass :func:`undirected` for a
+    symmetric graph); ``seeds`` is a one-column ``node`` DataFrame. Each
+    round expands the frontier one hop with a keyed join, removes
+    already-visited nodes with an anti-join, and checkpoints — the
+    standard O(hops)-round distributed BFS. Frontier and visited sets are
+    node-sized (never edge-sized), so the only big shuffle per round is
+    the edges⋈frontier join on ``src``.
+    """
+    visited = (
+        seeds.select("node").distinct().withColumn("hop", F.lit(0).cast("int"))
+    ).localCheckpoint()
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        neighbors = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = (
+            neighbors.join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(hop).cast("int"))
+            .localCheckpoint()
+        )
+        if fresh.first() is None:
+            break
+        visited = visited.union(fresh).localCheckpoint()
+        frontier = fresh.select("node")
+    return visited
+
+
 def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
     """Connected components by min-label propagation → (node, comp).
 

@@ -308,3 +308,129 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             lng(F.sum("doc_id")).alias("id_checksum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# etl-7 (ext) — point-in-time join against SCD2 history
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_pit_join",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), hist AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM ordered
+        WHERE prev IS NULL OR prev <> event_type
+    ), purchases AS (
+        SELECT user_id, value, ts - INTERVAL 1 HOUR AS lookback_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT coalesce(h.state, 'none') AS state_1h_before,
+           count(*) AS n_purchases,
+           round(sum(p.value), 2) AS sum_value
+    FROM purchases p
+    LEFT JOIN hist h
+      ON p.user_id = h.user_id
+     AND h.valid_from <= p.lookback_ts
+     AND (h.valid_to IS NULL OR p.lookback_ts < h.valid_to)
+    GROUP BY 1
+    """,
+)
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each purchase joined to the SCD2
+    state interval (operators.cdc.scd2_intervals over the same event
+    stream) that was valid one hour before the purchase; purchases
+    before the user's first interval fall into 'none'.
+
+    The join is equi on the entity key with the interval predicate as a
+    post-join filter — per-key interval counts are small and bounded, so
+    this stays an ordinary hash join at 100 TB (never a nested-loop range
+    join), and each fact row matches at most one interval.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_intervals(
+        ev, key="user_id", state_col="event_type", ts_col="ts", tiebreak="event_id"
+    ).select("user_id", "state", "valid_from", "valid_to")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "value",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("lookback_ts"),
+    )
+    p, h = purchases.alias("p"), hist.alias("h")
+    joined = p.join(
+        h,
+        (F.col("p.user_id") == F.col("h.user_id"))
+        & (F.col("h.valid_from") <= F.col("p.lookback_ts"))
+        & (
+            F.col("h.valid_to").isNull()
+            | (F.col("p.lookback_ts") < F.col("h.valid_to"))
+        ),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("h.state"), F.lit("none")).alias("state_1h_before")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        money(F.sum("p.value")).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# etl-8 (ext) — incremental rollup maintenance (partial-state merge)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_incremental_rollup",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance: the per-(year, status) aggregate
+    is computed as two independent partial-state tables (orders before /
+    since 1998-01-01) whose states are merged by re-aggregation — the
+    oracle recomputes from scratch, proving merge(partial(A), partial(B))
+    ≡ full(A ∪ B).
+
+    Only mergeable states are used (count→sum, sum→sum, max→max), which
+    is exactly what lets a 100 TB rollup absorb a daily delta without
+    rescanning history.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            lng(F.year("o_orderdate")).alias("o_year"), "o_orderstatus"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum("o_totalprice").alias("sp"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_year", "o_orderstatus")
+        .agg(
+            lng(F.sum("n")).alias("n_orders"),
+            money(F.sum("sp")).alias("sum_price"),
+            F.max("mx").alias("max_price"),
+        )
+    )

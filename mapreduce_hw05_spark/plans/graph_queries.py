@@ -131,3 +131,71 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     comps = connected_components(cooccurrence_edges_min_support(li, 2))
     return comps.groupBy("comp").agg(F.count("*").alias("n_nodes"))
+
+
+# --------------------------------------------------------------------------
+# g-6 (ext) — k-hop reachability (multi-source BFS with min-hop labels)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_khop_reach",
+    oracle="""
+    WITH pairs AS (
+        SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), edges AS (
+        SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ), h0 AS (
+        SELECT DISTINCT src AS node FROM edges WHERE src % 97 = 0
+    ), h1 AS (
+        SELECT DISTINCT e.dst AS node FROM edges e JOIN h0 ON e.src = h0.node
+        WHERE e.dst NOT IN (SELECT node FROM h0)
+    ), h2 AS (
+        SELECT DISTINCT e.dst AS node FROM edges e JOIN h1 ON e.src = h1.node
+        WHERE e.dst NOT IN (SELECT node FROM h0 UNION ALL SELECT node FROM h1)
+    ), h3 AS (
+        SELECT DISTINCT e.dst AS node FROM edges e JOIN h2 ON e.src = h2.node
+        WHERE e.dst NOT IN (SELECT node FROM h0 UNION ALL
+                            SELECT node FROM h1 UNION ALL
+                            SELECT node FROM h2)
+    ), labeled AS (
+        SELECT 0 AS hop, node FROM h0 UNION ALL
+        SELECT 1, node FROM h1 UNION ALL
+        SELECT 2, node FROM h2 UNION ALL
+        SELECT 3, node FROM h3
+    )
+    SELECT CAST(hop AS BIGINT) AS hop,
+           count(*) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS node_checksum
+    FROM labeled GROUP BY hop
+    """,
+)
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes reachable within 3 hops of the seed set (partkey % 97 = 0)
+    in the support-≥2 co-purchase graph, labeled with their minimum hop.
+
+    The engine runs the iterative frontier BFS (operators.graph.bfs_hops);
+    the oracle unrolls the same three expansions as chained set-difference
+    CTEs — different algorithms, identical min-hop labeling.
+    """
+    from mapreduce_hw05_spark.operators.graph import (
+        bfs_hops,
+        cooccurrence_edges_min_support,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = undirected(cooccurrence_edges_min_support(li, 2))
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % 97 == 0)
+        .distinct()
+    )
+    reach = bfs_hops(edges, seeds, max_hops=3)
+    return reach.groupBy(lng(F.col("hop")).alias("hop")).agg(
+        F.count("*").alias("n_nodes"),
+        lng(F.sum("node")).alias("node_checksum"),
+    )

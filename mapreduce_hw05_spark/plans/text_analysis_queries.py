@@ -292,3 +292,90 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, size=50, stride=40)
+
+
+# --------------------------------------------------------------------------
+# Fuzzy string matching — edit-distance near-dup over distinct names
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_fuzzy_name_match",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a,
+           b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part-name pairs within Levenshtein distance 3 — the
+    edit-distance member of the dedup family (exact / MinHash / SimHash /
+    n-gram / embedding / fuzzy).
+
+    The pair space is deduped-key-sized, not row-sized: distinct names
+    first (one shuffle), then a broadcast self-join. At 100 TB the same
+    shape survives because name cardinality, not row count, bounds the
+    quadratic term; for high-cardinality keys the LSH/banding operators
+    are the scale path instead.
+    """
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .filter(dist <= 3)
+        .select("name_a", "name_b", lng(dist).alias("dist"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition / boilerplate scoring — top-token concentration per document
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_repetition_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), cnts AS (
+        SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ), per_doc AS (
+        SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS rep_ratio
+        FROM cnts GROUP BY doc_id
+    )
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN p.rep_ratio >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repetitive,
+           round(avg(p.rep_ratio), 6) AS avg_rep_ratio
+    FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY d.lang
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring for training-data quality: each document's
+    top-token concentration (most frequent token count / total tokens),
+    aggregated per language with a ≥0.2 'repetitive' flag.
+
+    Two hash aggregates over the exploded token stream — scan-bound at
+    scale, same shape as wordcount. The ratio is rounded BEFORE the
+    threshold test on both engines so the flag itself is hash-stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id")
+    cnts = toks.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    per_doc = cnts.groupBy("doc_id").agg(
+        F.round((F.max("c") * F.lit(1.0)) / F.sum("c"), 6).alias("rep_ratio")
+    )
+    joined = per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        lng(F.sum((F.col("rep_ratio") >= 0.2).cast("int"))).alias("n_repetitive"),
+        ratio(F.avg("rep_ratio")).alias("avg_rep_ratio"),
+    )
