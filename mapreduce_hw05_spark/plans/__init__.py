@@ -21,6 +21,8 @@ from mapreduce_hw05_spark.plans import (  # noqa: F401  (import = register)
     agg_ext_queries,
     etl_queries,
     analytics_queries,
+    pipeline_queries,
+    tpch_queries,
 )
 from mapreduce_hw05_spark.plans.registry import ORACLES, QUERIES
 

@@ -1,0 +1,270 @@
+"""Training-data-pipeline depth queries (SURVEY §2.11 extensions):
+unigram-LM quality scoring, n-gram decontamination, near-dup cluster
+canonicalization, and an inverted-index build.
+
+These complete the pipeline story beyond per-op contracts: score → filter,
+overlap → drop, pair → cluster → keep-one-representative, token → postings.
+All stay Catalyst-side; the only iteration (cluster closure) reuses the
+checkpointed min-label propagation from operators.graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_hw05_spark.operators.graph import connected_components
+from mapreduce_hw05_spark.operators.text import tokenize, word_shingles
+from mapreduce_hw05_spark.plans.common import lng, ratio
+from mapreduce_hw05_spark.plans.registry import contract
+from mapreduce_hw05_spark.plans.similarity_queries import _exact_jaccard_pairs
+from mapreduce_hw05_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Unigram-LM scoring — per-doc negative log-likelihood under the corpus
+# unigram distribution (the classic perplexity-proxy quality filter)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), vocab AS (
+        SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    ), total AS (
+        SELECT count(*) AS n FROM toks
+    ), per_doc AS (
+        SELECT t.doc_id,
+               round(avg(-ln(v.cnt * 1.0 / total.n)), 6) AS nll
+        FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN total
+        GROUP BY t.doc_id
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           round(avg(p.nll), 4) AS avg_nll,
+           round(min(p.nll), 6) AS min_nll,
+           round(max(p.nll), 6) AS max_nll,
+           CAST(sum(CASE WHEN p.nll >= 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged
+    FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter: each document's mean negative
+    log-likelihood under the corpus's own unigram LM, aggregated per
+    source with a high-NLL (out-of-distribution) flag count.
+
+    Two passes over the token stream: one token-keyed count (the LM), one
+    doc-keyed average after a broadcast join of the LM onto the tokens.
+    At 100 TB the vocab table is tiny relative to the corpus (Heaps' law)
+    so the join side stays broadcast-able; both aggregates are partial-agg
+    friendly. The per-doc NLL is rounded BEFORE the ≥5.0 flag test on both
+    engines so the flag is hash-stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id")
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = toks.count()  # one scalar action; the LM normalizer
+    nll_term = -F.log(F.col("cnt") * F.lit(1.0) / F.lit(float(total)))
+    per_doc = (
+        toks.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(nll_term), 6).alias("nll"))
+    )
+    joined = per_doc.join(docs.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+        ratio(F.min("nll")).alias("min_nll"),
+        ratio(F.max("nll")).alias("max_nll"),
+        lng(F.sum((F.col("nll") >= 5.0).cast("int"))).alias("n_flagged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram decontamination — train docs sharing any word-8-gram with the
+# held-out split (stronger than the exact-hash check in q_decontaminate)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_decontaminate_ngram",
+    oracle="""
+    WITH splits AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 8
+    ), grams AS (
+        SELECT doc_id, lang, array_to_string(t[i:i+7], ' ') AS gram
+        FROM (SELECT doc_id, lang, t,
+                     unnest(generate_series(1, len(t) - 7)) AS i
+              FROM splits)
+    ), bench AS (
+        SELECT DISTINCT gram FROM grams
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    ), hits AS (
+        SELECT DISTINCT doc_id, lang FROM grams
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+          AND gram IN (SELECT gram FROM bench)
+    )
+    SELECT lang, count(*) AS n_contaminated,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM hits GROUP BY lang
+    """,
+)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram-style benchmark decontamination at n=8 (fixture docs are
+    10–100 tokens): a training document is contaminated if ANY of its
+    word-8-grams appears in the held-out split (same deterministic ~1/16
+    doc_id hash split as q_decontaminate).
+
+    Scale shape: the benchmark gram set is small (eval sets are, even at
+    100 TB of train) → broadcast left-semi join against the train gram
+    stream, which itself is explode-only (no shuffle) until the final
+    per-doc distinct + per-lang count. Production would hash grams to
+    64-bit before the join to shrink the broadcast; here the raw string
+    join keeps the oracle shape identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(F.size(F.split(F.col("text"), " ")) >= 8)
+    split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    bench_grams = (
+        word_shingles(eligible.filter(split == "0"), 8, "text")
+        .select("shingle")
+        .distinct()
+    )
+    train_grams = word_shingles(
+        eligible.filter(split != "0"), 8, "text", "doc_id", "lang"
+    )
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "shingle", "left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+    )
+    return hits.groupBy("lang").agg(
+        F.count("*").alias("n_contaminated"),
+        lng(F.sum("doc_id")).alias("id_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup clusters — Jaccard ≥ 0.8 pairs → connected components →
+# keep-one-representative groups (the actual dedup decision, not just pairs)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+        SELECT t1.doc_id AS id1, t2.doc_id AS id2, count(*) AS n_common
+        FROM toks t1 JOIN toks t2
+          ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id1, id2 FROM inter
+        JOIN sizes s1 ON id1 = s1.doc_id
+        JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.8
+    ), edges AS (
+        SELECT id1 AS src, id2 AS dst FROM pairs
+        UNION ALL SELECT id2, id1 FROM pairs
+    ), reach AS (
+        SELECT src AS node, src AS comp FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT e.dst AS node, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ), labels AS (
+        SELECT node, min(comp) AS comp FROM reach GROUP BY node
+    )
+    SELECT comp AS keep_doc_id,
+           count(*) AS cluster_size,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+           CAST(sum(node) AS BIGINT) AS member_checksum
+    FROM labels GROUP BY comp
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup as actually applied: Jaccard ≥ 0.8 pairs become an
+    undirected graph, connected components merge transitive near-dups into
+    clusters, and the minimum doc_id is kept as the representative — every
+    other member is dropped. Emits one row per cluster (representative,
+    size, drop count, member checksum).
+
+    This is the step pair-listing queries stop short of: A≈B and B≈C must
+    drop {B, C} even when A≉C directly. Scale: pair generation is the LSH
+    path (never all-pairs), components run min-label propagation with
+    per-iteration checkpointing (O(cluster-diameter) rounds — near-dup
+    clusters are shallow), and the final agg is one shuffle on comp.
+    """
+    pairs = _exact_jaccard_pairs(spark, sf_dir, threshold=0.8)
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    comps = connected_components(edges)
+    return comps.groupBy(F.col("comp").alias("keep_doc_id")).agg(
+        F.count("*").alias("cluster_size"),
+        lng(F.count("*") - 1).alias("n_dropped"),
+        lng(F.sum("node")).alias("member_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Inverted index — token → postings statistics (top-30 by doc frequency)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_inverted_index",
+    oracle="""
+    WITH postings AS (
+        SELECT token, doc_id, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY token, doc_id
+    )
+    SELECT token,
+           count(*) AS df,
+           CAST(sum(tf) AS BIGINT) AS n_occurrences,
+           CAST(sum(doc_id) AS BIGINT) AS postings_checksum,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM postings
+    GROUP BY token
+    ORDER BY df DESC, token
+    LIMIT 30
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build over the corpus: per token, document frequency,
+    total occurrences, and postings-list summary (checksum + min/max doc),
+    top-30 tokens by df with a token tiebreak.
+
+    One explode + two token-keyed hash aggregates (tf per (token, doc),
+    then the postings rollup) — both partial-agg friendly, so the exploded
+    stream combines map-side and only token-cardinality rows shuffle. The
+    full-postings variant swaps the checksum for sort_array(collect_list)
+    per token bucket.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        tokenize(docs, "text", "doc_id")
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        postings.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            lng(F.sum("tf")).alias("n_occurrences"),
+            lng(F.sum("doc_id")).alias("postings_checksum"),
+            lng(F.min("doc_id")).alias("first_doc"),
+            lng(F.max("doc_id")).alias("last_doc"),
+        )
+        .orderBy(F.col("df").desc(), "token")
+        .limit(30)
+    )
