@@ -7,8 +7,25 @@ Hash-stability conventions (see ``registry`` module docstring):
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def spread_small(df: DataFrame) -> DataFrame:
+    """Widen a small input before a high-fan-out transform (explode of
+    n-grams/shingles, pairwise expansion).
+
+    A table that is tiny on disk arrives in fewer splits than cores —
+    locally the 5 000-doc fixture is ONE split, so an explode that
+    multiplies it 100× runs on one core. One shuffle of the small raw
+    input buys full-width downstream parallelism. Gated: when the scan
+    already yields ≥ default-parallelism partitions (any real at-scale
+    input), this is a no-op — no shuffle is added at 100 TB.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
 
 
 def money(col: Column) -> Column:

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_hw05_spark.operators.graph import connected_components
 from mapreduce_hw05_spark.operators.text import tokenize, word_shingles
-from mapreduce_hw05_spark.plans.common import lng, ratio
+from mapreduce_hw05_spark.plans.common import lng, ratio, spread_small
 from mapreduce_hw05_spark.plans.registry import contract
 from mapreduce_hw05_spark.plans.similarity_queries import _exact_jaccard_pairs
 from mapreduce_hw05_spark.sources import load_table
@@ -127,7 +127,7 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit before the join to shrink the broadcast; here the raw string
     join keeps the oracle shape identical.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     eligible = docs.filter(F.size(F.split(F.col("text"), " ")) >= 8)
     split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     bench_grams = (

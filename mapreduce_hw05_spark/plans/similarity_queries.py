@@ -19,7 +19,7 @@ from mapreduce_hw05_spark.operators.similarity import (
     minhash_signatures,
 )
 from mapreduce_hw05_spark.operators.text import tokenize
-from mapreduce_hw05_spark.plans.common import lng, ratio
+from mapreduce_hw05_spark.plans.common import lng, ratio, spread_small
 from mapreduce_hw05_spark.plans.registry import contract
 from mapreduce_hw05_spark.sources import load_table
 
@@ -144,7 +144,7 @@ _JACCARD_ORACLE = """
 
 
 def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     toks = tokenize(docs, "text", "doc_id").distinct()
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     t1 = toks.withColumnRenamed("doc_id", "id1")
@@ -298,7 +298,7 @@ def q_near_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token variant: shuffles on shingle, never all-pairs."""
     from mapreduce_hw05_spark.operators.text import word_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     grams = word_shingles(docs, 2, "text", "doc_id").distinct()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     g1 = grams.withColumnRenamed("doc_id", "id1")
