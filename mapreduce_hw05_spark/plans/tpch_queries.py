@@ -1,13 +1,17 @@
 """Canonical TPC-H query shapes adapted to the fixture star schema
 (no partsupp table; no shipmode/commitdate/phone columns, so Q2/Q4/Q9/
-Q11/Q12/Q16/Q20/Q21/Q22 shapes live elsewhere or are inexpressible —
-the correlated-subquery family in subquery_queries covers Q4/Q17/Q18/Q21).
+Q11/Q12/Q16/Q20/Q21 shapes live elsewhere or are inexpressible —
+the correlated-subquery family in subquery_queries covers Q4/Q17/Q18/Q21;
+Q22's cntrycode is played by c_nationkey here).
 
 These exercise the planner the way the benchmark intends: selective
 dim-side filters that must push through multi-way joins (Q3/Q5/Q10),
 two-sided nation filters (Q7), a conditional-share aggregate over a
-6-table join (Q8), a single-row promo ratio (Q14), and the disjunctive
-bracket predicate (Q19). All pure Catalyst; dims broadcast, facts never.
+6-table join (Q8), a single-row promo ratio (Q14), the disjunctive
+bracket predicate (Q19), the scan-only bracket aggregate (Q6), the
+filtered-outer-join distribution (Q13), the view+scalar-max pattern
+(Q15), and the anti-join-over-threshold report (Q22). All pure
+Catalyst; dims broadcast, facts never.
 """
 
 from __future__ import annotations
@@ -434,5 +438,186 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             money(F.sum(_rev())).alias("revenue"),
             F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecasting revenue change: scan-only bracket aggregate
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_tpch_q6",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue that would be gained by eliminating a
+    discount bracket — a pure scan+filter+global-agg with no join at all.
+
+    The benchmark's test that every conjunct reaches the Parquet scan:
+    the plan must show all four predicates in PushedFilters and a
+    4-column ReadSchema. At 100 TB this is the I/O-bound query where
+    pushdown IS the performance.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer distribution: order counts with a filtered outer join
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_tpch_q13",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey
+           AND o_orderpriority NOT LIKE '%URGENT%'
+          GROUP BY c_custkey) per_cust
+    GROUP BY n_orders
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of per-customer order counts where the
+    order filter lives IN the outer-join condition (not a WHERE —
+    filtering after the join would drop the zero-order customers that
+    are the point of the query).
+
+    Two aggregations: the first shuffles on c_custkey, the second on the
+    tiny n_orders domain — partial aggregation collapses it map-side.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & ~F.col("o_orderpriority").like("%URGENT%"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier: aggregate view + scalar-max equality
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               round(sum({_REV_SQL}), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose Q1-1996 revenue equals the
+    maximum over all suppliers.
+
+    The revenue "view" is computed once and reused for both the max and
+    the final join (Spark reuses the exchange; no second lineitem scan).
+    The scalar max travels as a one-row broadcast crossJoin — never a
+    single-partition window. Revenue is rounded to cents on both sides
+    BEFORE the equality, making the float comparison exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        money(F.sum(_rev())).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 — global sales opportunity: anti join over a scalar-avg threshold
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_tpch_q22",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS n_custs,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count and balance of above-average-
+    balance customers with no order since 2000 (cntrycode played by
+    c_nationkey, "never ordered" relaxed to "dormant" — every fixture
+    customer has at least one order, and the fixture has no phone
+    column).
+
+    Composition of three scale patterns: a one-row scalar-avg broadcast
+    (threshold rounded to 6 dp on both engines so the float compare is
+    exact — see q_correlated_avg_qty), a left-anti join against orders
+    (shuffles only distinct o_custkey), and a final small-domain agg.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    thr = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.round(F.avg("c_acctbal"), 6).alias("__thr"))
+    )
+    return (
+        c.join(F.broadcast(thr), F.col("c_acctbal") > F.col("__thr"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            money(F.sum("c_acctbal")).alias("total_acctbal"),
         )
     )
