@@ -151,3 +151,107 @@ def ivf_knn_candidates(
         .cogroup(ref_bucketed.groupby("bucket"))
         .applyInPandas(search, schema=_CAND_SCHEMA)
     )
+
+
+# --------------------------------------------------------------------------
+# Sign-LSH (random hyperplanes) — the bucketing alternative to IVF
+# --------------------------------------------------------------------------
+
+_SIGN_BUCKET_SCHEMA = T.StructType(
+    [
+        T.StructField("table", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("vec", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def sign_lsh_buckets(
+    df: DataFrame,
+    n_tables: int = 16,
+    n_bits: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hash every vector into one bucket per table: ``n_bits`` random
+    hyperplanes per table, sign bits packed into an int (SimHash for
+    floats — collision probability rises with cosine similarity).
+
+    Hyperplanes are regenerated from ``seed`` inside each task (a few KB
+    of rng work), so nothing is broadcast and the result is deterministic
+    across partitionings. Output replicates each vector ``n_tables``
+    times — the LSH trade: shuffle n_tables× the corpus on bucket id
+    instead of an all-pairs crossJoin. Unlike IVF there is no training
+    pass (no centroids), so this is the index-free scale path.
+    """
+
+    def kernel(batches):
+        H = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if H is None:
+                rng = np.random.default_rng(seed)
+                H = rng.standard_normal((n_tables * n_bits, V.shape[1]))
+            bits = (V @ H.T) > 0  # (batch, n_tables*n_bits)
+            weights = 1 << np.arange(n_bits, dtype=np.int64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            for t in range(n_tables):
+                packed = bits[:, t * n_bits : (t + 1) * n_bits] @ weights
+                yield pd.DataFrame(
+                    {
+                        "table": np.full(ids.size, t, dtype=np.int32),
+                        "bucket": packed.astype(np.int64),
+                        "vec_id": ids,
+                        "vec": pdf[vec_col].to_numpy(),
+                    }
+                )
+
+    return df.mapInPandas(kernel, schema=_SIGN_BUCKET_SCHEMA)
+
+
+def sign_lsh_pairs(
+    df: DataFrame,
+    k_per_bucket: int = 20,
+    n_tables: int = 16,
+    n_bits: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate similar pairs via sign-LSH: exact cosine within each
+    (table, bucket), top ``k_per_bucket`` pairs per bucket, deduped
+    across tables by max.
+
+    The global top-k over the union is a superset-safe reduction: any
+    globally top-k pair that collides in at least one table survives its
+    bucket's local top-k cut (bucket pairs ⊆ global pairs). Work is
+    bounded per bucket; the only shuffles are on bucket id and on the
+    (tiny) candidate set.
+    """
+    buckets = sign_lsh_buckets(df, n_tables, n_bits, seed, id_col, vec_col)
+
+    def search(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id1": [], "id2": [], "sim": []}).astype(
+                {"id1": np.int64, "id2": np.int64, "sim": np.float64}
+            )
+        V = _l2n(np.stack(pdf["vec"].to_numpy()).astype(np.float64))
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        V, ids = V[order], ids[order]
+        sims = V @ V.T
+        iu, ju = np.triu_indices(ids.size, 1)
+        s = sims[iu, ju]
+        top = np.lexsort((ids[ju], ids[iu], -np.round(s, 6)))[:k_per_bucket]
+        return pd.DataFrame(
+            {"id1": ids[iu][top], "id2": ids[ju][top], "sim": s[top]}
+        )
+
+    cands = buckets.groupBy("table", "bucket").applyInPandas(
+        lambda key, pdf: search(pdf), schema=_CAND_SCHEMA
+    )
+    return cands.groupBy("id1", "id2").agg(F.max("sim").alias("sim"))

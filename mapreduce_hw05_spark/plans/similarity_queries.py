@@ -261,6 +261,25 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_topk_pairs(cands, k=20)
 
 
+@contract("q_ann_lsh_topk")  # rows-only: LSH recall is probabilistic
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 similar pairs via sign-LSH (random-hyperplane)
+    bucketing — the index-free scale path: no training pass, corpus
+    replicated n_tables× and shuffled on bucket id, exact cosine only
+    within buckets.
+
+    16 tables × 4 bits tuned for this fixture's near-orthogonal geometry
+    (top pairs cos ≈ 0.45 → per-table collision ≈ 0.18, miss probability
+    across 16 tables ≈ 4%). Engine test measures recall vs the exact
+    kernel and exhaustive-table exactness.
+    """
+    from mapreduce_hw05_spark.operators.ann import sign_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = sign_lsh_pairs(emb, k_per_bucket=20, n_tables=16, n_bits=4)
+    return global_topk_pairs(pairs, k=20)
+
+
 # --------------------------------------------------------------------------
 # llm-3b — n-gram (word-bigram) Jaccard near-dup: order-sensitive variant
 # --------------------------------------------------------------------------

@@ -292,3 +292,37 @@ def test_chunk_documents_windows_and_tail(spark):
     # doc shorter than one window -> single whole-doc chunk
     assert got[(2, 0)] == ("solo", 1)
     assert len(got) == 4
+
+
+# --------------------------------------------------------------- ANN (LSH)
+
+
+def test_sign_lsh_recall(spark):
+    """Sign-LSH: 16 tables × 4 bits must recover most of the exact global
+    top-20 on the near-orthogonal fixture, and a 1-table 0-bit sweep
+    (single bucket = brute force) must reproduce the exact kernel."""
+    from mapreduce_hw05_spark.operators.ann import sign_lsh_pairs
+    from mapreduce_hw05_spark.operators.similarity import (
+        cosine_pairs_topk_per_row,
+        global_topk_pairs,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").persist()
+    exact = global_topk_pairs(
+        cosine_pairs_topk_per_row(emb, emb, "vec_id", "embedding", k=20), k=20
+    ).toPandas()
+    exact_pairs = set(zip(exact["id1"], exact["id2"]))
+
+    lsh = global_topk_pairs(
+        sign_lsh_pairs(emb, k_per_bucket=20, n_tables=16, n_bits=4), k=20
+    ).toPandas()
+    recall = len(set(zip(lsh["id1"], lsh["id2"])) & exact_pairs) / 20
+    assert recall >= 0.7, recall
+
+    # 0 bits → every vector lands in bucket 0 of the single table:
+    # within-bucket exact search IS brute force.
+    full = global_topk_pairs(
+        sign_lsh_pairs(emb, k_per_bucket=20, n_tables=1, n_bits=0), k=20
+    ).toPandas()
+    assert set(zip(full["id1"], full["id2"])) == exact_pairs
+    assert list(full["cos_sim"]) == list(exact["cos_sim"])
