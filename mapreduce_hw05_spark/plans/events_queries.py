@@ -333,3 +333,52 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         lng(F.coalesce("n", F.lit(0))).alias("n_purchases"),
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts-3 (ext) — OHLC resample: per-hour open/high/low/close per event type
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_ohlc_hourly",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT)
+               AS hour_epoch,
+           round(arg_min(value, ts), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(arg_max(value, ts), 6) AS close,
+           count(*) AS n_events
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY event_type, hour_epoch
+    """,
+)
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars of event value per type —
+    the time-series resample every metrics pipeline runs.
+
+    One hash aggregate: open/close are ``min_by``/``max_by`` ordered by
+    ``ts``, which the fixture generator keeps unique at every scale
+    factor (verified sf0.001/0.01/0.1), so the argmin/argmax are
+    tie-free. With a non-unique event time this must order by a
+    composite (ts, event_id) instead — DuckDB's arg_min can't, which is
+    why the contract pins the unique-ts fixture. No window functions:
+    OHLC via first/last-over-window would sort every partition; min_by
+    folds it into the same partial agg as high/low.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    return ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+    ).agg(
+        ratio(F.min_by("value", "ts")).alias("open"),
+        ratio(F.max("value")).alias("high"),
+        ratio(F.min("value")).alias("low"),
+        ratio(F.max_by("value", "ts")).alias("close"),
+        F.count("*").alias("n_events"),
+    )

@@ -239,3 +239,62 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_bin1"),
     )
+
+
+# --------------------------------------------------------------------------
+# src-5 (ext) — bucketed tables: pay the shuffle at ingest, never again
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_bucketed_join_contract",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_year
+    """,
+)
+def q_bucketed_join_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two bucketed tables and aggregate — result-identical to the
+    plain join (the oracle), with the join exchange proven away by the
+    persisted bucketing (engine test asserts the shuffle-free plan).
+
+    Both sides are written bucketed on the join key into external tables
+    under .tmp: the 100-TB pattern where the biggest fact pays its
+    dominant-key shuffle once at ingest and every later join/agg on that
+    key is co-located. 8 buckets here (fixture-sized); bucket count at
+    scale sizes to target-partition bytes, not cores.
+    """
+    from mapreduce_hw05_spark.sources.bucketing import read_table, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        "bkt_orders",
+        "custkey",
+        num_buckets=8,
+        path=_scratch_dir("bucketed_orders"),
+    )
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "custkey"),
+        "bkt_customer",
+        "custkey",
+        num_buckets=8,
+        path=_scratch_dir("bucketed_customer"),
+    )
+    return (
+        read_table(spark, "bkt_orders")
+        .join(read_table(spark, "bkt_customer"), "custkey")
+        .groupBy(
+            "c_mktsegment",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("sum_price"),
+        )
+    )

@@ -21,11 +21,20 @@ def write_bucketed(
     key: str,
     num_buckets: int = 32,
     sort: bool = True,
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a parquet table bucketed (and sorted) by ``key``."""
+    """Persist ``df`` as a parquet table bucketed (and sorted) by ``key``.
+
+    With ``path`` the table is external (data lives at ``path``, not in
+    the session warehouse); the table entry is dropped first so a stale
+    registration pointing elsewhere can't shadow the write.
+    """
     writer = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, key)
     if sort:
         writer = writer.sortBy(key)
+    if path is not None:
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 
