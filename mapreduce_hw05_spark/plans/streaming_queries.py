@@ -11,6 +11,7 @@ incrementally across micro-batches, and returns the final result table.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import uuid
@@ -25,6 +26,31 @@ from mapreduce_hw05_spark.streaming import ops
 from mapreduce_hw05_spark.streaming.replay import FileReplay, time_ordered_chunks
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
+
+
+@contextlib.contextmanager
+def _replay_state_partitions(spark: SparkSession, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` down for a file-replay run.
+
+    A stateful streaming query spins up one state-store instance per
+    shuffle partition PER MICRO-BATCH; on a fixture-sized replay that
+    fixed cost dominates (stream-stream join at sf0.01: 23 s at 32
+    partitions → 7 s at 8). State partition count should size to
+    stateful-key cardinality and executor count — a deployment knob, not
+    a plan property; each query here starts from a fresh checkpoint, so
+    the scoped value never conflicts with pinned checkpoint metadata.
+    The session value is restored on exit (these queries share the
+    driver's session with every batch contract query).
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @contract(
@@ -49,20 +75,21 @@ def q_stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(root, exist_ok=True)
     replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4), root)
     name = "stream_equiv_" + uuid.uuid4().hex[:8]
-    query = (
-        ops.tumbling_counts(replay.stream())
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .start()
-    )
-    try:
-        while replay.push_next():
+    with _replay_state_partitions(spark):
+        query = (
+            ops.tumbling_counts(replay.stream())
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
             query.processAllAvailable()
-        query.processAllAvailable()
-    finally:
-        query.stop()
+        finally:
+            query.stop()
     # Materialize off the (session-scoped) memory sink so the caller gets
     # a plain DataFrame whose contents survive sink/table cleanup.
     result = spark.createDataFrame(
@@ -109,19 +136,20 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "sstat_" + uuid.uuid4().hex[:8]
-    query = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .start()
-    )
-    try:
-        while replay.push_next():
+    with _replay_state_partitions(spark):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
             query.processAllAvailable()
-        query.processAllAvailable()
-    finally:
-        query.stop()
+        finally:
+            query.stop()
     result = spark.createDataFrame(
         spark.table(name).collect(), schema=spark.table(name).schema
     )
@@ -168,20 +196,21 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(root, exist_ok=True)
     replay = FileReplay(spark, time_ordered_chunks(events, "ts", 3), root)
     name = "ssj_" + uuid.uuid4().hex[:8]
-    query = (
-        ops.interval_join_clicks_purchases(replay.stream())
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .start()
-    )
-    try:
-        while replay.push_next():
+    with _replay_state_partitions(spark):
+        query = (
+            ops.interval_join_clicks_purchases(replay.stream())
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
             query.processAllAvailable()
-        query.processAllAvailable()
-    finally:
-        query.stop()
+        finally:
+            query.stop()
     result = spark.createDataFrame(
         spark.table(name).collect(), schema=spark.table(name).schema
     )
