@@ -298,3 +298,45 @@ def q_bucketed_join_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum("o_totalprice")).alias("sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# src-6 (ext) — custom connector via the Python DataSource API (Spark 4)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_custom_datasource",
+    oracle="""
+    SELECT CAST(i % 16 AS INTEGER) AS bucket,
+           count(*) AS n_rows,
+           sum(i) AS sum_id,
+           min(md5(CAST(i AS VARCHAR))) AS min_md5
+    FROM range(20000) t(i)
+    GROUP BY bucket
+    """,
+)
+def q_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a pure-Python custom connector (DataSource API) and
+    aggregate: 20 000 generated rows over 8 declared input partitions,
+    per-bucket count / id sum / min md5. The oracle regenerates the same
+    deterministic payload with DuckDB's range() — any drift in the
+    connector's partition planning or per-task iteration breaks the
+    hash. Fixture-independent by design: the capability under test is
+    the connector machinery, not the data.
+    """
+    from mapreduce_hw05_spark.sources.pydatasource import register_seqgen
+
+    register_seqgen(spark)
+    src = (
+        spark.read.format("seqgen")
+        .option("n", 20000)
+        .option("parts", 8)
+        .option("buckets", 16)
+        .load()
+    )
+    return src.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("id").alias("sum_id"),
+        F.min("id_md5").alias("min_md5"),
+    )

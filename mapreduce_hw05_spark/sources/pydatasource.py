@@ -1,0 +1,74 @@
+"""Custom connector via the Python DataSource API (Spark 4, SPARK-44076).
+
+The reference genre's "custom source" is an InputFormat subclass; the
+Spark-4-native equivalent is ``pyspark.sql.datasource.DataSource`` —
+a pure-Python batch connector whose ``partitions()`` defines the split
+set (each InputPartition becomes one Spark task, so parallelism is
+declared by the source, exactly like InputFormat splits) and whose
+``read(partition)`` streams that split's rows.
+
+``SeqGenDataSource`` here is a deterministic synthetic generator
+(id, bucket, id_md5): the connector machinery is real — registration,
+schema declaration, option parsing, partition planning, per-task
+iteration — while the payload is reproducible on any engine, so the
+contract query is SQL-oracle-able (DuckDB ``range()`` + ``md5()``).
+
+At 100 TB the same shape wraps any record-stream API (a REST cursor, a
+queue, an internal DB): split by key-range/shard into InputPartitions
+and let Spark schedule one task per split; no driver-side collect ever
+holds the data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SeqGenReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 10000))
+        self.num_parts = int(options.get("parts", 8))
+        self.buckets = int(options.get("buckets", 16))
+
+    def partitions(self) -> list[InputPartition]:
+        step = max(1, -(-self.n // self.num_parts))  # ceil div
+        return [
+            _RangePartition(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield (
+                i,
+                i % self.buckets,
+                hashlib.md5(str(i).encode()).hexdigest(),
+            )
+
+
+class SeqGenDataSource(DataSource):
+    """``spark.read.format("seqgen").option("n", …).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "seqgen"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, id_md5 string"
+
+    def reader(self, schema) -> SeqGenReader:
+        return SeqGenReader(self.options)
+
+
+def register_seqgen(spark) -> None:
+    """Idempotent per-session registration (latest registration wins)."""
+    spark.dataSource.register(SeqGenDataSource)

@@ -326,3 +326,23 @@ def test_sign_lsh_recall(spark):
     ).toPandas()
     assert set(zip(full["id1"], full["id2"])) == exact_pairs
     assert list(full["cos_sim"]) == list(exact["cos_sim"])
+
+
+# ------------------------------------------------- Python DataSource API
+
+
+def test_seqgen_datasource_partition_planning(spark):
+    """The connector's partitions() declares task parallelism (one task
+    per InputPartition) and the union of splits covers the range exactly
+    once."""
+    from mapreduce_hw05_spark.sources.pydatasource import register_seqgen
+
+    register_seqgen(spark)
+    df = (
+        spark.read.format("seqgen")
+        .option("n", 1000).option("parts", 5).option("buckets", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 1000
+    assert df.select("id").distinct().count() == 1000
