@@ -217,3 +217,65 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+@contract(
+    "q_stream_file_sink",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE value > 1.0
+    GROUP BY event_type
+    """,
+)
+def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming FILE sink: the events replay stream is
+    filtered/projected and appended to a parquet sink (checkpoint +
+    _spark_metadata transaction log), then the sink directory is read
+    back as a batch table and aggregated — hash-checked against the
+    batch oracle over the original fixture.
+
+    What this proves: no micro-batch is lost or double-written across
+    the replay (the batch re-read honors the sink's commit log, so an
+    uncommitted or duplicated task file would break the hash). The
+    stateless stream keeps no store — at scale this is the bronze-layer
+    ingest pattern (stream → filtered columnar files → batch analytics).
+    """
+    events = load_table(spark, sf_dir, "events")
+    root = os.path.join(_SCRATCH, "q_fsink_" + uuid.uuid4().hex[:8])
+    os.makedirs(root, exist_ok=True)
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 3),
+                        os.path.join(root, "in"))
+    out = os.path.join(root, "out")
+    with _replay_state_partitions(spark):
+        query = (
+            replay.stream()
+            .filter(F.col("value") > 1.0)
+            .select("event_id", "user_id", "event_type", "value")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    agg = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            money(F.sum("value")).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    result = spark.createDataFrame(agg.collect(), schema=agg.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
