@@ -279,3 +279,63 @@ def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(agg.collect(), schema=agg.schema)
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+@contract(
+    "q_custom_stream_source",
+    oracle="""
+    SELECT CAST(i % 12 AS INTEGER) AS bucket,
+           count(*) AS n_rows,
+           sum(i) AS sum_id,
+           max(md5(CAST(i AS VARCHAR))) AS max_md5
+    FROM range(24000) t(i)
+    GROUP BY bucket
+    """,
+)
+def q_custom_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON STREAMING source (SimpleDataSourceStreamReader):
+    the seqgen connector served as a micro-batched stream — 24 000 rows
+    in 6 000-row offset-tracked batches — aggregated incrementally in
+    complete mode; final state must match the DuckDB range() oracle.
+
+    What this proves beyond q_custom_datasource: driver-side offset
+    management (initialOffset → read → commit) and deterministic batch
+    replay, i.e. the machinery a Kafka-like connector needs for
+    exactly-once. Fixture-independent by design.
+    """
+    from mapreduce_hw05_spark.sources.pydatasource import register_seqgen
+
+    register_seqgen(spark)
+    src = (
+        spark.readStream.format("seqgen")
+        .option("n", 24000)
+        .option("batch", 6000)
+        .option("buckets", 12)
+        .load()
+    )
+    agg = src.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("id").alias("sum_id"),
+        F.max("id_md5").alias("max_md5"),
+    )
+    root = os.path.join(_SCRATCH, "q_csrc_" + uuid.uuid4().hex[:8])
+    os.makedirs(root, exist_ok=True)
+    name = "csrc_" + uuid.uuid4().hex[:8]
+    with _replay_state_partitions(spark):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    result = spark.createDataFrame(
+        spark.table(name).collect(), schema=spark.table(name).schema
+    )
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(root, ignore_errors=True)
+    return result

@@ -24,7 +24,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _RangePartition(InputPartition):
@@ -55,8 +60,42 @@ class SeqGenReader(DataSourceReader):
             )
 
 
+def _row(i: int, buckets: int) -> tuple:
+    return (i, i % buckets, hashlib.md5(str(i).encode()).hexdigest())
+
+
+class SeqGenStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batched variant: offsets are row indices; each read attempt
+    serves the next ``batch`` rows until ``n`` are exhausted, then empty
+    batches (a bounded stream). ``readBetweenOffsets`` regenerates any
+    committed batch deterministically — the replayability contract that
+    gives the source exactly-once semantics under failure recovery.
+    """
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 10000))
+        self.batch = int(options.get("batch", 2500))
+        self.buckets = int(options.get("buckets", 16))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + self.batch, self.n)
+        # A LIST iterator, not a generator: Spark's driver-side prefetch
+        # cache both next()s and copy.copy()s the returned iterator, and
+        # generators support only the former.
+        return iter([_row(i, self.buckets) for i in range(lo, hi)]), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i, self.buckets) for i in range(start["i"], end["i"])])
+
+
 class SeqGenDataSource(DataSource):
-    """``spark.read.format("seqgen").option("n", …).load()``."""
+    """``spark.read.format("seqgen")`` (batch) and
+    ``spark.readStream.format("seqgen")`` (micro-batched stream) over the
+    same deterministic payload."""
 
     @classmethod
     def name(cls) -> str:
@@ -67,6 +106,9 @@ class SeqGenDataSource(DataSource):
 
     def reader(self, schema) -> SeqGenReader:
         return SeqGenReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SeqGenStreamReader:
+        return SeqGenStreamReader(self.options)
 
 
 def register_seqgen(spark) -> None:
