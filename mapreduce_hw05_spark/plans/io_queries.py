@@ -11,13 +11,14 @@ aggregate on the original parquet, so any write/read corruption
 from __future__ import annotations
 
 import os
+import shutil
 
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from mapreduce_hw05_spark.plans.common import money
+from mapreduce_hw05_spark.plans.common import lng, money
 from mapreduce_hw05_spark.plans.registry import contract
 from mapreduce_hw05_spark.sources import load_table
 
@@ -339,4 +340,56 @@ def q_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("id").alias("sum_id"),
         F.min("id_md5").alias("min_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# src-7 (ext) — custom transactional sink (Python DataSourceWriter)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_custom_sink_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders through the custom JSONL sink (Python
+    DataSourceWriter with task-temp-file → driver-commit → manifest
+    two-phase protocol), read back ONLY the manifest-committed files,
+    and aggregate — hash-checked against the original table. A lost,
+    duplicated, or uncommitted task file breaks the hash; the engine
+    test exercises the abort path.
+    """
+    from mapreduce_hw05_spark.sources.pydatasource import (
+        manifest_files,
+        register_jsonlsink,
+    )
+
+    register_jsonlsink(spark)
+    out = _scratch_dir("jsonl_sink")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.format("jsonlsink").option("path", out).mode("append").save()
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(manifest_files(out))
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        lng(F.sum("o_orderkey")).alias("sum_keys"),
+        money(F.sum("o_totalprice")).alias("sum_price"),
     )

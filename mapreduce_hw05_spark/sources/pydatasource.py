@@ -27,8 +27,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -114,3 +116,95 @@ class SeqGenDataSource(DataSource):
 def register_seqgen(spark) -> None:
     """Idempotent per-session registration (latest registration wins)."""
     spark.dataSource.register(SeqGenDataSource)
+
+
+# --------------------------------------------------------------------------
+# Custom SINK: transactional JSONL writer (DataSourceWriter, two-phase)
+# --------------------------------------------------------------------------
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class JsonlWriter(DataSourceWriter):
+    """Task side writes a temp file and reports it in the commit message;
+    the driver's ``commit`` atomically renames every temp and publishes a
+    ``_MANIFEST`` naming exactly the committed files — readers that honor
+    the manifest never see a torn write. ``abort`` removes the temps.
+    This is the same job-commit protocol Spark's file sinks use, in
+    ~40 lines of Python — the point of the exercise is the protocol,
+    not the format.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _JsonlCommit:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        tmp = _os.path.join(self.path, f".tmp-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        try:
+            with open(tmp, "w") as fh:
+                for row in iterator:
+                    fh.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+        except BaseException:
+            # Task-side cleanup: a failing task's temp never reaches the
+            # driver's abort() (no commit message), so remove it here.
+            _os.remove(tmp)
+            raise
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os as _os
+
+        final = []
+        for i, msg in enumerate(messages):
+            if msg is None or msg.rows == 0:
+                if msg is not None:
+                    _os.remove(msg.tmp_path)
+                continue
+            name = f"part-{i:05d}.jsonl"
+            _os.replace(msg.tmp_path, _os.path.join(self.path, name))
+            final.append({"file": name, "rows": msg.rows})
+        with open(_os.path.join(self.path, "_MANIFEST"), "w") as fh:
+            _json.dump({"files": final}, fh)
+
+    def abort(self, messages) -> None:
+        import os as _os
+
+        for msg in messages:
+            if msg is not None and _os.path.exists(msg.tmp_path):
+                _os.remove(msg.tmp_path)
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonlsink").option("path", dir).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsink"
+
+    def writer(self, schema, overwrite: bool) -> JsonlWriter:
+        return JsonlWriter(self.options)
+
+
+def manifest_files(path: str) -> list[str]:
+    """The committed files of a jsonlsink directory, absolute paths."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_MANIFEST")) as fh:
+        manifest = _json.load(fh)
+    return [_os.path.join(path, f["file"]) for f in manifest["files"]]
+
+
+def register_jsonlsink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)

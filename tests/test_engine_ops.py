@@ -346,3 +346,26 @@ def test_seqgen_datasource_partition_planning(spark):
     assert df.rdd.getNumPartitions() == 5
     assert df.count() == 1000
     assert df.select("id").distinct().count() == 1000
+
+
+def test_jsonl_sink_abort_leaves_no_files(spark, tmp_path):
+    """A failing write job must leave the sink directory with no
+    committed files, no manifest, and no temp litter."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_hw05_spark.sources.pydatasource import register_jsonlsink
+
+    register_jsonlsink(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("task failure")
+
+    df = spark.range(100).withColumn("b", boom("id"))
+    with pytest.raises(Exception):
+        df.write.format("jsonlsink").option("path", out).mode("append").save()
+    assert os.listdir(out) == [], os.listdir(out)
