@@ -211,3 +211,95 @@ def q_multi_supplier_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(lng(F.count_distinct("l_orderkey")).alias("n_late_shared"))
     )
+
+
+# --------------------------------------------------------------------------
+# sq-9 (ext) — recursive CTE (Spark 4 WITH RECURSIVE, SQL entry point)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2001-08-01'
+    )
+    SELECT CAST(epoch(m) AS BIGINT) AS month_epoch,
+           count(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+    GROUP BY month_epoch
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through the SQL entry point (Spark 4): generate
+    the full month calendar spanning the order-date domain recursively,
+    then left-join order counts onto it — months with zero orders
+    survive (the dense-calendar shape q_gapfill_hourly builds with
+    sequence(); here the recursion itself is the capability under
+    test).
+
+    The recursion is driver-bounded (80 rows) and the joined fact side
+    is a plain shuffle join on the truncated month — recursive CTEs at
+    scale are for small dimension closures (org charts, calendars, BOM
+    explosions), never fact-sized state; fact-sized iteration lives in
+    the checkpointed-loop operators (PageRank, CC).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_rcte_v"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months
+          WHERE m < TIMESTAMP '2001-08-01'
+        )
+        SELECT CAST(unix_timestamp(m) AS BIGINT) AS month_epoch,
+               count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders_rcte_v
+          ON date_trunc('MONTH', o_orderdate) = m
+        GROUP BY month_epoch
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# sq-10 (ext) — LATERAL correlated subquery (top-n per row without window)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    """,
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-2 customers by balance via a correlated LATERAL
+    subquery (SQL entry point) — the same result q_window_rank computes
+    with row_number, expressed as the optimizer's LateralJoin instead.
+    Deterministic via the (c_acctbal DESC, c_custkey) tiebreak; the
+    oracle SQL is engine-identical modulo the rounding helper.
+    """
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation_lat_v"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_lat_v"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS c_acctbal
+        FROM nation_lat_v n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer_lat_v c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        """
+    )
