@@ -382,3 +382,45 @@ def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(F.max_by("value", "ts")).alias("close"),
         F.count("*").alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# f-5b (ext) — VARIANT semi-structured type (Spark 4 parse_json)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_variant_json",
+    oracle="""
+    SELECT event_type,
+           count(CAST(props->>'k' AS BIGINT)) AS n_k,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+           count(props->>'absent') AS n_absent
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    ``parse_json`` once, then typed ``variant_get`` path extraction —
+    including a missing path, which must be NULL (count 0), not an
+    error.
+
+    Against q_json_extract's per-access string re-parse
+    (get_json_object), VARIANT parses each document once into a binary
+    form all later accesses share — the 100-TB answer for JSON-heavy
+    event tables. The oracle reads the same fields relationally
+    (DuckDB has no VARIANT; the values, not the encoding, are the
+    contract).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    absent = F.variant_get(v, "$.absent", "string")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_k"),
+        lng(F.sum(k)).alias("sum_k"),
+        lng(F.max(k)).alias("max_k"),
+        F.count(absent).alias("n_absent"),
+    )

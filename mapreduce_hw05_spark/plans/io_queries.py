@@ -393,3 +393,53 @@ def q_custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         lng(F.sum("o_orderkey")).alias("sum_keys"),
         money(F.sum("o_totalprice")).alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# src-2c — XML source/sink roundtrip (Spark 4 native XML)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_xml_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_custs,
+           CAST(sum(c_custkey) AS BIGINT) AS sum_keys,
+           round(sum(c_acctbal), 2) AS sum_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write customer to XML (native Spark 4 XML sink), re-read it with
+    an explicit schema, and aggregate — the oracle aggregates the
+    original parquet, so any element/attribute mangling, escaping bug,
+    or type coercion in the roundtrip breaks the hash. Completes the
+    format matrix: parquet / csv / json / orc / xml."""
+    out = _scratch_dir("xml_roundtrip")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    (
+        cust.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "customer")
+        .save(out)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema).format("xml").option("rowTag", "customer").load(out)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_custs"),
+        lng(F.sum("c_custkey")).alias("sum_keys"),
+        money(F.sum("c_acctbal")).alias("sum_acctbal"),
+    )
