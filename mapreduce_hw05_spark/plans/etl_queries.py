@@ -434,3 +434,45 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("max_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# etl-9 (ext) — small-file compaction (content-preserving rewrite)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_compact_small_files",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_lines,
+           CAST(sum(l_orderkey) AS BIGINT) AS sum_keys,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment lineitem into 64 small files, compact the directory back
+    to size-derived big files, and aggregate the compacted table — the
+    oracle aggregates the original, so compaction must be exactly
+    content-preserving (no lost, duplicated, or mutated row survives
+    the hash). File-count collapse is asserted by the engine test; here
+    the contract is the row multiset."""
+    import os as _os
+
+    from mapreduce_hw05_spark.operators.compaction import compact_parquet_dir
+    from mapreduce_hw05_spark.plans.io_queries import _scratch_dir
+
+    out = _scratch_dir("compact_demo")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    li.repartition(64).write.mode("overwrite").parquet(out)
+    compact_parquet_dir(spark, out, target_bytes=64 * (1 << 20))
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        lng(F.sum("l_orderkey")).alias("sum_keys"),
+        money(F.sum("l_extendedprice")).alias("sum_price"),
+    )

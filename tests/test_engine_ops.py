@@ -369,3 +369,30 @@ def test_jsonl_sink_abort_leaves_no_files(spark, tmp_path):
     with pytest.raises(Exception):
         df.write.format("jsonlsink").option("path", out).mode("append").save()
     assert os.listdir(out) == [], os.listdir(out)
+
+
+# ------------------------------------------------------------ compaction
+
+
+def test_compaction_collapses_files_preserving_rows(spark, tmp_path):
+    import os
+
+    from mapreduce_hw05_spark.operators.compaction import (
+        compact_parquet_dir,
+        plan_num_files,
+    )
+
+    assert plan_num_files(1, 100) == 1
+    assert plan_num_files(250, 100) == 3
+
+    out = str(tmp_path / "frag")
+    df = spark.range(10000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(out)
+    n_before = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_before == 40
+    compact_parquet_dir(spark, out, target_bytes=1 << 30)
+    n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_after == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 10000
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
