@@ -1,0 +1,68 @@
+"""Z-order (Morton) clustering — multi-column data skipping for scans.
+
+A table sorted by ``a`` skips row groups only for predicates on ``a``;
+predicates on ``b`` read everything. Interleaving the bits of both
+columns into one Morton key and range-sorting by it gives every file a
+tight min/max envelope in BOTH dimensions, so parquet row-group stats
+prune scans on either column (the technique Delta/Iceberg expose as
+``OPTIMIZE ZORDER BY``).
+
+Everything stays in Catalyst: normalization is ``(col - min) * scale``
+with min/max from one stats job, and the bit interleave unrolls into
+``bits × ncols`` shift/mask/or terms inside whole-stage codegen — no
+UDF. The rewrite is ``repartitionByRange`` on the key (balanced output
+files via range partitioning, the same mechanism as a global sort) +
+``sortWithinPartitions`` so row groups inside a file cluster too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalize(col: Column, lo: float, hi: float, bits: int) -> Column:
+    """Map [lo, hi] → integer [0, 2^bits - 1]; constant columns → 0."""
+    if hi <= lo:
+        return F.lit(0).cast("long")
+    scale = ((1 << bits) - 1) / (hi - lo)
+    return F.least(
+        F.lit((1 << bits) - 1),
+        F.greatest(F.lit(0), ((col - lo) * scale).cast("long")),
+    )
+
+
+def morton_key(normalized: list[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of each normalized column."""
+    n = len(normalized)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, col in enumerate(normalized):
+            bit = F.shiftright(col, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key
+
+
+def zorder_rewrite(
+    df: DataFrame,
+    cols: list[str],
+    num_files: int,
+    bits: int = 16,
+) -> DataFrame:
+    """Return ``df`` re-clustered by the Morton key of ``cols`` into
+    ``num_files`` range partitions (write the result to rewrite a
+    table). One extra stats job computes per-column min/max."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+    ).first()
+    normalized = [
+        _normalize(F.col(c).cast("double"), stats[f"__lo_{c}"], stats[f"__hi_{c}"], bits)
+        for c in cols
+    ]
+    keyed = df.withColumn("__zkey", morton_key(normalized, bits))
+    return (
+        keyed.repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )

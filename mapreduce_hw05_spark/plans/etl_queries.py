@@ -476,3 +476,44 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         lng(F.sum("l_orderkey")).alias("sum_keys"),
         money(F.sum("l_extendedprice")).alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# etl-10 (ext) — Z-order clustering rewrite (multi-column data skipping)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_zorder_rewrite",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) AS n_lines,
+           CAST(sum(l_partkey) AS BIGINT) AS sum_parts,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite lineitem Z-ordered on (l_partkey, l_suppkey) and
+    aggregate the rewritten table — content-equality contract (the
+    oracle aggregates the original). The engine test proves the point
+    of the rewrite: per-file min/max envelopes tighten in BOTH key
+    dimensions, so parquet stats prune scans filtered on either.
+    """
+    from mapreduce_hw05_spark.operators.zorder import zorder_rewrite
+    from mapreduce_hw05_spark.plans.io_queries import _scratch_dir
+
+    out = _scratch_dir("zorder_demo")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_linestatus", "l_quantity"
+    )
+    zorder_rewrite(li, ["l_partkey", "l_suppkey"], num_files=8).write.mode(
+        "overwrite"
+    ).parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_linestatus").agg(
+        F.count("*").alias("n_lines"),
+        lng(F.sum("l_partkey")).alias("sum_parts"),
+        money(F.sum("l_quantity")).alias("sum_qty"),
+    )

@@ -396,3 +396,45 @@ def test_compaction_collapses_files_preserving_rows(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 10000
     assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+# --------------------------------------------------------------- z-order
+
+
+def test_zorder_tightens_file_envelopes(spark, tmp_path):
+    """Against an x-sorted layout (each file spans the full y range),
+    the z-ordered layout must shrink the summed per-file y-extent —
+    that shrinkage IS the data-skipping win for predicates on y."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_hw05_spark.operators.zorder import zorder_rewrite
+
+    n = 1 << 14
+    df = (
+        spark.range(n)
+        .withColumn("x", (F.col("id") * 2654435761 % n).cast("long"))
+        .withColumn("y", (F.col("id") * 40503 % n).cast("long"))
+        .select("x", "y")
+    )
+
+    def total_y_extent(path):
+        extent = 0
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                md = pq.read_metadata(os.path.join(path, f))
+                lo = min(md.row_group(i).column(1).statistics.min
+                         for i in range(md.num_row_groups))
+                hi = max(md.row_group(i).column(1).statistics.max
+                         for i in range(md.num_row_groups))
+                extent += hi - lo
+        return extent
+
+    xsorted = str(tmp_path / "xsorted")
+    df.repartitionByRange(8, "x").sortWithinPartitions("x").write.parquet(xsorted)
+    zordered = str(tmp_path / "zordered")
+    zorder_rewrite(df, ["x", "y"], num_files=8).write.parquet(zordered)
+
+    assert total_y_extent(zordered) < 0.7 * total_y_extent(xsorted), (
+        total_y_extent(zordered), total_y_extent(xsorted))
