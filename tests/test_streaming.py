@@ -173,3 +173,35 @@ def test_stateful_user_counts(spark, events):
         F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
     )
     assert as_sorted_rows(latest) == as_sorted_rows(expect)
+
+
+def test_stateful_user_counts_v2(spark, events):
+    """st-7 on the transformWithState v2 API: same batch totals.
+
+    The v2 state server speaks protobuf; this container ships PySpark
+    without ``google.protobuf``, so the test (not the operator) is
+    gated — on a full install it runs as-is.
+    """
+    pytest.importorskip("google.protobuf.descriptor")
+    got = replay_through(
+        spark,
+        time_ordered_chunks(events, "ts", 4),
+        ops.stateful_user_counts_v2,
+        "update",
+    )
+    from pyspark.sql import Window as W
+
+    latest = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )
+    expect = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    assert as_sorted_rows(latest) == as_sorted_rows(expect)
