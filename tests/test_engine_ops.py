@@ -438,3 +438,30 @@ def test_zorder_tightens_file_envelopes(spark, tmp_path):
 
     assert total_y_extent(zordered) < 0.7 * total_y_extent(xsorted), (
         total_y_extent(zordered), total_y_extent(xsorted))
+
+
+# ------------------------------------------------------------ plan audit
+
+
+def test_tpch_q6_pushdown_reaches_scan(spark):
+    """Q6 is the I/O-bound query where pushdown IS the performance: all
+    four predicates must reach the parquet scan and the ReadSchema must
+    shrink to the four referenced columns."""
+    from mapreduce_hw05_spark.plans.tpch_queries import q_tpch_q6
+
+    df = q_tpch_q6(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan).group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    schema = re.search(r"ReadSchema: struct<(.*?)>", plan).group(1)
+    read_cols = {c.split(":")[0] for c in schema.split(",")}
+    assert read_cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+    }, read_cols
