@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from mapreduce_hw05_spark.plans.common import lng, money, ratio
 from mapreduce_hw05_spark.plans.registry import contract
@@ -267,4 +268,97 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("l_returnflag", "lo", "hi").agg(
         F.count("*").alias("n_rows"),
         lng(F.sum(is_out.cast("int"))).alias("n_outliers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# an-6 (ext) — event transition matrix (the Sankey/Markov diagnostic)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_event_transitions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+    FROM ordered
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (the Markov/Sankey matrix):
+    one lag window ordered by the (fixture-unique) event time, then a
+    tiny-domain aggregate. The window shuffles once on user_id; the
+    transition matrix is |types|² rows, so the final agg collapses
+    map-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+# --------------------------------------------------------------------------
+# an-7 (ext) — RFM quartile segmentation
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS recency,
+               count(*) AS frequency,
+               sum(o_totalprice) AS monetary
+        FROM orders GROUP BY o_custkey
+    ), scored AS (
+        SELECT ntile(4) OVER (ORDER BY recency, o_custkey) AS r_q,
+               ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_q,
+               ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_q
+        FROM rfm
+    )
+    SELECT r_q, f_q, m_q, count(*) AS n_customers
+    FROM scored
+    GROUP BY r_q, f_q, m_q
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation of
+    customers — the marketing-analytics classic. Every ntile orders by
+    (metric, o_custkey) so quartile boundaries are tie-free and
+    engine-identical.
+
+    Scale note: ntile over an unpartitioned window is a single-reducer
+    sort — fine for per-customer aggregates (cardinality ≪ facts), and
+    the honest expression of a global quantile cut; percentile-bucket
+    joins replace it if the entity table itself outgrows one node.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count("*").alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    scored = rfm.select(
+        F.ntile(4).over(W.orderBy("recency", "o_custkey")).alias("r_q"),
+        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f_q"),
+        F.ntile(4).over(W.orderBy("monetary", "o_custkey")).alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").alias("n_customers")
     )

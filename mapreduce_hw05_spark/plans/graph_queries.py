@@ -199,3 +199,41 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nodes"),
         lng(F.sum("node")).alias("node_checksum"),
     )
+
+
+@contract(
+    "q_degree_distribution",
+    oracle="""
+    WITH pairs AS (
+        SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2
+    ), degrees AS (
+        SELECT node, count(*) AS degree
+        FROM (SELECT src AS node FROM pairs
+              UNION ALL SELECT dst AS node FROM pairs)
+        GROUP BY node
+    )
+    SELECT degree, count(*) AS n_nodes
+    FROM degrees
+    GROUP BY degree
+    """,
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase part graph — the first
+    diagnostic any graph pipeline computes (it decides skew strategy:
+    a heavy-tailed distribution is what makes unsalted vertex joins
+    fall over at scale).
+
+    Canonical edges are counted from both endpoints via a cheap
+    union-all (no symmetrized edge materialization), then two partial-
+    agg-friendly groupBys: per-node degree, then the tiny histogram.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    endpoints = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    degrees = endpoints.groupBy("node").agg(F.count("*").alias("degree"))
+    return degrees.groupBy("degree").agg(F.count("*").alias("n_nodes"))
