@@ -362,3 +362,116 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count("*").alias("n_customers")
     )
+
+
+# --------------------------------------------------------------------------
+# an-8 (ext) — rolling 7-day active users (exact distinct over a window)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_rolling_dau",
+    oracle="""
+    WITH day_user AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+        FROM events
+    ), bounds AS (
+        SELECT min(d) AS lo, max(d) AS hi FROM day_user
+    ), contrib AS (
+        SELECT DISTINCT unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                               INTERVAL 1 DAY))::DATE AS w,
+               user_id
+        FROM day_user
+    )
+    SELECT CAST(epoch(w) AS BIGINT) AS day_epoch,
+           count(*) AS active_users
+    FROM contrib, bounds
+    WHERE w <= hi
+    GROUP BY day_epoch
+    """,
+)
+def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day, EXACT — the metric distinct-
+    count windows can't express scalably. Instead of a per-day distinct
+    over a 7-day self-join, each (day, user) pair is exploded to the ≤7
+    window-days it contributes to, deduped, and counted: shuffles are
+    keyed on (window-day, user), work is |active pairs| × 7, and no
+    state ever holds a user set in memory. Days past the observed max
+    are clipped so both engines agree on the calendar.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    ).distinct()
+    hi = day_user.agg(F.max("d").alias("hi"))
+    contrib = (
+        day_user.select(
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.date_add(F.col("d"), 6),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("w"),
+            "user_id",
+        )
+        .distinct()
+        .join(F.broadcast(hi), F.col("w") <= F.col("hi"))
+    )
+    return contrib.groupBy(
+        F.unix_timestamp(F.col("w").cast("timestamp")).alias("day_epoch")
+    ).agg(F.count("*").alias("active_users"))
+
+
+# --------------------------------------------------------------------------
+# an-9 (ext) — skyline / Pareto frontier
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_skyline_pareto",
+    oracle="""
+    SELECT p1.p_partkey, round(p1.p_retailprice, 2) AS p_retailprice,
+           p1.p_size
+    FROM part p1
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part p2
+        WHERE p2.p_retailprice < p1.p_retailprice
+          AND p2.p_size > p1.p_size
+    )
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts (cheaper AND bigger dominates): parts no
+    other part strictly beats on both axes.
+
+    For a 2-D skyline the frontier is computable in one sort-free
+    window pass: a part is dominated iff some part with strictly larger
+    size has strictly smaller price, i.e. iff ``min(price) over (size >
+    mine)`` < my price. Expressed as a descending-size running min with
+    a range frame — one shuffle, no self-join, and strictly better than
+    the oracle's quadratic NOT EXISTS (kept quadratic there because
+    DuckDB decorrelates it fine at oracle scale).
+    """
+    part = load_table(spark, sf_dir, "part")
+    w = (
+        W.orderBy(F.col("p_size").desc())
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    flagged = part.select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.min("p_retailprice").over(w).alias("__best_price_above"),
+    )
+    return (
+        flagged.filter(
+            F.col("__best_price_above").isNull()
+            | (F.col("__best_price_above") >= F.col("p_retailprice"))
+        )
+        .select(
+            "p_partkey",
+            money(F.col("p_retailprice")).alias("p_retailprice"),
+            "p_size",
+        )
+    )
