@@ -205,3 +205,67 @@ def stateful_user_counts_v2(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_upsert_foreachbatch(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str] = ["user_id"],
+):
+    """Streaming CDC sink: each micro-batch is compacted to its latest
+    row per key (max ts wins) and MERGE-upserted into a parquet state
+    table via ``foreachBatch`` — the standard "streaming upsert into a
+    lakehouse table" recipe when no transactional table format is
+    mounted.
+
+    foreachBatch hands over (batch_df, batch_id); with the checkpoint
+    tracking batch ids the merge is effectively-once (a replayed batch
+    re-merges the same images — idempotent because the merge is
+    keyed). State is read+rewritten per batch; a real deployment swaps
+    the parquet rewrite for a format with MERGE support, keeping this
+    exact plan.
+    """
+    import os
+
+    from pyspark.sql import Window as W
+
+    from mapreduce_hw05_spark.operators.cdc import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        latest = (
+            batch_df.withColumn(
+                "__rn",
+                F.row_number().over(
+                    W.partitionBy(*keys).orderBy(
+                        F.col("ts").desc(), F.col("event_id").desc()
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn("op", F.lit("U"))
+        )
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            base = spark.read.parquet(state_dir)
+            merged = merge_upsert(base, latest, keys)
+        else:
+            merged = latest.drop("op")
+        # Rewrite via a temp dir: the plan reads state_dir, so writing
+        # over it in place would race the scan.
+        tmp = state_dir.rstrip("/") + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -205,3 +205,39 @@ def test_stateful_user_counts_v2(spark, events):
         F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
     )
     assert as_sorted_rows(latest) == as_sorted_rows(expect)
+
+
+def test_stream_upsert_foreachbatch(spark, events, tmp_path):
+    """foreachBatch MERGE sink: after replaying all chunks, the parquet
+    state table holds exactly the latest event per user."""
+    state = str(tmp_path / "state")
+    root = str(tmp_path / "replay")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4), root)
+    q = ops.stream_upsert_foreachbatch(
+        replay.stream(), state, str(tmp_path / "ckpt")
+    ).start()
+    try:
+        while replay.push_next():
+            q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(state)
+    from pyspark.sql import Window as W
+
+    expect = (
+        events.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    assert got.count() == expect.count()
+    a = as_sorted_rows(got.select("user_id", "event_id"))
+    b = as_sorted_rows(expect.select("user_id", "event_id"))
+    assert a == b
