@@ -339,3 +339,56 @@ def q_custom_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+@contract(
+    "q_stream_upsert_cdc",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           round(value, 6) AS last_value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def q_stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert executed BY THE STREAMING ENGINE: the events
+    replay is MERGE-upserted per micro-batch into a parquet state table
+    via foreachBatch (latest row per user wins), and the final state
+    must hash-match the batch latest-per-user oracle — proving the
+    per-batch compaction + keyed merge composes to exactly the batch
+    semantics across arbitrary micro-batch boundaries.
+    """
+    events = load_table(spark, sf_dir, "events")
+    root = os.path.join(_SCRATCH, "q_upsert_" + uuid.uuid4().hex[:8])
+    os.makedirs(root, exist_ok=True)
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 3),
+                        os.path.join(root, "in"))
+    state = os.path.join(root, "state")
+    with _replay_state_partitions(spark):
+        query = ops.stream_upsert_foreachbatch(
+            replay.stream(), state, os.path.join(root, "ckpt")
+        ).start()
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    final = (
+        spark.read.parquet(state)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )
+    result = spark.createDataFrame(final.collect(), schema=final.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
