@@ -550,12 +550,17 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the supplier(s) whose Q1-1996 revenue equals the
     maximum over all suppliers.
 
-    The revenue "view" is computed once and reused for both the max and
-    the final join (Spark reuses the exchange; no second lineitem scan).
-    The scalar max travels as a one-row broadcast crossJoin — never a
-    single-partition window. Revenue is rounded to cents on both sides
-    BEFORE the equality, making the float comparison exact.
+    The max is taken as a window over the ALREADY-AGGREGATED per-
+    supplier revenue, so lineitem is scanned exactly once (a broadcast-
+    scalar formulation plans a second pruned fact scan — Catalyst's
+    static planner doesn't reuse uncached exchanges across subtrees).
+    The unpartitioned window runs over supplier-cardinality rows
+    (≪ facts), the honest cost of a global argmax. Revenue is rounded
+    to cents on both sides BEFORE the equality, making the float
+    comparison exact.
     """
+    from pyspark.sql import Window as W
+
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -563,10 +568,12 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy("l_suppkey").agg(
         money(F.sum(_rev())).alias("total_revenue")
     )
-    top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    flagged = revenue.withColumn(
+        "__max_rev", F.max("total_revenue").over(W.partitionBy())
+    )
     supp = load_table(spark, sf_dir, "supplier")
     return (
-        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("__max_rev"))
+        flagged.filter(F.col("total_revenue") == F.col("__max_rev"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
