@@ -28,6 +28,18 @@ from mapreduce_hw05_spark.streaming.replay import FileReplay, time_ordered_chunk
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
 
 
+def _fresh_scratch(prefix: str) -> str:
+    """New uuid scratch dir under .tmp; sweeps stale same-prefix dirs
+    first so a crashed earlier run can't accumulate litter."""
+    import glob
+
+    for stale in glob.glob(os.path.join(_SCRATCH, prefix + "*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    root = os.path.join(_SCRATCH, prefix + uuid.uuid4().hex[:8])
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
 @contextlib.contextmanager
 def _replay_state_partitions(spark: SparkSession, n: int = 8):
     """Scope ``spark.sql.shuffle.partitions`` down for a file-replay run.
@@ -71,8 +83,7 @@ def q_stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     (open windows × event types), never stream length.
     """
     events = load_table(spark, sf_dir, "events")
-    root = os.path.join(_SCRATCH, "q_stream_" + uuid.uuid4().hex[:8])
-    os.makedirs(root, exist_ok=True)
+    root = _fresh_scratch("q_stream_")
     replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4), root)
     name = "stream_equiv_" + uuid.uuid4().hex[:8]
     with _replay_state_partitions(spark):
@@ -124,8 +135,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     customer = load_table(spark, sf_dir, "customer")
-    root = os.path.join(_SCRATCH, "q_sstat_" + uuid.uuid4().hex[:8])
-    os.makedirs(root, exist_ok=True)
+    root = _fresh_scratch("q_sstat_")
     replay = FileReplay(spark, time_ordered_chunks(events, "ts", 3), root)
     enriched = ops.enrich_with_users(replay.stream(), customer)
     agg = (
@@ -192,8 +202,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch join (the unified-semantics guarantee this contract checks).
     """
     events = load_table(spark, sf_dir, "events")
-    root = os.path.join(_SCRATCH, "q_ssj_" + uuid.uuid4().hex[:8])
-    os.makedirs(root, exist_ok=True)
+    root = _fresh_scratch("q_ssj_")
     replay = FileReplay(spark, time_ordered_chunks(events, "ts", 3), root)
     name = "ssj_" + uuid.uuid4().hex[:8]
     with _replay_state_partitions(spark):
@@ -245,8 +254,7 @@ def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest pattern (stream → filtered columnar files → batch analytics).
     """
     events = load_table(spark, sf_dir, "events")
-    root = os.path.join(_SCRATCH, "q_fsink_" + uuid.uuid4().hex[:8])
-    os.makedirs(root, exist_ok=True)
+    root = _fresh_scratch("q_fsink_")
     replay = FileReplay(spark, time_ordered_chunks(events, "ts", 3),
                         os.path.join(root, "in"))
     out = os.path.join(root, "out")
@@ -318,8 +326,7 @@ def q_custom_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("id").alias("sum_id"),
         F.max("id_md5").alias("max_md5"),
     )
-    root = os.path.join(_SCRATCH, "q_csrc_" + uuid.uuid4().hex[:8])
-    os.makedirs(root, exist_ok=True)
+    root = _fresh_scratch("q_csrc_")
     name = "csrc_" + uuid.uuid4().hex[:8]
     with _replay_state_partitions(spark):
         query = (
@@ -365,8 +372,7 @@ def q_stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics across arbitrary micro-batch boundaries.
     """
     events = load_table(spark, sf_dir, "events")
-    root = os.path.join(_SCRATCH, "q_upsert_" + uuid.uuid4().hex[:8])
-    os.makedirs(root, exist_ok=True)
+    root = _fresh_scratch("q_upsert_")
     replay = FileReplay(spark, time_ordered_chunks(events, "ts", 3),
                         os.path.join(root, "in"))
     state = os.path.join(root, "state")
