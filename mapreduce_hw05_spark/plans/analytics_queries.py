@@ -475,3 +475,53 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_size",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cumulative distinct users — growth curve without distinct-window state
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_cumulative_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT event_type, user_id, min(CAST(ts AS DATE)) AS d
+        FROM events GROUP BY event_type, user_id
+    ), per_day AS (
+        SELECT event_type, d, count(*) AS new_users
+        FROM first_seen GROUP BY event_type, d
+    )
+    SELECT event_type,
+           strftime(d, '%Y-%m-%d') AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (
+               PARTITION BY event_type ORDER BY d
+           ) AS BIGINT) AS cumulative_users
+    FROM per_day
+    """,
+)
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience growth curve: per event type, daily NEW users (first-ever
+    appearance) and the running distinct-user total.
+
+    COUNT(DISTINCT) over a running window would keep per-row distinct
+    state; reducing each user to a single first-seen row first makes the
+    curve an ordinary cumulative sum — the day grain keeps window
+    partitions (one per event type) small no matter how many raw events
+    feed them, so the plan survives a 100× scale-up.
+    """
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy(
+        "event_type", "user_id"
+    ).agg(F.min(F.to_date("ts")).alias("d"))
+    per_day = first_seen.groupBy("event_type", "d").agg(
+        F.count("*").alias("new_users")
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    return per_day.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        lng(F.col("new_users")).alias("new_users"),
+        lng(F.sum("new_users").over(w)).alias("cumulative_users"),
+    )

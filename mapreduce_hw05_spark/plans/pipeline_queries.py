@@ -268,3 +268,49 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "token")
         .limit(30)
     )
+
+
+# --------------------------------------------------------------------------
+# Pseudonymization — salted-hash identifier replacement (privacy pass)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_pseudonymize_users",
+    oracle="""
+    WITH p AS (
+        SELECT event_type,
+               sha256('pepper42' || CAST(user_id AS VARCHAR)) AS pseudo_id
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT pseudo_id) AS BIGINT) AS n_users,
+           substr(min(pseudo_id), 1, 16) AS min_pseudo,
+           substr(max(pseudo_id), 1, 16) AS max_pseudo
+    FROM p GROUP BY event_type
+    """,
+)
+def q_pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy pass for training-data release: replace user ids with a
+    salted SHA-256 pseudonym, then prove the mapping is stable and
+    collision-free (distinct pseudonyms per type == distinct raw users)
+    via per-type counts and min/max pseudonym prefixes.
+
+    Pure Catalyst (sha2 in whole-stage codegen) — at 100 TB this is a
+    scan-rate map plus one hash aggregate; the salt would come from a
+    secret store, never the query text.
+    """
+    events = load_table(spark, sf_dir, "events")
+    pseudo = events.select(
+        "event_type",
+        F.sha2(
+            F.concat(F.lit("pepper42"), F.col("user_id").cast("string")), 256
+        ).alias("pseudo_id"),
+    )
+    return pseudo.groupBy("event_type").agg(
+        lng(F.count("*")).alias("n_events"),
+        lng(F.countDistinct("pseudo_id")).alias("n_users"),
+        F.substring(F.min("pseudo_id"), 1, 16).alias("min_pseudo"),
+        F.substring(F.max("pseudo_id"), 1, 16).alias("max_pseudo"),
+    )

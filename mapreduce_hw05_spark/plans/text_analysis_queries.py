@@ -26,7 +26,7 @@ from mapreduce_hw05_spark.functions.text_analysis import (
     token_counts,
 )
 from mapreduce_hw05_spark.operators.text import tokenize
-from mapreduce_hw05_spark.plans.common import lng, ratio
+from mapreduce_hw05_spark.plans.common import lng, ratio, spread_small
 from mapreduce_hw05_spark.plans.registry import contract
 from mapreduce_hw05_spark.sources import load_table
 
@@ -378,4 +378,133 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         lng(F.sum((F.col("rep_ratio") >= 0.2).cast("int"))).alias("n_repetitive"),
         ratio(F.avg("rep_ratio")).alias("avg_rep_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-distribution entropy — vocabulary diversity per source
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_token_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ), cnts AS (
+        SELECT source, token, count(*) AS c
+        FROM toks WHERE token <> '' GROUP BY source, token
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS distinct_tokens,
+           CAST(sum(c) AS BIGINT) AS total_tokens,
+           round(count(*) * 1.0 / sum(c), 6) AS type_token_ratio,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+    FROM cnts GROUP BY source
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution plus
+    type-token ratio — the corpus-diversity diagnostic a training-data
+    pipeline uses to catch template/boilerplate-heavy sources (low
+    entropy) before mixing.
+
+    One exploded-token aggregate then one per-source aggregate; entropy
+    uses the single-pass identity H = log2(N) - Σc·log2(c)/N so no total
+    needs to be joined back. The oracle uses the SAME identity so both
+    engines accumulate the identical float shape (rounded at 6).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = (
+        tokenize(docs, "text", "source")
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    return cnts.groupBy("source").agg(
+        lng(F.count("*")).alias("distinct_tokens"),
+        lng(F.sum("c")).alias("total_tokens"),
+        ratio(F.count("*") * F.lit(1.0) / F.sum("c")).alias("type_token_ratio"),
+        ratio(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+        ).alias("entropy_bits"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram collocations by PMI — phrase mining over the corpus
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_bigram_pmi",
+    oracle="""
+    WITH s AS (
+        SELECT string_split(text, ' ') AS w FROM documents
+    ), zipped AS (
+        SELECT unnest(list_zip(w, w[2:])) AS pr FROM s
+    ), big AS (
+        SELECT pr[1] AS w1, pr[2] AS w2 FROM zipped WHERE pr[2] IS NOT NULL
+    ), bc AS (
+        SELECT w1, w2, count(*) AS pair_n FROM big GROUP BY w1, w2
+    ), uni AS (
+        SELECT w1 AS tok, count(*) AS n FROM big GROUP BY w1
+    ), tot AS (
+        SELECT sum(pair_n) AS n FROM bc
+    )
+    SELECT w1, w2, CAST(pair_n AS BIGINT) AS pair_n,
+           round(log2((pair_n / tot.n) / ((u1.n / tot.n) * (u2.n / tot.n))), 6)
+               AS pmi
+    FROM bc, tot
+    JOIN uni u1 ON bc.w1 = u1.tok
+    JOIN uni u2 ON bc.w2 = u2.tok
+    WHERE pair_n >= 20
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 15
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-15 adjacent-word bigrams by pointwise
+    mutual information (min support 20) — the phrase-detection pass a
+    tokenizer-training pipeline runs before BPE merges.
+
+    Bigrams come from one Catalyst ``transform(sequence(...))`` over the
+    split array (no self-join on position); unigram marginals count
+    first-element occurrences on BOTH engines (so the inner join drops
+    identical pairs), and the bigram grand total arrives via a broadcast
+    one-row crossJoin, never a collect. Ordered by the ROUNDED pmi with a
+    (w1, w2) tiebreak so the top-15 cut is engine-stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    big = (
+        spread_small(docs)
+        .select(F.split("text", " ").alias("w"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.w1", "pr.w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("pair_n"))
+    uni = big.groupBy(F.col("w1").alias("tok")).agg(F.count("*").alias("n"))
+    tot = bc.agg(F.sum("pair_n").alias("total_n"))
+    pmi = (
+        F.col("pair_n") / F.col("total_n")
+        / ((F.col("n1") / F.col("total_n")) * (F.col("n2") / F.col("total_n")))
+    )
+    return (
+        bc.filter(F.col("pair_n") >= 20)
+        .join(F.broadcast(uni.select(F.col("tok"), F.col("n").alias("n1"))),
+              F.col("w1") == F.col("tok")).drop("tok")
+        .join(F.broadcast(uni.select(F.col("tok"), F.col("n").alias("n2"))),
+              F.col("w2") == F.col("tok")).drop("tok")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", lng(F.col("pair_n")).alias("pair_n"),
+                ratio(F.log2(pmi)).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(15)
     )
