@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from mapreduce_hw05_spark.operators.bloom import bloom_semi_join
 from mapreduce_hw05_spark.operators.skew import salted_join, two_phase_agg
 from mapreduce_hw05_spark.plans.common import lng, money, ratio
 from mapreduce_hw05_spark.plans.registry import contract
@@ -340,4 +341,74 @@ def q_two_phase_agg_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = two_phase_agg(li, "l_returnflag", "l_quantity", salt_buckets=16)
     return agg.select(
         "l_returnflag", money(F.col("sum_l_quantity")).alias("sum_l_quantity"), "n_rows"
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join — shuffle pre-filter correctness contract
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_bloom_join_contract",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 45)
+    GROUP BY l_returnflag
+    """,
+)
+def q_bloom_join_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem semi-joined to large parts through
+    :func:`operators.bloom.bloom_semi_join` (64 Kbit bitmap, 3 hashes),
+    checked against the PLAIN ``IN``-subquery oracle — proof that the
+    Bloom pre-filter + exact-join composition never changes the result,
+    the property that makes it safe to deploy as a shuffle reducer when
+    the build side outgrows the broadcast threshold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big_parts = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 45)
+    kept = bloom_semi_join(
+        li.withColumnRenamed("l_partkey", "partkey"),
+        big_parts.select(F.col("p_partkey").alias("partkey")),
+        "partkey",
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        money(F.sum("l_extendedprice")).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Join strategy hints — physical-plan control, result-invariance contract
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_join_hints_contract",
+    oracle="""
+    SELECT n_name,
+           count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS sum_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_hints_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same supplier⋈nation aggregate executed through an explicit
+    MERGE (sort-merge) join hint, checked against the plain-join oracle:
+    strategy hints steer the physical plan (engine test asserts
+    SortMergeJoin appears where the default would broadcast) without
+    touching results — the knob you reach for when a 'small' dim turns
+    out to be 100 GB at production scale."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").hint("merge")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            money(F.sum("s_acctbal")).alias("sum_bal"),
+        )
     )

@@ -314,3 +314,62 @@ def q_pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.min("pseudo_id"), 1, 16).alias("min_pseudo"),
         F.substring(F.max("pseudo_id"), 1, 16).alias("max_pseudo"),
     )
+
+
+# --------------------------------------------------------------------------
+# Training-mixture reweighting — per-source sampling rates to a target mix
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_domain_mix",
+    oracle="""
+    WITH per_source AS (
+        SELECT source,
+               count(*) AS n_docs,
+               sum(n_chars) AS n_chars
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT sum(n_chars) AS total_chars,
+               count(*) AS n_sources
+        FROM per_source
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           round(n_chars * 1.0 / tot.total_chars, 6) AS share,
+           round(least(
+               (1.0 / tot.n_sources) / (n_chars * 1.0 / tot.total_chars),
+               3.0
+           ), 6) AS mix_weight
+    FROM per_source, tot
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning for a training corpus: each source's share of
+    total characters and the sampling weight that moves the mix toward
+    uniform-by-source, capped at 3× so rare sources are up-weighted but
+    never dominated by repeats (the DoReMi/Pile-style static reweighting
+    pass, computed from corpus stats alone).
+
+    One per-source aggregate plus a broadcast one-row total — the output
+    is a plan (source → weight) that a sampler applies scan-side, so the
+    heavy data is read once at 100 TB and never shuffled.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    tot = per_source.agg(
+        F.sum("n_chars").alias("total_chars"), F.count("*").alias("n_sources")
+    )
+    share = F.col("n_chars") * F.lit(1.0) / F.col("total_chars")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        lng(F.col("n_docs")).alias("n_docs"),
+        lng(F.col("n_chars")).alias("n_chars"),
+        ratio(share).alias("share"),
+        ratio(F.least(F.lit(1.0) / F.col("n_sources") / share, F.lit(3.0))).alias(
+            "mix_weight"
+        ),
+    )

@@ -440,6 +440,58 @@ def test_zorder_tightens_file_envelopes(spark, tmp_path):
         total_y_extent(zordered), total_y_extent(xsorted))
 
 
+# ------------------------------------------------------- bloom pre-filter
+
+
+def test_bloom_prunes_probe_keys_without_changing_results(spark):
+    """The bitmap is tiny, candidates are a superset of true members that
+    actually prunes non-members, and the composed semi-join is exact."""
+    from mapreduce_hw05_spark.operators.bloom import (
+        bloom_build,
+        bloom_candidate_keys,
+        bloom_semi_join,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").withColumnRenamed(
+        "l_partkey", "partkey"
+    )
+    build = (
+        load_table(spark, SF_DIR, "part")
+        .filter(F.col("p_size") >= 45)
+        .select(F.col("p_partkey").alias("partkey"))
+    )
+    bitmap = bloom_build(build, "partkey")
+    assert bitmap.count() <= (1 << 16) // 64  # ≤ num_bits/64 words
+
+    probe_keys = li.select("partkey").distinct()
+    cand = set(
+        r[0]
+        for r in bloom_candidate_keys(probe_keys, "partkey", bitmap).collect()
+    )
+    true_keys = set(r[0] for r in build.collect())
+    probed = set(r[0] for r in probe_keys.collect())
+    assert true_keys & probed <= cand  # no false negatives
+    assert len(cand) < len(probed)  # the filter actually prunes
+
+    got = sorted(map(tuple, bloom_semi_join(li, build, "partkey").collect()))
+    want = sorted(map(tuple, li.join(build, "partkey", "left_semi").collect()))
+    assert got == want
+
+
+# ------------------------------------------------------------ join hints
+
+
+def test_merge_hint_overrides_broadcast_choice(spark):
+    """nation is far below the broadcast threshold, so the default plan
+    broadcasts; the MERGE hint must force SortMergeJoin anyway."""
+    from mapreduce_hw05_spark.plans.agg_ext_queries import q_join_hints_contract
+
+    df = q_join_hints_contract(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
 # ------------------------------------------------------------ plan audit
 
 
