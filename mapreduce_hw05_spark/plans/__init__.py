@@ -23,6 +23,7 @@ from mapreduce_hw05_spark.plans import (  # noqa: F401  (import = register)
     analytics_queries,
     pipeline_queries,
     tpch_queries,
+    governance_queries,
 )
 from mapreduce_hw05_spark.plans.registry import ORACLES, QUERIES
 
