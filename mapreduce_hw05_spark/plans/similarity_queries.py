@@ -339,3 +339,32 @@ def q_near_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("id1", "id2", ratio(jac).alias("jaccard"))
     )
+
+
+@contract("q_pca_variance")  # rows-only: eigendecomposition is not SQL
+def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal components of the embedding corpus: eigenvalue,
+    explained-variance ratio, and cumulative ratio per component, via
+    :mod:`operators.pca` — one mapInPandas pass reduces the data to
+    per-batch Gram partials, a 4 096-row Catalyst aggregate sums them,
+    and only the 64×64 covariance reaches the driver for ``eigh``.
+
+    Rows-only contract; the engine test cross-checks the eigenvalues
+    against a direct single-machine NumPy decomposition and verifies the
+    projected scores reproduce the spectrum.
+    """
+    from mapreduce_hw05_spark.operators.pca import fit_pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, "embedding", k=8)
+    total = model["total_variance"]
+    cum = 0.0
+    rows = []
+    for i, ev in enumerate(model["eigenvalues"]):
+        cum += float(ev)
+        rows.append(
+            (i, round(float(ev), 6), round(float(ev) / total, 6), round(cum / total, 6))
+        )
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double, cum_ratio double"
+    )

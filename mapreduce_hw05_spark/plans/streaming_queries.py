@@ -398,3 +398,65 @@ def q_stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(final.collect(), schema=final.schema)
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+@contract(
+    "q_stream_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start_epoch,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) computed BY THE STREAMING
+    ENGINE: the events replay runs through ``F.session_window`` state
+    that MERGES windows as later micro-batches extend open sessions, and
+    the final table must hash-match the batch gap-and-cumsum oracle.
+
+    Boundary semantics pinned by experiment: a Spark session window is
+    ``[start, last_event + gap)``, so an event at exactly ``last + gap``
+    opens a NEW session — the oracle's gap comparison is ``>=``, not
+    ``>``. State is bounded by OPEN sessions per user (closed windows
+    are emitted and dropped under a watermark in append mode; complete
+    mode here keeps them only because the memory sink needs the full
+    table for the hash check).
+    """
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_sesswin_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4), root)
+    name = "stream_sesswin_" + uuid.uuid4().hex[:8]
+    with _replay_state_partitions(spark):
+        query = (
+            ops.session_window_stats(replay.stream())
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    result = spark.createDataFrame(
+        spark.table(name).collect(), schema=spark.table(name).schema
+    )
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(root, ignore_errors=True)
+    return result

@@ -86,3 +86,28 @@ def test_observe_metrics_accumulator_analog(spark):
         li.agg(F.sum("l_quantity")).first()[0]
     )
     assert 0 < n < metrics["rows_seen"]
+
+
+def test_pca_matches_single_machine_decomposition(spark):
+    """Distributed Gram-partial PCA must reproduce numpy's direct
+    covariance eigendecomposition, and projecting onto the components
+    must reproduce the spectrum (score variance == eigenvalue)."""
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.pca import fit_pca, pca_project
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    model = fit_pca(emb, "embedding", k=5)
+
+    x = np.stack([r["embedding"] for r in emb.select("embedding").collect()])
+    x = x.astype(np.float64)
+    direct = np.linalg.eigvalsh(np.cov(x, rowvar=False))[::-1][:5]
+    assert np.allclose(model["eigenvalues"], direct, atol=1e-9)
+
+    scores = np.stack(
+        [r["pc"] for r in pca_project(emb, "embedding", model).select("pc").collect()]
+    )
+    assert np.allclose(scores.var(axis=0, ddof=1), model["eigenvalues"], atol=1e-9)
+    # components are orthonormal
+    c = model["components"]
+    assert np.allclose(c @ c.T, np.eye(5), atol=1e-9)
