@@ -412,3 +412,23 @@ def q_join_hints_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum("s_acctbal")).alias("sum_bal"),
         )
     )
+
+
+@contract("q_approx_quantile")  # rows-only: sketch output is engine-specific
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of order totals per status via
+    ``percentile_approx`` (Greenwald–Khanna sketch, accuracy 1/10000) —
+    the single-pass, mergeable-sketch path for quantiles at 100 TB where
+    exact percentiles would need a full sort. Deterministic for fixed
+    input; the invariant test bounds its error against the exact
+    percentiles, so this is rows-only, not oracle-hashed.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    q = F.percentile_approx("o_totalprice", F.array(
+        F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000))
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.element_at(q, 1), 2).alias("p50"),
+        F.round(F.element_at(q, 2), 2).alias("p90"),
+        F.round(F.element_at(q, 3), 2).alias("p99"),
+        F.count("*").alias("n_orders"),
+    )

@@ -424,3 +424,52 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         lng(F.max(k)).alias("max_k"),
         F.count(absent).alias("n_absent"),
     )
+
+
+@contract(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH stepped AS (
+        SELECT user_id, value, ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_ts
+        FROM events
+    ), weighted AS (
+        SELECT user_id,
+               value * (epoch_us(next_ts) - epoch_us(ts)) / 1000000.0
+                   AS v_dur,
+               (epoch_us(next_ts) - epoch_us(ts)) / 1000000.0 AS dur
+        FROM stepped WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           round(sum(v_dur) / sum(dur), 6) AS twa_value
+    FROM weighted GROUP BY user_id
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled series: each
+    observation holds until the next one (step interpolation), so its
+    weight is the interval it covers — the correct mean for sensor-style
+    data where a plain AVG over-counts bursts of dense samples.
+
+    One window pass (lead) + one keyed aggregate; no state beyond the
+    per-key sort the window already needs.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.withColumn("next_ts", F.lead("ts").over(w)).filter(
+        F.col("next_ts").isNotNull()
+    )
+    dur = (
+        F.unix_micros("next_ts") - F.unix_micros("ts")
+    ) / F.lit(1000000.0)
+    weighted = stepped.select(
+        "user_id", (F.col("value") * dur).alias("v_dur"), dur.alias("dur")
+    )
+    return weighted.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        ratio(F.sum("v_dur") / F.sum("dur")).alias("twa_value"),
+    )

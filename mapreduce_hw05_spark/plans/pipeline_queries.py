@@ -373,3 +373,28 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mix_weight"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer training — BPE merge induction
+# --------------------------------------------------------------------------
+
+
+@contract("q_bpe_merges")  # rows-only: iterative algorithm, no SQL analog
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 BPE merges learned from the documents corpus via
+    :mod:`operators.bpe` — the tokenizer-training pass of an LLM data
+    pipeline. The working set is one row per DISTINCT word; each round
+    counts adjacent symbol pairs in Catalyst, ships exactly one winning
+    pair to the driver, and rewrites symbols with a vectorized pandas
+    UDF. Deterministic tie-break (weight desc, pair asc) makes the merge
+    list reproducible; the engine test checks it against a pure-Python
+    reference implementation.
+    """
+    from mapreduce_hw05_spark.operators.bpe import learn_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, "text", n_merges=10)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, weight long"
+    )

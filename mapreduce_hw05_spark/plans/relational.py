@@ -774,3 +774,36 @@ def q_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(price).alias("max_exact"),
         F.count("*").alias("n_orders"),
     )
+
+
+@contract(
+    "q_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-09-02'
+    GROUP BY ALL
+    """,
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point end-to-end: the fixture registered as a temp
+    view and the aggregate written in Spark SQL with the modern
+    ``GROUP BY ALL`` shorthand (every non-aggregated select item groups)
+    — same text a DuckDB/BigQuery user would write, parsed by Spark's
+    parser into the identical Catalyst plan the DataFrame API builds.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_v"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem_v
+        WHERE l_shipdate < TIMESTAMP '1998-09-02'
+        GROUP BY ALL
+        """
+    )

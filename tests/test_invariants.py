@@ -111,3 +111,44 @@ def test_pca_matches_single_machine_decomposition(spark):
     # components are orthonormal
     c = model["components"]
     assert np.allclose(c @ c.T, np.eye(5), atol=1e-9)
+
+
+def test_approx_quantile_close_to_exact(spark):
+    """GK-sketch percentiles must land within 1% (relative) of the exact
+    sort-based percentiles at fixture scale."""
+    from mapreduce_hw05_spark.plans.agg_ext_queries import q_approx_quantile
+
+    approx = {
+        r["o_orderstatus"]: (r["p50"], r["p90"], r["p99"])
+        for r in q_approx_quantile(spark, SF_DIR).collect()
+    }
+    o = load_table(spark, SF_DIR, "orders")
+    exact = {
+        r["o_orderstatus"]: (r["e50"], r["e90"], r["e99"])
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("e50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("e90"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("e99"),
+        )
+        .collect()
+    }
+    for status, (a50, a90, a99) in approx.items():
+        for a, e in zip((a50, a90, a99), exact[status]):
+            assert abs(a - e) / e < 0.01, (status, a, e)
+
+
+def test_bpe_matches_reference_implementation(spark):
+    """Distributed BPE must learn the exact merge list the single-machine
+    reference learns from the same word counts (deterministic ties)."""
+    from mapreduce_hw05_spark.operators.bpe import (
+        learn_bpe,
+        learn_bpe_local,
+        word_counts,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = learn_bpe(docs, "text", n_merges=8)
+    wc = {r["word"]: r["cnt"] for r in word_counts(docs, "text").collect()}
+    want = learn_bpe_local(wc, n_merges=8)
+    assert got == want, (got[:3], want[:3])
