@@ -24,6 +24,11 @@ from pyspark.sql import SparkSession
 #: SQL confs that are safe to (re)apply to an existing session.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Fixture `events.ts` is Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false);
+    # Spark 4 otherwise infers TIMESTAMP_NTZ, which unix_micros()/window()
+    # time arithmetic rejects. With the UTC session zone the LTZ reading is
+    # value-identical to the oracle's naive timestamps.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -32,18 +32,30 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing physical-type quirks.
 
-    ``events.ts`` is Parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as int64
-    nanoseconds and is cast to a microsecond TIMESTAMP here. The cast uses
-    integer division (``ts DIV 1000``): float division would round through
-    a double whose ulp at ~1.7e18 ns is ~256 ns and corrupt microseconds.
-    The fixture's timestamps are µs-aligned (verified), so this cast is
-    lossless and hash-stable against the DuckDB oracle.
+    ``events.ts`` has shipped as two physical types across fixture
+    generations; both are normalized to a microsecond TIMESTAMP (LTZ,
+    session zone UTC) so downstream arithmetic (``unix_micros``,
+    ``window``) is uniform:
+
+    - Parquet TIMESTAMP(NANOS): with
+      ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as int64
+      nanoseconds and is cast here with integer division (``ts DIV
+      1000``) — float division would round through a double whose ulp at
+      ~1.7e18 ns is ~256 ns and corrupt microseconds.
+    - Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): read as LTZ via
+      ``spark.sql.parquet.inferTimestampNTZ.enabled=false`` (session
+      conf); if a caller-built session pinned that conf statically and a
+      TIMESTAMP_NTZ still surfaces, the cast below rebinds the same wall
+      clock to UTC — value-identical to the oracle's naive timestamps.
     """
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
