@@ -432,3 +432,85 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(q, 3), 2).alias("p99"),
         F.count("*").alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg-12 (ext) — exact median (percentile_cont 0.5)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_median_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_quantity), 6) AS med_qty,
+           round(median(l_extendedprice), 6) AS med_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group medians over lineitem (percentile_cont semantics:
+    linear interpolation between the two middle values on even counts).
+
+    Exact percentile is a full-sort-per-group aggregate — fine per group
+    at any scale since groups are few; the single-pass mergeable-sketch
+    alternative for 100 TB interactive use is q_approx_quantile.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        ratio(F.median("l_quantity")).alias("med_qty"),
+        ratio(F.median("l_extendedprice")).alias("med_price"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg-13 (ext) — winsorized mean (robust stats: clamp at p05/p95)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_winsorized_mean",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(avg(e.value), 6) AS avg_raw,
+           round(avg(least(greatest(e.value, q.p05), q.p95)), 6) AS avg_winsor,
+           CAST(sum(CASE WHEN e.value < q.p05 OR e.value > q.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of events.value per type: clamp below-p05 /
+    above-p95 values to the exact percentile bounds, then average —
+    the outlier-robust aggregate for quality-score distributions.
+
+    Two passes over the fact: one exact-percentile agg (few groups →
+    tiny result, broadcast back), one clamp+avg probe. At 100 TB the
+    first pass drops to percentile_approx with no shape change.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    out_of_range = (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            ratio(F.avg("value")).alias("avg_raw"),
+            ratio(F.avg(clamped)).alias("avg_winsor"),
+            F.sum(out_of_range.cast("long")).alias("n_clamped"),
+        )
+    )

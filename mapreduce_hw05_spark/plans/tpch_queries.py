@@ -628,3 +628,51 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum("c_acctbal")).alias("total_acctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q9 shape (adapted) — product-type profit by supplier nation × year
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_tpch_q9_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(year(l_shipdate) AS BIGINT) AS o_year,
+           round(sum({_REV_SQL}), 2) AS profit,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(l_shipdate)
+    """,
+)
+def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape adapted to this schema (no partsupp, so profit is
+    discounted revenue): per supplier-nation × ship-year profit over
+    'red' parts.
+
+    The LIKE filter prunes part before its broadcast; supplier⋈nation
+    collapses to one broadcast dim; only the lineitem probe side scans
+    at fact scale — the canonical star-join profile for a 100 TB fact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            lng(F.year("l_shipdate")).alias("o_year"),
+        )
+        .agg(
+            money(F.sum(_rev())).alias("profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )

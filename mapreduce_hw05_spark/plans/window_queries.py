@@ -196,3 +196,101 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         lng(F.count("*").over(w)).alias("n_trailing_hour"),
         money(F.sum("value").over(w)).alias("sum_trailing_hour"),
     )
+
+
+# --------------------------------------------------------------------------
+# w-6 (ext) — ntile bucketing: totalprice quartiles per order priority
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_ntile_quartiles",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(quartile AS BIGINT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM (
+        SELECT o_orderpriority, o_totalprice,
+               ntile(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders
+    )
+    GROUP BY o_orderpriority, quartile
+    """,
+)
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency quartiles of o_totalprice within each order
+    priority (ntile), summarized as count + price bounds per bucket.
+
+    ntile needs a total order to be deterministic — o_orderkey breaks
+    price ties identically on both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            lng(F.ntile(4).over(w)).alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            money(F.min("o_totalprice")).alias("min_price"),
+            money(F.max("o_totalprice")).alias("max_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# w-7 (ext) — gaps-and-islands: consecutive-active-day streaks per user
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), numbered AS (
+        SELECT user_id, day,
+               CAST(day - DATE '1970-01-01' AS BIGINT)
+                 - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                 AS grp
+        FROM days
+    ), islands AS (
+        SELECT user_id, grp, count(*) AS len
+        FROM numbered GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM islands GROUP BY user_id
+    """,
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-active-day streaks per user (gaps-and-islands): the
+    classic ``day_ordinal - row_number()`` grouping key is constant
+    within a run of consecutive days and jumps at every gap.
+
+    All three hops (distinct, window, two aggs) share the user_id
+    shuffle key, so Catalyst plans one exchange and keeps the window
+    and aggregations co-partitioned.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    numbered = days.withColumn(
+        "grp",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).cast("long")
+        - F.row_number().over(w),
+    )
+    islands = numbered.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return islands.groupBy("user_id").agg(
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("active_days"),
+    )
