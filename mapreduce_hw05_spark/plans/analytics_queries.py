@@ -525,3 +525,46 @@ def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         lng(F.col("new_users")).alias("new_users"),
         lng(F.sum("new_users").over(w)).alias("cumulative_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# an-10 — month-over-month revenue growth (agg → lag on the aggregate)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_mom_growth",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               sum(o_totalprice) AS rev,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(month, '%Y-%m') AS month,
+           round(rev, 2) AS rev,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           round(rev / lag(rev) OVER (ORDER BY month) - 1, 6) AS mom_growth
+    FROM m
+    """,
+)
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month growth rate — aggregate
+    first, window over the (tiny) aggregate second.
+
+    The lag window runs on one partition, but over ~tens of monthly rows
+    regardless of input scale: aggregate-then-window keeps the
+    single-partition stage O(months), never O(fact).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum("o_totalprice").alias("rev"),
+        F.count("*").alias("n_orders"),
+    )
+    w = W.orderBy("month")
+    return monthly.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        money(F.col("rev")).alias("rev"),
+        "n_orders",
+        ratio(F.col("rev") / F.lag("rev").over(w) - 1).alias("mom_growth"),
+    )

@@ -9,7 +9,7 @@ for batch-equivalence in tests/.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mapreduce_hw05_spark.operators.sessions import session_stats
@@ -472,4 +472,59 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted.groupBy("user_id").agg(
         F.count("*").alias("n_intervals"),
         ratio(F.sum("v_dur") / F.sum("dur")).alias("twa_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ev-9 (ext) — ordered event sequences per user (behavioral n-gram input)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_event_sequences",
+    oracle="""
+    WITH numbered AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY rn) AS seq,
+           CAST(count(*) AS BIGINT) AS seq_len
+    FROM numbered
+    WHERE rn <= 10
+    GROUP BY user_id
+    """,
+)
+def q_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's first 10 events as a '>'-joined event-type sequence in
+    strict (ts, event_id) order — the per-entity ordered-collect pattern
+    behind behavioral sequence models.
+
+    collect_list is merge-order-nondeterministic, so order is pinned by
+    collecting (rn, event_type) structs and sort_array-ing them (struct
+    comparison is field-lexicographic and rn is unique). The window and
+    the aggregation share the user_id shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 10)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("seq"),
+            F.count("*").alias("seq_len"),
+        )
     )
