@@ -368,3 +368,74 @@ def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, explained_ratio double, cum_ratio double"
     )
+
+
+# --------------------------------------------------------------------------
+# llm-12 (ext) — int8 scalar quantization of embeddings + reconstruction MSE
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_embedding_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT label,
+               embedding::DOUBLE[] AS vec,
+               list_min(embedding::DOUBLE[]) AS mn,
+               list_max(embedding::DOUBLE[]) AS mx
+        FROM embeddings
+    ), scaled AS (
+        SELECT label, vec, mn, mx, (mx - mn) / 255.0 AS step
+        FROM v
+    ), err AS (
+        SELECT label, mx - mn AS rng,
+               CASE WHEN mx = mn THEN 0.0 ELSE
+                   list_sum(list_transform(
+                       list_transform(vec,
+                           x -> x - (mn + round((x - mn) / step) * step)),
+                       d -> d * d)) / len(vec)
+               END AS mse
+        FROM scaled
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(rng), 6) AS avg_range,
+           round(avg(mse) * 1000000, 6) AS mse_ppm
+    FROM err GROUP BY label
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (256 levels across each
+    vector's own [min, max]) with per-label reconstruction MSE — the
+    4×-compression pass applied to embedding stores before ANN serving.
+
+    All element math is linear per row (JVM-side higher-order
+    functions, map-only, no shuffle) — the HOF anti-pattern is
+    quadratic pairwise work, not O(dim) transforms. Floats are widened
+    to double before arithmetic so both engines compute on identical
+    bits.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    df = (
+        emb.select("label", vec.alias("vec"))
+        .withColumn("mn", F.array_min("vec"))
+        .withColumn("mx", F.array_max("vec"))
+        .withColumn("step", (F.col("mx") - F.col("mn")) / F.lit(255.0))
+    )
+    diff = F.transform(
+        "vec",
+        lambda x: x - (F.col("mn") + F.round((x - F.col("mn")) / F.col("step")) * F.col("step")),
+    )
+    mse = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        F.aggregate(diff, F.lit(0.0), lambda acc, d: acc + d * d) / F.size("vec")
+    )
+    return (
+        df.select("label", (F.col("mx") - F.col("mn")).alias("rng"), mse.alias("mse"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            ratio(F.avg("rng")).alias("avg_range"),
+            ratio(F.avg("mse") * 1_000_000).alias("mse_ppm"),
+        )
+    )
