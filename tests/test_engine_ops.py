@@ -517,3 +517,29 @@ def test_tpch_q6_pushdown_reaches_scan(spark):
     assert read_cols == {
         "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
     }, read_cols
+
+
+def test_q9_profit_broadcasts_all_dims(spark):
+    """The Q9-style star join must broadcast every dim (part, supplier,
+    nation) so the lineitem fact never shuffles for the join, and the
+    p_name LIKE filter must prune the part side before its broadcast."""
+    from mapreduce_hw05_spark.plans.tpch_queries import q_tpch_q9_profit
+
+    df = q_tpch_q9_profit(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_activity_streaks_single_exchange(spark):
+    """distinct → window → two aggs all share the user_id key; Catalyst
+    must plan at most two exchanges (initial key shuffle + AQE reads),
+    never re-shuffle between window and aggregation."""
+    from mapreduce_hw05_spark.plans.window_queries import q_activity_streaks
+
+    df = q_activity_streaks(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges <= 2, plan
