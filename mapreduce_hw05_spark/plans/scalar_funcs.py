@@ -176,3 +176,90 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# f-2b (ext) — calendar-function battery (month rolls, ISO week/day)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_calendar_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH,
+                    '%Y-%m-%d') AS due_3mo,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS month_end,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS day_of_year
+    FROM orders
+    """,
+)
+def q_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar battery per order: +3-month due date (month-end clamped),
+    month end, ISO week number, ISO day-of-week, day-of-year.
+
+    The cross-engine traps are pinned explicitly: both engines clamp
+    add_months at month ends, weekofyear is ISO-8601 in both, and
+    Spark's Sunday-first ``dayofweek`` is replaced by ``weekday()+1``
+    to match DuckDB's ``isodow`` (Mon=1…Sun=7).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("due_3mo"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        lng(F.weekofyear("o_orderdate")).alias("iso_week"),
+        lng(F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        lng(F.dayofyear("o_orderdate")).alias("day_of_year"),
+    )
+
+
+# --------------------------------------------------------------------------
+# f-4b (ext) — null-semantics battery (nullif/coalesce/null-safe compare)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_null_semantics",
+    oracle="""
+    WITH e AS (
+        SELECT event_id,
+               nullif(event_type, 'view') AS et_null,
+               CASE WHEN value < 50 THEN NULL ELSE value END AS v_null
+        FROM events
+    )
+    SELECT et_null,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(v_null) AS BIGINT) AS n_value_nonnull,
+           round(avg(v_null), 6) AS avg_nonnull,
+           round(avg(coalesce(v_null, 0.0)), 6) AS avg_zero_filled,
+           CAST(sum(CASE WHEN v_null IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq
+    FROM e GROUP BY et_null
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics battery: NULL group keys survive GROUP BY as their
+    own group, count(col) skips nulls while count(*) doesn't, avg
+    ignores nulls vs coalesce-zero-fill, and the null-safe comparator
+    (`IS NOT DISTINCT FROM` / ``eqNullSafe``) treats NULL=NULL as true.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.nullif("event_type", F.lit("view")).alias("et_null"),
+        F.when(F.col("value") < 50, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v_null"),
+    )
+    return e.groupBy("et_null").agg(
+        F.count("*").alias("n_total"),
+        F.count("v_null").alias("n_value_nonnull"),
+        ratio(F.avg("v_null")).alias("avg_nonnull"),
+        ratio(F.avg(F.coalesce("v_null", F.lit(0.0)))).alias("avg_zero_filled"),
+        F.sum(F.col("v_null").eqNullSafe(F.lit(None).cast("double")).cast("long")).alias(
+            "n_null_safe_eq"
+        ),
+    )
