@@ -263,3 +263,38 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_null_safe_eq"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# f-9 (ext) — bitwise battery (operators + bit aggregates)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_bitwise_funcs",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(event_id & 255) AS BIGINT) AS and_low,
+           CAST(bit_or(event_id & 255) AS BIGINT) AS or_low,
+           CAST(bit_xor(event_id) AS BIGINT) AS xor_all,
+           CAST(sum(bit_count(CAST(event_id AS BIGINT))) AS BIGINT)
+               AS popcount_sum,
+           CAST(max((event_id << 2) | 3) AS BIGINT) AS shifted_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise battery per event_type: AND/OR/XOR bit aggregates (the
+    primitives behind bitmap indexes and Bloom-bitmap builds), popcount,
+    and shift/mask operators.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    low = F.col("event_id").bitwiseAND(F.lit(255))
+    return ev.groupBy("event_type").agg(
+        F.bit_and(low).alias("and_low"),
+        F.bit_or(low).alias("or_low"),
+        F.bit_xor("event_id").alias("xor_all"),
+        F.sum(F.bit_count("event_id")).alias("popcount_sum"),
+        F.max(F.shiftleft("event_id", 2).bitwiseOR(F.lit(3))).alias("shifted_max"),
+    )

@@ -543,3 +543,38 @@ def test_activity_streaks_single_exchange(spark):
 
     n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_exchanges <= 2, plan
+
+
+def test_secondary_sort_within_partitions(spark):
+    import re
+
+    """The genre's 'secondary sort' (composite key + grouping comparator)
+    realized physically: repartition on the grouping key, sortWithinPartitions
+    on (key, ts) — every partition must hold each key contiguously with ts
+    non-decreasing inside it, with NO global shuffle-sort stage."""
+    from mapreduce_hw05_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts", "event_id")
+    df = ev.repartition(8, "user_id").sortWithinPartitions("user_id", "ts", "event_id")
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # SortExec prints as `Sort [exprs], <global>, 0` — must be local-only
+    sort_flags = re.findall(r"Sort \[[^\]]*\], (true|false), 0", plan)
+    assert sort_flags and set(sort_flags) == {"false"}, plan
+
+    def check(rows):
+        prev = None
+        seen_keys = set()
+        for r in rows:
+            key = (r.user_id,)
+            if prev is None or prev[0] != r.user_id:
+                assert r.user_id not in seen_keys  # keys contiguous
+                seen_keys.add(r.user_id)
+            else:
+                assert (prev[1], prev[2]) <= (r.ts, r.event_id)  # sorted within key
+            prev = (r.user_id, r.ts, r.event_id)
+        yield len(seen_keys)
+
+    # each user_id lands in exactly one partition
+    per_part_keys = df.rdd.mapPartitions(check).collect()
+    assert sum(per_part_keys) == ev.select("user_id").distinct().count()
