@@ -514,3 +514,40 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(out_of_range.cast("long")).alias("n_clamped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg-14 (ext) — mergeable HLL sketch rollup (pre-aggregated distinct)
+# --------------------------------------------------------------------------
+
+
+@contract("q_hll_rollup")  # rows-only: sketch estimates are engine-specific
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches-HLL rollup: per (event_type, day) user sketches built
+    once, then union-merged per event_type and estimated — the
+    pre-aggregation pattern that makes distinct counting reaggregatable
+    at 100 TB (daily sketch partials persist; any date-range distinct is
+    a cheap union of sketches, never a re-scan of raw events).
+
+    Rows-only contract; the invariant test bounds the estimate against
+    the exact distinct count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count("*").alias("n"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.sum("n").alias("n_events"),
+            F.count("*").alias("n_days"),
+        )
+        .select(
+            "event_type",
+            lng(F.col("approx_users")).alias("approx_users"),
+            "n_events",
+            "n_days",
+        )
+    )

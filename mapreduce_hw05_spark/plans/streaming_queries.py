@@ -460,3 +460,61 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+@contract(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           user_id,
+           event_type,
+           round(value, 6) AS value
+    FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st-5 executed BY THE STREAMING ENGINE: every replay chunk is
+    pushed TWICE (each copy a separate file drop, mostly separate
+    micro-batches — the at-least-once delivery model of a flaky
+    upstream), and stateful ``dropDuplicates`` on (event_id, ts) within
+    the watermark horizon must reconstruct exactly the original fixture.
+
+    The watermark delay is set beyond the fixture's time span so no
+    dedup state expires mid-replay; at scale the delay shrinks to the
+    real delivery-lag bound and state stays O(events within horizon).
+    """
+    events = load_table(spark, sf_dir, "events")
+    chunks = time_ordered_chunks(events, "ts", 3)
+    doubled = [c for chunk in chunks for c in (chunk, chunk)]
+    root = _fresh_scratch("q_sdedup_")
+    replay = FileReplay(spark, doubled, os.path.join(root, "in"))
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    with _replay_state_partitions(spark):
+        query = (
+            ops.dedup_events(replay.stream(), watermark="3650 days")
+            .select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "event_type",
+                F.round("value", 6).alias("value"),
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    result = spark.createDataFrame(
+        spark.table(name).collect(), schema=spark.table(name).schema
+    )
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(root, ignore_errors=True)
+    return result

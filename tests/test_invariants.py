@@ -152,3 +152,26 @@ def test_bpe_matches_reference_implementation(spark):
     wc = {r["word"]: r["cnt"] for r in word_counts(docs, "text").collect()}
     want = learn_bpe_local(wc, n_merges=8)
     assert got == want, (got[:3], want[:3])
+
+
+def test_hll_rollup_estimate_close_to_exact(spark):
+    """Union-merged daily sketches must estimate within 2% of the exact
+    per-type distinct user count at lgConfigK=14."""
+    from mapreduce_hw05_spark.plans.agg_ext_queries import q_hll_rollup
+    from mapreduce_hw05_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in q_hll_rollup(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(2, 0.02 * n), (et, approx[et], n)
