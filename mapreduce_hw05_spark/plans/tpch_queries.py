@@ -676,3 +676,56 @@ def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q16 shape (adapted) — supplier diversity per part attribute group
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_tpch_q16_suppliers",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#17'
+      AND p_type NOT LIKE 'ECONOMY%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape adapted (lineitem plays partsupp as the
+    part↔supplier relation; negative account balance plays the
+    complaint filter): distinct suppliers per surviving (brand, type,
+    size) group.
+
+    The excluded-supplier set is a broadcast anti join (NOT IN over a
+    null-free key ≡ anti join); all part predicates prune the broadcast
+    dim before the fact probe; count(DISTINCT) expands to the two-level
+    aggregate, both levels keyed on the group-by columns.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#17")
+        & ~F.col("p_type").like("ECONOMY%")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
