@@ -137,3 +137,61 @@ def learn_bpe_local(word_cnt: dict[str, int], n_merges: int) -> list[tuple]:
                     i += 1
             seqs[w] = out
     return merges
+
+
+def encode_words(words: DataFrame, merges: list[tuple]) -> DataFrame:
+    """Encode each distinct word with the learned merge list → (word,
+    cnt, tokens array<string>).
+
+    Classic BPE application: start from characters (+ end-of-word mark),
+    repeatedly merge the adjacent pair with the LOWEST merge rank until
+    none applies. Greedy rank order is genuinely sequential per word —
+    the vectorized-pandas-UDF escape hatch — but runs on the
+    distinct-word table, never per occurrence, and the rank table rides
+    to executors inside the UDF closure (broadcast-sized: one entry per
+    merge).
+    """
+    rank = {(a, b): r for r, a, b, _w in merges}
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def enc(col: pd.Series) -> pd.Series:
+        def one(word: str) -> list[str]:
+            seq = list(word) + [END]
+            while len(seq) > 1:
+                best_rank, best_i = None, None
+                for i in range(len(seq) - 1):
+                    r = rank.get((seq[i], seq[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_i is None:
+                    break
+                seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+            return seq
+        return col.map(one)
+
+    return words.withColumn("tokens", enc(F.col("word")))
+
+
+def encode_words_local(
+    word_cnt: dict[str, int], merges: list[tuple]
+) -> dict[str, list[str]]:
+    """Single-machine reference encode (for differential tests)."""
+    rank = {(a, b): r for r, a, b, _w in merges}
+    out: dict[str, list[str]] = {}
+    for word in word_cnt:
+        seq = list(word) + [END]
+        while len(seq) > 1:
+            best = min(
+                (
+                    (rank[(seq[i], seq[i + 1])], i)
+                    for i in range(len(seq) - 1)
+                    if (seq[i], seq[i + 1]) in rank
+                ),
+                default=None,
+            )
+            if best is None:
+                break
+            i = best[1]
+            seq[i : i + 2] = [seq[i] + seq[i + 1]]
+        out[word] = seq
+    return out

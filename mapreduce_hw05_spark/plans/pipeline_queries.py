@@ -398,3 +398,33 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, weight long"
     )
+
+
+@contract("q_bpe_encode")  # rows-only: depends on the learned merge list
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: learn 10 BPE merges, encode the corpus,
+    and emit the top-20 subword tokens by corpus frequency — the
+    vocabulary-build + encode pass that follows merge induction in an
+    LLM data pipeline.
+
+    Encoding runs on the distinct-word table (one pandas-UDF row per
+    word type, never per occurrence); corpus frequencies come from
+    re-weighting by the word counts, so the explode fans out over word
+    TYPES × tokens-per-word — bounded by vocabulary, not corpus size.
+    """
+    from mapreduce_hw05_spark.operators.bpe import (
+        encode_words,
+        learn_bpe,
+        word_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, "text", n_merges=10)
+    encoded = encode_words(word_counts(docs, "text"), merges)
+    return (
+        encoded.select(F.explode("tokens").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(20)
+    )

@@ -175,3 +175,27 @@ def test_hll_rollup_estimate_close_to_exact(spark):
     assert set(approx) == set(exact)
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(2, 0.02 * n), (et, approx[et], n)
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Distributed BPE encode must reproduce the single-machine greedy
+    encoder token-for-token over every distinct word."""
+    from mapreduce_hw05_spark.operators.bpe import (
+        encode_words,
+        encode_words_local,
+        learn_bpe,
+        word_counts,
+    )
+    from mapreduce_hw05_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    wc_df = word_counts(docs, "text")
+    word_cnt = {r["word"]: r["cnt"] for r in wc_df.collect()}
+    merges = learn_bpe(docs, "text", n_merges=10)
+
+    got = {
+        r["word"]: list(r["tokens"])
+        for r in encode_words(wc_df, merges).collect()
+    }
+    want = encode_words_local(word_cnt, merges)
+    assert got == want
