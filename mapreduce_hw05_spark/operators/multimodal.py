@@ -177,3 +177,52 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
                 )
 
     return media.mapInPandas(kernel, schema=_FRAMES_SCHEMA)
+
+
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("resized_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Resize image payloads by an integer downsample ``factor``:
+    decode → strided subsample (the stand-in for real interpolation) →
+    re-encode bytes.
+
+    Same mapInPandas contract as :func:`extract_features` — narrow,
+    Arrow-batched, NumPy-vectorized per row; a real deployment swaps
+    the strided slice for PIL/OpenCV interpolation inside the same
+    kernel without touching the Spark plumbing. Non-image rows are
+    filtered before the kernel so the scan prunes them by metadata.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, orig, resized, rbytes = [], [], [], []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_meta"]
+            ):
+                arr = decode_media(payload, meta["format"])
+                out = np.ascontiguousarray(arr[::factor]).tobytes()
+                ids.append(doc_id)
+                orig.append(arr.size)
+                resized.append(out)
+                rbytes.append(len(out))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "orig_bytes": np.asarray(orig, dtype=np.int64),
+                    "resized": resized,
+                    "resized_bytes": np.asarray(rbytes, dtype=np.int64),
+                }
+            )
+
+    images = media.filter(F.col("media_meta.kind") == "image")
+    return images.mapInPandas(kernel, schema=_RESIZED_SCHEMA)

@@ -578,3 +578,18 @@ def test_secondary_sort_within_partitions(spark):
     # each user_id lands in exactly one partition
     per_part_keys = df.rdd.mapPartitions(check).collect()
     assert sum(per_part_keys) == ev.select("user_id").distinct().count()
+
+
+def test_resize_images_halves_payloads(media):
+    """Resize kernel: image rows only, exact downsample arithmetic,
+    deterministic bytes."""
+    resized = multimodal.resize_images(media, factor=2)
+    pdf = resized.toPandas()
+    n_images = media.filter(F.col("media_meta.kind") == "image").count()
+    assert len(pdf) == n_images
+    assert (pdf["orig_bytes"] == 128).all()
+    assert (pdf["resized_bytes"] == 64).all()
+    again = multimodal.resize_images(media, factor=2).toPandas()
+    a = dict(zip(pdf["doc_id"], pdf["resized"]))
+    b = dict(zip(again["doc_id"], again["resized"]))
+    assert a == b
