@@ -276,3 +276,43 @@ def cosine_pairs_above(
                 )
 
     return df.mapInPandas(kernel, schema=_PAIR_SCHEMA)
+
+
+def l2_normalize_arrow(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Unit-normalize a vector column with ``mapInArrow`` — the
+    zero-copy Arrow path (no pandas materialization at all), the
+    batch shape GPU/np preprocessing kernels want at 100 TB.
+
+    Fixed-width vectors are viewed as one contiguous (rows × dim)
+    float64 matrix straight from the Arrow list buffer, normalized with
+    a single BLAS-backed NumPy pass, and re-wrapped as an Arrow
+    FixedSizeList-backed list column. Narrow op — no shuffle.
+    """
+    import pyarrow as pa
+
+    schema_out = df.select(
+        "*", F.col(vec_col).cast("array<double>").alias("__unit")
+    ).withColumnRenamed("__unit", "unit_vec").schema
+
+    def kernel(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            vecs = tbl[vec_col].combine_chunks()
+            lengths = vecs.value_lengths().to_numpy()
+            dim = int(lengths[0]) if len(lengths) else 0
+            vals = vecs.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64
+            ).reshape(-1, dim)
+            norms = np.linalg.norm(vals, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            unit = vals / norms
+            unit_col = pa.FixedSizeListArray.from_arrays(
+                pa.array(unit.ravel(), type=pa.float64()), dim
+            ).cast(pa.list_(pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                [tbl[c].combine_chunks() for c in tbl.column_names]
+                + [unit_col],
+                names=tbl.column_names + ["unit_vec"],
+            )
+
+    return df.mapInArrow(kernel, schema=schema_out)

@@ -593,3 +593,29 @@ def test_resize_images_halves_payloads(media):
     a = dict(zip(pdf["doc_id"], pdf["resized"]))
     b = dict(zip(again["doc_id"], again["resized"]))
     assert a == b
+
+
+def test_map_in_arrow_l2_normalize(spark):
+    """u-6 mapInArrow surface: the Arrow-native normalize kernel must
+    agree with the Catalyst HOF norm to float precision, keep every
+    input column, and preserve row count (narrow op)."""
+    from mapreduce_hw05_spark.operators.similarity import l2_normalize_arrow
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    out = l2_normalize_arrow(emb, "embedding")
+    assert out.count() == emb.count()
+    assert set(out.columns) == set(emb.columns) | {"unit_vec"}
+
+    check = out.select(
+        F.abs(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("unit_vec", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            - 1.0
+        ).alias("err")
+    ).agg(F.max("err").alias("max_err")).first()
+    assert check["max_err"] < 1e-9, check["max_err"]
