@@ -729,3 +729,86 @@ def q_tpch_q16_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q2 shape (adapted) — groupwise-min: cheapest EUROPE supplier per part
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_tpch_q2_mincost",
+    oracle="""
+    WITH costs AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ), eu_costs AS (
+        SELECT c.partkey, c.suppkey, c.unit_cost, eu.s_name, eu.n_name
+        FROM costs c JOIN eu ON eu.s_suppkey = c.suppkey
+    )
+    SELECT p.p_partkey, p.p_type,
+           round(ec.unit_cost, 2) AS unit_cost,
+           ec.s_name, ec.n_name
+    FROM part p
+    JOIN eu_costs ec ON ec.partkey = p.p_partkey
+    WHERE p.p_size = 9
+      AND ec.unit_cost = (
+          SELECT min(ec2.unit_cost) FROM eu_costs ec2
+          WHERE ec2.partkey = p.p_partkey
+      )
+    """,
+)
+def q_tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted (lineitem unit prices play
+    ps_supplycost): for each size-9 part, every EUROPE supplier
+    achieving the minimum unit cost.
+
+    The correlated-min subquery is realized as a groupwise-min
+    aggregate joined back on (partkey, cost) — both sides derive the
+    cost from the same double pipeline, so the equality matches
+    exactly the argmin rows in both engines (ties keep all achievers,
+    as in real Q2). Region-filtered suppliers broadcast; only the
+    lineitem cost rollup shuffles at fact scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    costs = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    eu_costs = costs.join(F.broadcast(eu), costs.suppkey == eu.s_suppkey)
+    min_costs = eu_costs.groupBy("partkey").agg(F.min("unit_cost").alias("min_cost"))
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 9)
+    return (
+        eu_costs.join(
+            min_costs,
+            (eu_costs.partkey == min_costs.partkey)
+            & (eu_costs.unit_cost == min_costs.min_cost),
+        )
+        .drop(min_costs.partkey)
+        .join(F.broadcast(part), F.col("partkey") == part.p_partkey)
+        .select(
+            "p_partkey",
+            "p_type",
+            money(F.col("unit_cost")).alias("unit_cost"),
+            "s_name",
+            "n_name",
+        )
+    )
