@@ -619,3 +619,30 @@ def test_map_in_arrow_l2_normalize(spark):
         ).alias("err")
     ).agg(F.max("err").alias("max_err")).first()
     assert check["max_err"] < 1e-9, check["max_err"]
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
+    """The 100-TB posture leans on AQE re-planning: with static broadcast
+    planning disabled, the initial plan is a SortMergeJoin, but AQE must
+    observe the small runtime size of the dim side and convert to a
+    broadcast join in the final adaptive plan."""
+    from mapreduce_hw05_spark.sources import load_table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # AQE's runtime conversion reads its own threshold (which also
+    # defaults to -1 once the static one is disabled) — enable it alone
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+    try:
+        orders = load_table(spark, SF_DIR, "orders")
+        customer = load_table(spark, SF_DIR, "customer")
+        joined = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).groupBy("c_mktsegment").count()
+        joined.collect()  # materialize so AQE finalizes the plan
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan isFinalPlan=true" in final, final
+        assert "BroadcastHashJoin" in final, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
