@@ -812,3 +812,59 @@ def q_tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q20 shape (adapted) — nested semi-join chain: heavy red-part shippers
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_tpch_q20_semi_chain",
+    oracle="""
+    SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+      AND s.s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE '%red%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey
+          HAVING sum(l_quantity) > 50
+      )
+    """,
+)
+def q_tpch_q20_semi_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted (no partsupp: shipped quantity plays
+    available quantity): suppliers in three nations who shipped more
+    than 50 units of 'red' parts during 1996.
+
+    The inner block is fact-scale (lineitem filtered by the broadcast
+    part dim, grouped per supplier, HAVING-cut) and collapses to a tiny
+    key set before the left-semi probe of the nation-filtered supplier
+    dim — the nested-IN chain Catalyst rewrites to two semi joins.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", money(F.col("s_acctbal")).alias("s_acctbal"), "n_name")
+    )
