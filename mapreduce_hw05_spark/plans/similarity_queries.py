@@ -439,3 +439,37 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio(F.avg("mse") * 1_000_000).alias("mse_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ml-4 (ext) — distributed logistic-regression training
+# --------------------------------------------------------------------------
+
+
+@contract("q_logreg_train")  # rows-only: iterative optimizer, no SQL analog
+def q_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary logistic regression (label ≥ 5 vs < 5) trained on the
+    embedding column with 20 fixed batch-gradient iterations — the
+    iterative-ML capstone next to k-means/PCA.
+
+    Each iteration is one mapInPandas pass reducing every Arrow batch
+    to a d+1 gradient partial (operators.logreg); only that vector
+    reaches the driver. Output: per-dimension weights (+ bias row) and
+    the final mean log-loss, all rounded for cross-run stability.
+    """
+    from mapreduce_hw05_spark.operators.logreg import fit_logreg
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "embedding", (F.col("label") >= 5).cast("double").alias("y")
+    ).persist()
+    try:
+        model = fit_logreg(emb, "embedding", "y", n_iters=20, lr=1.0)
+    finally:
+        emb.unpersist()
+    rows = [
+        (i, round(float(wi), 6), round(model["losses"][-1], 6))
+        for i, wi in enumerate(model["weights"])
+    ] + [(-1, round(model["bias"], 6), round(model["losses"][-1], 6))]
+    return spark.createDataFrame(
+        rows, "dim int, weight double, final_loss double"
+    )

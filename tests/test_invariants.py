@@ -199,3 +199,33 @@ def test_bpe_encode_matches_reference(spark):
     }
     want = encode_words_local(word_cnt, merges)
     assert got == want
+
+
+def test_logreg_matches_reference_and_learns(spark):
+    """Distributed batch-gradient logistic regression must match the
+    single-machine NumPy implementation of the same math to float
+    tolerance, and the loss must be monotone non-increasing."""
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.logreg import (
+        fit_logreg,
+        fit_logreg_local,
+    )
+    from mapreduce_hw05_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding", (F.col("label") >= 5).cast("double").alias("y")
+    ).persist()
+    got = fit_logreg(emb, "embedding", "y", n_iters=10, lr=1.0)
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    x = np.stack(pdf["embedding"].to_numpy())
+    want = fit_logreg_local(x, pdf["y"].to_numpy(), n_iters=10, lr=1.0)
+    emb.unpersist()
+
+    assert np.allclose(got["weights"], want["weights"], atol=1e-8)
+    assert abs(got["bias"] - want["bias"]) < 1e-8
+    assert np.allclose(got["losses"], want["losses"], atol=1e-10)
+    diffs = np.diff(got["losses"])
+    assert (diffs <= 1e-12).all(), got["losses"]
