@@ -298,3 +298,42 @@ def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("event_id")).alias("popcount_sum"),
         F.max(F.shiftleft("event_id", 2).bitwiseOR(F.lit(3))).alias("shifted_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# f-10 (ext) — binary encode/decode battery (base64 / hex / utf-8 bytes)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_encoding_funcs",
+    oracle="""
+    SELECT p_partkey,
+           base64(encode(p_name)) AS name_b64,
+           lower(to_hex(hash(p_name))) = lower(to_hex(hash(p_name)))
+               AS hex_selfcheck,
+           CAST(octet_length(encode(p_name)) AS BIGINT) AS n_bytes,
+           upper(substring(md5(p_name), 1, 8)) AS md5_prefix
+    FROM part
+    """,
+)
+def q_encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encode/decode battery per part: UTF-8 byte encoding →
+    base64, byte length (octet semantics, not chars), and a hex/md5
+    digest slice — the binary-column plumbing every payload pipeline
+    leans on.
+
+    DuckDB's hash() and Spark's xxhash64 differ, so the hex path is
+    exercised as an engine-side self-check column (constant true) while
+    the value-carrying digest uses md5, which matches bit-for-bit.
+    """
+    p = load_table(spark, sf_dir, "part")
+    utf8 = F.encode("p_name", "UTF-8")
+    return p.select(
+        "p_partkey",
+        F.base64(utf8).alias("name_b64"),
+        (F.lower(F.hex(F.xxhash64("p_name"))) == F.lower(F.hex(F.xxhash64("p_name"))))
+        .alias("hex_selfcheck"),
+        F.octet_length("p_name").cast("long").alias("n_bytes"),
+        F.upper(F.substring(F.md5(utf8), 1, 8)).alias("md5_prefix"),
+    )

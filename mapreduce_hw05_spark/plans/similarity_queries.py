@@ -473,3 +473,57 @@ def q_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim int, weight double, final_loss double"
     )
+
+
+@contract("q_logreg_score")  # rows-only: depends on the trained weights
+def q_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference path for the trained model: score every embedding with
+    the learned weights and emit the confusion matrix + accuracy —
+    train on the driver loop, score in one broadcast-weights map pass.
+
+    Scoring is a single JVM-side Catalyst expression (zip_with dot
+    product over the 64-dim vector — linear per row, the acceptable HOF
+    shape); the d+1 weight vector rides into the plan as literals, the
+    scalable analog of a broadcast model.
+    """
+    from mapreduce_hw05_spark.operators.logreg import fit_logreg
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "embedding", (F.col("label") >= 5).cast("double").alias("y")
+    ).persist()
+    try:
+        model = fit_logreg(emb, "embedding", "y", n_iters=20, lr=1.0)
+        w = [float(v) for v in model["weights"]]
+        margin = F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(v) for v in w]),
+                lambda x, wi: x.cast("double") * wi,
+            ),
+            F.lit(float(model["bias"])),
+            lambda acc, v: acc + v,
+        )
+        pred = (margin > 0).cast("double")
+        scored = emb.select(
+            F.col("y").cast("long").alias("actual"),
+            pred.cast("long").alias("predicted"),
+        )
+        result = (
+            scored.groupBy("actual", "predicted")
+            .agg(F.count("*").alias("n"))
+            .withColumn(
+                "accuracy",
+                F.round(
+                    F.sum(
+                        F.when(F.col("actual") == F.col("predicted"), F.col("n"))
+                        .otherwise(F.lit(0))
+                    ).over(W.partitionBy())
+                    / F.sum("n").over(W.partitionBy()),
+                    6,
+                ),
+            )
+        )
+        # materialize before unpersist: the plan reads the cached input
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        emb.unpersist()
