@@ -551,3 +551,100 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg-15 (ext) — ratio-to-report: nation revenue share within region
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_percent_of_total",
+    oracle="""
+    WITH nat AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               sum(o.o_totalprice) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           round(rev, 2) AS rev,
+           round(rev / sum(rev) OVER (PARTITION BY region), 6)
+               AS share_in_region,
+           round(rev / sum(rev) OVER (), 6) AS share_global
+    FROM nat
+    """,
+)
+def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue share of its region and of
+    the global total — aggregate once at fact scale, then window over
+    the (≤ nations-sized) aggregate, so the unpartitioned total-sum
+    window is O(nations), never O(fact).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w_region = W.partitionBy("region")
+    w_all = W.partitionBy()
+    return nat.select(
+        "region",
+        "nation",
+        money(F.col("rev")).alias("rev"),
+        ratio(F.col("rev") / F.sum("rev").over(w_region)).alias("share_in_region"),
+        ratio(F.col("rev") / F.sum("rev").over(w_all)).alias("share_global"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg-16 (ext) — conditional distinct: distinct users per behavior slice
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_conditional_distinct",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+           CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                    THEN user_id END) AS BIGINT) AS buyers,
+           CAST(count(DISTINCT CASE WHEN event_type = 'error'
+                                    THEN user_id END) AS BIGINT)
+               AS error_users,
+           CAST(count(DISTINCT CASE WHEN value > 90
+                                    THEN user_id END) AS BIGINT)
+               AS high_value_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct users overall and within behavior slices —
+    count(DISTINCT CASE WHEN …) in one aggregation pass.
+
+    Catalyst expands the multi-distinct aggregate with a single `expand`
+    + two-level plan; the NULL branch of each CASE is skipped by
+    count(DISTINCT), so no per-slice re-scan of the fact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    buyer = F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    errs = F.when(F.col("event_type") == "error", F.col("user_id"))
+    high = F.when(F.col("value") > 90, F.col("user_id"))
+    return ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count_distinct("user_id").alias("dau"),
+        F.count_distinct(buyer).alias("buyers"),
+        F.count_distinct(errs).alias("error_users"),
+        F.count_distinct(high).alias("high_value_users"),
+    )
