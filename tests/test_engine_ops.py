@@ -646,3 +646,87 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_analyze_table_feeds_cbo_stats(spark):
+    """Statistics surface: ANALYZE TABLE must land row-count + column
+    stats in the catalog, where the cost-based optimizer (and broadcast
+    sizing) reads them."""
+    from mapreduce_hw05_spark.sources import load_table
+
+    load_table(spark, SF_DIR, "nation").write.mode("overwrite").saveAsTable(
+        "t_nation_stats"
+    )
+    try:
+        spark.sql(
+            "ANALYZE TABLE t_nation_stats COMPUTE STATISTICS "
+            "FOR COLUMNS n_nationkey, n_name"
+        )
+        detail = spark.sql("DESCRIBE EXTENDED t_nation_stats").collect()
+        stats = {r["col_name"]: r["data_type"] for r in detail}
+        assert "Statistics" in stats, sorted(stats)
+        assert "rows" in stats["Statistics"], stats["Statistics"]
+        col = spark.sql(
+            "DESCRIBE EXTENDED t_nation_stats n_nationkey"
+        ).collect()
+        col_info = {r["info_name"]: r["info_value"] for r in col}
+        assert col_info.get("distinct_count") not in (None, "NULL"), col_info
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_nation_stats")
+
+
+def test_persist_materializes_inmemory_relation(spark):
+    """Cache surface: after persist()+count(), downstream plans must read
+    the InMemoryTableScan, and unpersist must drop it."""
+    from mapreduce_hw05_spark.sources import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").filter(F.col("l_quantity") > 10)
+    li.persist()
+    try:
+        li.count()
+        agg = li.groupBy("l_returnflag").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        li.unpersist()
+    plan_after = (
+        li.groupBy("l_returnflag").count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InMemoryTableScan" not in plan_after, plan_after
+
+
+def test_available_now_trigger_drains_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow: the stream must drain everything already in
+    the source directory, then stop on its own — the batch-draining mode
+    scheduled ingest jobs use (all the exactly-once machinery, no
+    always-on cluster)."""
+    from mapreduce_hw05_spark.sources import load_table
+    from mapreduce_hw05_spark.streaming.replay import EVENTS_STREAM_SCHEMA
+
+    src = str(tmp_path / "in")
+    out_name = "avail_now_sink"
+    ev = load_table(spark, SF_DIR, "events")
+    ev.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(src)
+        .groupBy("event_type")
+        .count()
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(out_name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query did not self-stop"
+    got = {r["event_type"]: r["count"] for r in spark.table(out_name).collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+    spark.catalog.dropTempView(out_name)
