@@ -60,3 +60,42 @@ def test_no_join_red_flags(spark, name):
             f"{name} plans an unexpected BroadcastNestedLoopJoin — fix the "
             "join condition or allowlist it with a justification"
         )
+
+
+#: queries whose CONTRACT is the row-level Python surface itself:
+#: u-1's scalar UDF and u-5's UDTF (BatchEvalPythonUDTF).
+ROW_UDF_ALLOWED = {"q_udf_python", "q_udtf_tokens"}
+
+
+@pytest.mark.parametrize("name", _BATCH_QUERIES)
+def test_no_row_at_a_time_python_in_hot_path(spark, name):
+    """BatchEvalPython (per-row Python UDF) is the slow path — allowed
+    only where it IS the contract; everything else must stay JVM-side or
+    use Arrow-batched kernels (ArrowEvalPython / mapInPandas)."""
+    plan = (
+        QUERIES[name](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    if "BatchEvalPython" in plan and name not in ROW_UDF_ALLOWED:
+        raise AssertionError(
+            f"{name} plans a row-at-a-time Python UDF (BatchEvalPython) — "
+            "move it to a pandas_udf / built-in expression"
+        )
+
+
+def test_headline_queries_are_codegen_compiled(spark):
+    """The BASELINE.md headline set must run inside WholeStageCodegen
+    spans (fused JVM loops), not interpreted operators."""
+    headline = [
+        "q_filter_project", "q_groupagg_pricing", "q_join_orders_customer",
+        "q_join_lineitem_part_bcast", "q_join_dim_chain", "q_topk_customers",
+        "q_window_rank", "q_wordcount", "q_distinct_users", "q_sessionize",
+        "q_dedup_exact",
+    ]
+    for name in headline:
+        df = QUERIES[name](spark, SF_DIR)
+        df.collect()  # finalize the adaptive plan — codegen markers appear
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in plan, f"{name} not codegen-compiled: {plan[:500]}"
