@@ -518,3 +518,85 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+@contract(
+    "q_stream_stream_outer",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'click'
+    ), purch AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+           c.value AS click_value
+    FROM purch p
+    LEFT JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def q_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NINTH streaming-executed contract: the stream-stream interval
+    join run LEFT OUTER — purchases with no trailing-hour click must
+    surface with nulls, which the engine only emits once the watermark
+    proves no match can still arrive.
+
+    The replay appends a far-future sentinel chunk (one 'flush' event,
+    filtered out of both join sides) purely to advance the watermark
+    past the data tail; without it the last purchases' null rows stay
+    withheld in the state store — the canonical outer-stream-join
+    gotcha, pinned here on purpose.
+    """
+    import datetime
+
+    from pyspark.sql import Row
+
+    from mapreduce_hw05_spark.streaming.replay import EVENTS_STREAM_SCHEMA
+
+    events = load_table(spark, sf_dir, "events")
+    chunks = time_ordered_chunks(events, "ts", 3)
+    max_ts = events.agg(F.max("ts").alias("m")).first()["m"]
+    flush = spark.createDataFrame(
+        [
+            Row(
+                event_id=-1,
+                ts=max_ts + datetime.timedelta(days=1),
+                user_id=-1,
+                event_type="flush",
+                value=0.0,
+                props="{}",
+            )
+        ],
+        schema=EVENTS_STREAM_SCHEMA,
+    )
+    root = _fresh_scratch("q_ssjo_")
+    replay = FileReplay(spark, chunks + [flush], root)
+    name = "ssjo_" + uuid.uuid4().hex[:8]
+    with _replay_state_partitions(spark):
+        query = (
+            ops.interval_left_join_purchases(replay.stream())
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    result = spark.createDataFrame(
+        spark.table(name).collect(), schema=spark.table(name).schema
+    )
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(root, ignore_errors=True)
+    return result

@@ -269,3 +269,45 @@ def stream_upsert_foreachbatch(
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def interval_left_join_purchases(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase with the
+    same user's clicks in the preceding hour, or nulls if none.
+
+    Unlike the inner variant, outer results are emitted only once the
+    watermark passes ``p_ts + 1 h + delay`` (the engine must be sure no
+    matching click can still arrive), so state AND result latency are
+    watermark-bounded. Callers replaying finite data must advance the
+    watermark past the tail (e.g. one sentinel event far in the future)
+    or the last purchases' null rows stay withheld in the state store.
+    """
+    wm = events.withWatermark("ts", watermark)
+    clicks = wm.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = wm.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+        "click_value",
+    )
