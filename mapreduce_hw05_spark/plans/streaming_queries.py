@@ -600,3 +600,55 @@ def q_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+@contract(
+    "q_stream_stateful_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TENTH streaming-executed contract — st-7 promoted from
+    engine-only: the applyInPandasWithState running (count, value-sum)
+    per user, replayed over 4 micro-batches in update mode; the LAST
+    emission per user (the one with the max running count) must equal
+    the batch aggregate.
+
+    State is one (n, total) pair per user; the in-state total
+    accumulates at full precision and is rounded only on emission, so
+    the final row matches the batch sum to the same 2-decimal contract
+    every other money aggregate uses.
+    """
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_sstate_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4), root)
+    name = "sstate_" + uuid.uuid4().hex[:8]
+    with _replay_state_partitions(spark):
+        query = (
+            ops.stateful_user_counts(replay.stream())
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    updates = spark.table(name)
+    final = updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )
+    result = spark.createDataFrame(final.collect(), schema=final.schema)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
