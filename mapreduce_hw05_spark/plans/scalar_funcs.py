@@ -337,3 +337,81 @@ def q_encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("p_name").cast("long").alias("n_bytes"),
         F.upper(F.substring(F.md5(utf8), 1, 8)).alias("md5_prefix"),
     )
+
+
+# --------------------------------------------------------------------------
+# f-11 (ext) — formatting / padding / variadic-compare / safe-arithmetic
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_format_funcs",
+    oracle="""
+    SELECT s_suppkey,
+           printf('%08d|%s', s_suppkey, s_name) AS padded_id,
+           lpad(s_name, 25, '.') AS name_lpad,
+           rpad(CAST(s_nationkey AS VARCHAR), 6, '0') AS nation_rpad,
+           reverse(s_name) AS name_rev,
+           repeat('-', CAST(s_nationkey % 5 AS INTEGER)) AS dashes,
+           round(greatest(s_acctbal, 0.0), 2) AS bal_floor0,
+           round(least(s_acctbal, 5000.0), 2) AS bal_cap5k,
+           TRY_CAST(s_name AS DOUBLE) AS name_as_num,
+           CASE WHEN s_nationkey = 0 THEN NULL
+                ELSE round(s_acctbal / s_nationkey, 6) END AS bal_per_nation
+    FROM supplier
+    """,
+)
+def q_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formatting/safe-arithmetic battery per supplier: printf-style
+    formatting, pad/reverse/repeat, variadic greatest/least clamps,
+    error-safe try_cast (non-numeric → NULL, never an exception), and
+    try_divide (÷0 → NULL) — the ANSI-mode-safe arithmetic surface.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.format_string("%08d|%s", "s_suppkey", "s_name").alias("padded_id"),
+        F.lpad("s_name", 25, ".").alias("name_lpad"),
+        F.rpad(F.col("s_nationkey").cast("string"), 6, "0").alias("nation_rpad"),
+        F.reverse("s_name").alias("name_rev"),
+        F.repeat(F.lit("-"), (F.col("s_nationkey") % 5).cast("int")).alias("dashes"),
+        money(F.greatest("s_acctbal", F.lit(0.0))).alias("bal_floor0"),
+        money(F.least("s_acctbal", F.lit(5000.0))).alias("bal_cap5k"),
+        F.col("s_name").try_cast("double").alias("name_as_num"),
+        ratio(F.try_divide("s_acctbal", "s_nationkey")).alias("bal_per_nation"),
+    )
+
+
+# --------------------------------------------------------------------------
+# f-12 (ext) — regexp_extract_all: all-match extraction to arrays
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_regexp_all",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]{4,}')) AS BIGINT)
+               AS n_long_words,
+           array_to_string(regexp_extract_all(text, '[a-z]{4,}')[1:3], '|')
+               AS first3_long,
+           CAST(len(regexp_extract_all(text, 'e')) AS BIGINT) AS n_e
+    FROM documents
+    """,
+)
+def q_regexp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-occurrence regex extraction per document: long-word count,
+    the first three long words re-joined, and a single-char match count
+    — ``regexp_extract_all`` returning arrays, sliced and measured
+    JVM-side (same array semantics, 1-based slice, in both engines).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    longs = F.regexp_extract_all("text", F.lit("[a-z]{4,}"), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(longs).cast("long").alias("n_long_words"),
+        F.array_join(F.slice(longs, 1, 3), "|").alias("first3_long"),
+        F.size(F.regexp_extract_all("text", F.lit("e"), F.lit(0)))
+        .cast("long")
+        .alias("n_e"),
+    )
