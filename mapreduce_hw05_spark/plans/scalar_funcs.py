@@ -415,3 +415,42 @@ def q_regexp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_e"),
     )
+
+
+# --------------------------------------------------------------------------
+# f-13 (ext) — explode_outer: null-preserving lateral array expansion
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_explode_outer",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(text, '[a-z]+'),
+                           w -> len(w) >= 9) AS rare
+        FROM documents
+    )
+    SELECT t.doc_id, u.word,
+           CAST(len(t.rare) AS BIGINT) AS n_rare
+    FROM t
+    LEFT JOIN LATERAL (SELECT unnest(t.rare) AS word) u ON TRUE
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving lateral expansion: documents exploded over their
+    rare (≥9-char) words, with documents owning NO such word kept as a
+    single null row — ``explode_outer`` vs plain ``explode``'s silent
+    row drop, the distinction that decides whether a downstream
+    left-side aggregate still sees every parent row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rare = F.filter(
+        F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0)),
+        lambda w: F.length(w) >= 9,
+    )
+    return d.select(
+        "doc_id",
+        F.explode_outer(rare).alias("word"),
+        F.size(rare).cast("long").alias("n_rare"),
+    )
