@@ -229,3 +229,46 @@ def test_logreg_matches_reference_and_learns(spark):
     assert np.allclose(got["losses"], want["losses"], atol=1e-10)
     diffs = np.diff(got["losses"])
     assert (diffs <= 1e-12).all(), got["losses"]
+
+
+def test_quantize_error_bounded_by_step(spark):
+    """Int8 scalar quantization invariant: every element's reconstruction
+    error is ≤ step/2, so per-vector MSE ≤ step²/4 — checked against the
+    actual per-label ranges, not a fixed constant."""
+    from mapreduce_hw05_spark.plans.similarity_queries import (
+        q_embedding_quantize,
+    )
+
+    rows = q_embedding_quantize(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        step = r["avg_range"] / 255.0
+        worst_mse_ppm = (step * step / 4.0) * 1_000_000
+        # avg_range is an average, so allow per-vector spread headroom
+        assert r["mse_ppm"] <= worst_mse_ppm * 4, (r, worst_mse_ppm)
+        assert r["mse_ppm"] >= 0
+
+
+def test_streaks_telescope_to_active_days(spark):
+    """Gaps-and-islands invariant: per user, island lengths sum to the
+    distinct active-day count, and the longest streak can't exceed it."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_hw05_spark.plans.window_queries import q_activity_streaks
+    from mapreduce_hw05_spark.sources import load_table
+
+    streaks = {
+        r["user_id"]: r for r in q_activity_streaks(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    days = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id")
+        .agg(F.countDistinct(F.to_date("ts")).alias("n"))
+        .collect()
+    }
+    assert set(streaks) == set(days)
+    for uid, r in streaks.items():
+        assert r["active_days"] == days[uid], (uid, r, days[uid])
+        assert r["longest_streak"] <= r["active_days"]
+        assert r["n_streaks"] >= 1
