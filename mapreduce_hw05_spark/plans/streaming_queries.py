@@ -520,6 +520,37 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def _watermark_sentinels(spark, events):
+    """One far-future click + purchase (user_id=-1) used to flush
+    stream-stream outer-join state at end of a finite replay.
+
+    A neutral event_type does NOT work: Catalyst pushes each side's
+    event_type filter below the EventTimeWatermark node, so a sentinel
+    that survives neither filter never reaches either watermark branch
+    and the global watermark stalls at the last real click/purchase —
+    withholding the tail's outer rows (observed, not hypothetical).
+    The sentinels join nothing (user_id=-1) and their own eventual
+    null-rows are dropped by the callers' ``user_id >= 0`` filter.
+    """
+    import datetime
+
+    from pyspark.sql import Row
+
+    from mapreduce_hw05_spark.streaming.replay import EVENTS_STREAM_SCHEMA
+
+    max_ts = events.agg(F.max("ts").alias("m")).first()["m"]
+    far = max_ts + datetime.timedelta(days=1)
+    return spark.createDataFrame(
+        [
+            Row(event_id=-1, ts=far, user_id=-1, event_type="click",
+                value=0.0, props="{}"),
+            Row(event_id=-2, ts=far, user_id=-1, event_type="purchase",
+                value=0.0, props="{}"),
+        ],
+        schema=EVENTS_STREAM_SCHEMA,
+    )
+
+
 @contract(
     "q_stream_stream_outer",
     oracle="""
@@ -548,34 +579,18 @@ def q_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface with nulls, which the engine only emits once the watermark
     proves no match can still arrive.
 
-    The replay appends a far-future sentinel chunk (one 'flush' event,
-    filtered out of both join sides) purely to advance the watermark
-    past the data tail; without it the last purchases' null rows stay
-    withheld in the state store — the canonical outer-stream-join
-    gotcha, pinned here on purpose.
+    The replay appends far-future sentinel click/purchase rows
+    (user_id=-1, joined to nothing, dropped from the result) purely to
+    advance the watermark past the data tail; without them the tail's
+    null rows stay withheld in the state store — the canonical
+    outer-stream-join gotcha, pinned here on purpose. The sentinels
+    must survive each side's event_type filter: Catalyst pushes those
+    filters below the watermark node, so a neutral event type never
+    advances either watermark branch.
     """
-    import datetime
-
-    from pyspark.sql import Row
-
-    from mapreduce_hw05_spark.streaming.replay import EVENTS_STREAM_SCHEMA
-
     events = load_table(spark, sf_dir, "events")
     chunks = time_ordered_chunks(events, "ts", 3)
-    max_ts = events.agg(F.max("ts").alias("m")).first()["m"]
-    flush = spark.createDataFrame(
-        [
-            Row(
-                event_id=-1,
-                ts=max_ts + datetime.timedelta(days=1),
-                user_id=-1,
-                event_type="flush",
-                value=0.0,
-                props="{}",
-            )
-        ],
-        schema=EVENTS_STREAM_SCHEMA,
-    )
+    flush = _watermark_sentinels(spark, events)
     root = _fresh_scratch("q_ssjo_")
     replay = FileReplay(spark, chunks + [flush], root)
     name = "ssjo_" + uuid.uuid4().hex[:8]
@@ -594,9 +609,8 @@ def q_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.processAllAvailable()
         finally:
             query.stop()
-    result = spark.createDataFrame(
-        spark.table(name).collect(), schema=spark.table(name).schema
-    )
+    sink = spark.table(name).filter(F.col("user_id") >= 0)
+    result = spark.createDataFrame(sink.collect(), schema=sink.schema)
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
@@ -649,6 +663,63 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("sum_value", "n_events").alias("sum_value"),
     )
     result = spark.createDataFrame(final.collect(), schema=final.schema)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+@contract(
+    "q_stream_stream_full",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'click'
+    ), purch AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           coalesce(p.user_id, c.user_id) AS user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+           c.value AS click_value
+    FROM purch p
+    FULL JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def q_stream_stream_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ELEVENTH streaming-executed contract: the interval join run FULL
+    OUTER — unmatched purchases AND unmatched clicks both surface with
+    nulls, each only after the watermark proves no counterpart can
+    arrive. Same sentinel watermark-flush as the left-outer contract,
+    now clearing two state stores.
+    """
+    events = load_table(spark, sf_dir, "events")
+    chunks = time_ordered_chunks(events, "ts", 3)
+    flush = _watermark_sentinels(spark, events)
+    root = _fresh_scratch("q_ssjf_")
+    replay = FileReplay(spark, chunks + [flush], root)
+    name = "ssjf_" + uuid.uuid4().hex[:8]
+    with _replay_state_partitions(spark):
+        query = (
+            ops.interval_full_join_purchases(replay.stream())
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    sink = spark.table(name).filter(F.col("user_id") >= 0)
+    result = spark.createDataFrame(sink.collect(), schema=sink.schema)
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result

@@ -311,3 +311,43 @@ def interval_left_join_purchases(
         F.unix_micros("c_ts").alias("click_ts_us"),
         "click_value",
     )
+
+
+def interval_full_join_purchases(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: purchases × trailing-hour
+    clicks per user, emitting unmatched rows from BOTH sides with nulls
+    once the watermark clears them — the complete join-matrix corner.
+
+    State/latency bounds are the same as the left-outer variant but
+    apply to both state stores; a finite replay must advance the
+    watermark past the tail or both sides' unmatched rows stay withheld.
+    """
+    wm = events.withWatermark("ts", watermark)
+    clicks = wm.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = wm.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("p_user", "c_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+        "click_value",
+    )
