@@ -281,8 +281,10 @@ def interval_left_join_purchases(
     watermark passes ``p_ts + 1 h + delay`` (the engine must be sure no
     matching click can still arrive), so state AND result latency are
     watermark-bounded. Callers replaying finite data must advance the
-    watermark past the tail (e.g. one sentinel event far in the future)
-    or the last purchases' null rows stay withheld in the state store.
+    watermark past the tail with sentinel rows that SURVIVE the
+    event_type filters (Catalyst pushes those filters below the
+    watermark node, so a filtered-out sentinel never advances it) or
+    the last purchases' null rows stay withheld in the state store.
     """
     wm = events.withWatermark("ts", watermark)
     clicks = wm.filter(F.col("event_type") == "click").select(
