@@ -723,3 +723,60 @@ def q_stream_stream_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+@contract(
+    "q_stream_stream_right",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'click'
+    ), purch AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           coalesce(c.user_id, p.user_id) AS user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+           c.value AS click_value
+    FROM purch p
+    RIGHT JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def q_stream_stream_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWELFTH streaming-executed contract, completing the stream-join
+    matrix (inner / left / right / full): clicks that never converted
+    to a purchase within the hour surface with nulls — the
+    click-attribution view. Sentinel flush and result filter as in the
+    other outer variants.
+    """
+    events = load_table(spark, sf_dir, "events")
+    chunks = time_ordered_chunks(events, "ts", 3)
+    flush = _watermark_sentinels(spark, events)
+    root = _fresh_scratch("q_ssjr_")
+    replay = FileReplay(spark, chunks + [flush], root)
+    name = "ssjr_" + uuid.uuid4().hex[:8]
+    with _replay_state_partitions(spark):
+        query = (
+            ops.interval_right_join_purchases(replay.stream())
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    sink = spark.table(name).filter(F.col("user_id") >= 0)
+    result = spark.createDataFrame(sink.collect(), schema=sink.schema)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(root, ignore_errors=True)
+    return result

@@ -353,3 +353,42 @@ def interval_full_join_purchases(
         F.unix_micros("c_ts").alias("click_ts_us"),
         "click_value",
     )
+
+
+def interval_right_join_purchases(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream RIGHT OUTER interval join: every click surfaces,
+    with nulls when no purchase followed it within the hour — the
+    click-attribution view (which impressions never converted).
+
+    Same watermark-bounded emission as the other outer variants, with
+    the unmatched-side state store on the click side.
+    """
+    wm = events.withWatermark("ts", watermark)
+    clicks = wm.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = wm.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+        "rightOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("c_user", "p_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+        "click_value",
+    )
