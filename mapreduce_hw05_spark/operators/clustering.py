@@ -81,19 +81,31 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: np.ndarray | None = None,
+    inertia_out: list | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """Lloyd's k-means; returns (final assignment DF, final centroids).
 
     Empty clusters keep their previous centroid. The per-iteration driver
-    traffic is exactly k×dim doubles — independent of data size.
+    traffic is exactly k×dim doubles — independent of data size. Pass
+    ``inertia_out=[]`` to also collect the per-iteration inertia
+    (Σ sq_dist under the centroids each assignment used) — one extra
+    scalar per iteration, riding the centroid-update pass as an
+    Observation so no extra job runs.
     """
+    from pyspark.sql import Observation
+
     if init is None:
         init = label_seeded_centroids(emb, vec_col=vec_col)
     centroids = init.astype(np.float64).copy()
     dim = centroids.shape[1]
-    assignment = None
     for _ in range(iterations):
         assignment = assign_clusters(emb, centroids, id_col, vec_col)
+        obs = None
+        if inertia_out is not None:
+            obs = Observation()
+            assignment = assignment.observe(
+                obs, F.sum("sq_dist").alias("inertia")
+            )
         upd = (
             assignment.join(emb.select(id_col, vec_col), id_col)
             .select("cluster", F.posexplode(vec_col))
@@ -101,6 +113,8 @@ def kmeans(
             .agg(F.avg(F.col("col").cast("double")).alias("v"))
             .toPandas()
         )
+        if obs is not None:
+            inertia_out.append(float(obs.get["inertia"]))
         new_c = centroids.copy()
         for cluster, grp in upd.groupby("cluster"):
             new_c[int(cluster)] = grp.sort_values("pos")["v"].to_numpy()[:dim]

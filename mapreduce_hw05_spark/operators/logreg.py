@@ -68,6 +68,11 @@ def fit_logreg(
     scan is expensive — each iteration re-reads it.
     """
     first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError(
+            f"fit_logreg: empty training set — no rows with a {vec_col!r} "
+            "vector to infer the feature dimension from"
+        )
     dim = int(first["d"])
     w = np.zeros(dim + 1)
 

@@ -296,10 +296,17 @@ def l2_normalize_arrow(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
     def kernel(batches):
         for batch in batches:
+            if batch.num_rows == 0:
+                continue
             tbl = pa.table(batch)
             vecs = tbl[vec_col].combine_chunks()
             lengths = vecs.value_lengths().to_numpy()
-            dim = int(lengths[0]) if len(lengths) else 0
+            dim = int(lengths[0])
+            if not (lengths == dim).all():
+                raise ValueError(
+                    f"l2_normalize_arrow: ragged {vec_col!r} column — "
+                    f"expected every vector to have length {dim}"
+                )
             vals = vecs.flatten().to_numpy(zero_copy_only=False).astype(
                 np.float64
             ).reshape(-1, dim)

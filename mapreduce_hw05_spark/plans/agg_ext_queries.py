@@ -414,23 +414,52 @@ def q_join_hints_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@contract("q_approx_quantile")  # rows-only: sketch output is engine-specific
+@contract(
+    "q_approx_quantile",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90_exact,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99_exact,
+           count(*) AS n_orders,
+           TRUE AS approx_within_2pct
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p90/p99 of order totals per status via
     ``percentile_approx`` (Greenwald–Khanna sketch, accuracy 1/10000) —
     the single-pass, mergeable-sketch path for quantiles at 100 TB where
-    exact percentiles would need a full sort. Deterministic for fixed
-    input; the invariant test bounds its error against the exact
-    percentiles, so this is rows-only, not oracle-hashed.
+    exact percentiles would need a full sort.
+
+    The ±ε sketch values are not cross-engine hashable, so the contract
+    emits the EXACT percentiles (which DuckDB's quantile_cont reproduces)
+    plus an engine-computed boolean bounding each GK estimate within 2%
+    relative of its exact counterpart; the oracle asserts TRUE. A broken
+    sketch, a broken exact-percentile path, or drifted interpolation
+    semantics each fail the hash.
     """
     o = load_table(spark, sf_dir, "orders")
     q = F.percentile_approx("o_totalprice", F.array(
         F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000))
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.element_at(q, 1), 2).alias("p50"),
-        F.round(F.element_at(q, 2), 2).alias("p90"),
-        F.round(F.element_at(q, 3), 2).alias("p99"),
-        F.count("*").alias("n_orders"),
+    e = F.percentile("o_totalprice", F.array(
+        F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    agg = o.groupBy("o_orderstatus").agg(
+        q.alias("qa"), e.alias("qe"), F.count("*").alias("n_orders")
+    )
+
+    def close(i: int) -> F.Column:
+        a, x = F.element_at("qa", i), F.element_at("qe", i)
+        return F.abs(a - x) <= F.abs(x) * F.lit(0.02)
+
+    return agg.select(
+        "o_orderstatus",
+        F.round(F.element_at("qe", 1), 2).alias("p50_exact"),
+        F.round(F.element_at("qe", 2), 2).alias("p90_exact"),
+        F.round(F.element_at("qe", 3), 2).alias("p99_exact"),
+        "n_orders",
+        (close(1) & close(2) & close(3)).alias("approx_within_2pct"),
     )
 
 
@@ -521,7 +550,18 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@contract("q_hll_rollup")  # rows-only: sketch estimates are engine-specific
+@contract(
+    "q_hll_rollup",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           count(*) AS n_events,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           TRUE AS sketch_within_2pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datasketches-HLL rollup: per (event_type, day) user sketches built
     once, then union-merged per event_type and estimated — the
@@ -529,27 +569,35 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB (daily sketch partials persist; any date-range distinct is
     a cheap union of sketches, never a re-scan of raw events).
 
-    Rows-only contract; the invariant test bounds the estimate against
-    the exact distinct count.
+    Hashable contract shape: the merged-sketch estimate itself is
+    engine-specific, so the query emits the EXACT distinct count plus an
+    engine-computed boolean bounding the sketch estimate within 2% of it
+    (lgK=14 ⇒ ~0.8% RSE); the oracle emits the exact count and TRUE.
+    A broken sketch build, merge, or estimate flips the boolean.
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
         F.count("*").alias("n"),
     )
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-            F.sum("n").alias("n_events"),
-            F.count("*").alias("n_days"),
-        )
-        .select(
-            "event_type",
-            lng(F.col("approx_users")).alias("approx_users"),
-            "n_events",
-            "n_days",
-        )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum("n").alias("n_events"),
+        F.count("*").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    within = (
+        F.abs(F.col("approx_users") - F.col("n_users_exact"))
+        <= F.col("n_users_exact") * F.lit(0.02)
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_users_exact",
+        "n_events",
+        "n_days",
+        within.alias("sketch_within_2pct"),
     )
 
 

@@ -71,18 +71,42 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@contract("q_approx_distinct")  # no oracle: ±ε result is not hashable
+@contract(
+    "q_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct users per event_type (HyperLogLog++).
+    """Approximate distinct users per event_type (HyperLogLog++), made
+    hashable: the ±ε estimate itself is not cross-engine comparable, so
+    the contract emits the EXACT count plus a boolean computed engine-side
+    — ``|approx − exact| / exact ≤ 5%`` — and the oracle emits the exact
+    count plus literal TRUE. A broken HLL (or a broken exact path) flips
+    the boolean and fails the driver's value hash.
 
-    Rows-only contract; the engine test asserts |approx − exact| ≤ 5%.
     Scale: HLL sketches merge associatively — constant-size shuffle
     regardless of input rows, the right tool at 100 TB where exact
-    distinct would shuffle every key.
+    distinct would shuffle every key. The exact count here is the sf0.01
+    verification side, not the scale path.
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+    within = (
+        F.abs(F.col("approx_users") - F.col("n_users_exact"))
+        <= F.col("n_users_exact") * F.lit(0.05)
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        within.alias("approx_within_5pct"),
     )
 
 

@@ -49,8 +49,8 @@ _PHONE_RE = "\\+1-[0-9]{3}-[0-9]{4}"
     )
     SELECT c_mktsegment,
            count(*) AS n_rows,
-           sum(CASE WHEN redacted LIKE '%[EMAIL]%' THEN 1 ELSE 0 END) AS n_emails,
-           sum(CASE WHEN redacted LIKE '%[PHONE]%' THEN 1 ELSE 0 END) AS n_phones,
+           CAST(sum(CASE WHEN redacted LIKE '%[EMAIL]%' THEN 1 ELSE 0 END) AS BIGINT) AS n_emails,
+           CAST(sum(CASE WHEN redacted LIKE '%[PHONE]%' THEN 1 ELSE 0 END) AS BIGINT) AS n_phones,
            CAST(sum(length(redacted)) AS BIGINT) AS sum_len,
            count(DISTINCT redacted) AS n_distinct
     FROM red GROUP BY c_mktsegment
@@ -149,19 +149,19 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dq_expectations",
     oracle="""
     SELECT 'null_custkey' AS check_name,
-           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_violations
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
     FROM orders
     UNION ALL
     SELECT 'nonpositive_totalprice',
-           sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'discount_out_of_range',
-           sum(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'quantity_not_positive',
-           sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'orphan_lineitem',

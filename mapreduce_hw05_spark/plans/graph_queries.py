@@ -48,23 +48,79 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# g-1 / g-5 — PageRank (rows-only; fixed 10 iterations, d=0.85)
+# g-1 / g-5 — PageRank (SQL-oracled: the 10-iteration recurrence unrolled
+# as a chained-CTE DuckDB query — a genuine cross-engine differential)
 # --------------------------------------------------------------------------
 
 
-@contract("q_pagerank")  # rows-only: iterative float fixpoint has no SQL oracle
+def _pagerank_oracle_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    """Unroll the PageRank recurrence as one CTE per iteration.
+
+    The co-purchase graph is symmetric (every node has out-degree), so the
+    dangling-mass term is identically zero and the recurrence is purely
+    r_{k+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} r_k(u)/outdeg(u) — each step one
+    aggregate join, mechanical to generate. This turns the former
+    rows-only contract into a real differential check: two independent
+    implementations of the same fixpoint must agree to 9 decimals.
+    """
+    parts = [
+        """
+    WITH pairs AS (
+        SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ), edges AS (
+        SELECT src, dst FROM pairs
+        UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    ), deg AS (
+        SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src
+    ), nn AS (
+        SELECT count(*) AS n FROM deg
+    ), r0 AS (
+        SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM deg
+    )"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f""", r{i + 1} AS (
+        SELECT d.node,
+               (1 - {damping}) / (SELECT n FROM nn)
+               + {damping} * coalesce(c.in_mass, 0) AS rank
+        FROM deg d LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / g.outdeg) AS in_mass
+            FROM r{i} r
+            JOIN edges e ON e.src = r.node
+            JOIN deg g ON g.node = r.node
+            GROUP BY e.dst
+        ) c ON c.node = d.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(node AS BIGINT) AS node, round(rank, 9) AS rank
+    FROM r{iterations}
+    ORDER BY round(rank, 9) DESC, node
+    LIMIT 20
+    """
+    )
+    return "".join(parts)
+
+
+@contract("q_pagerank", oracle=_pagerank_oracle_sql())
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PageRank parts in the undirected co-purchase graph.
 
     10 fixed iterations, d=0.85, dangling mass redistributed (the graph
     is symmetric so none exists — the operator handles it regardless).
     Rank is rounded to 9 decimals so Spark's own run-to-run partial-agg
-    order cannot flip the emitted values; node id breaks rank ties.
+    order cannot flip the emitted values; node id breaks rank ties. The
+    oracle unrolls the identical recurrence in SQL (one CTE per
+    iteration) — different execution engines, same fixpoint.
     """
     li = load_table(spark, sf_dir, "lineitem")
     ranks = pagerank(undirected(copurchase_edges(li)), iterations=10, damping=0.85)
     return (
-        ranks.select("node", F.round("rank", 9).alias("rank"))
+        ranks.select(lng(F.col("node")).alias("node"), F.round("rank", 9).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )
@@ -75,15 +131,35 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@contract("q_kmeans")  # rows-only: iterative ML loop has no SQL oracle
+@contract(
+    "q_kmeans",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_clusters,
+           count(*) AS n_vecs,
+           TRUE AS inertia_monotone
+    FROM embeddings
+    """,
+)
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster sizes after 5 Lloyd iterations (k=10, label-mean seeding)."""
+    """K-means summary after 5 Lloyd iterations (k=10, label-mean
+    seeding), shaped so a SQL oracle can hash it: the cluster-size detail
+    itself has no SQL analog, so the contract emits the SQL-knowable
+    facts (every vector assigned, all 10 clusters non-empty) plus the
+    defining Lloyd invariant — per-iteration inertia monotonically
+    non-increasing — computed engine-side as a boolean. A broken
+    assignment kernel or centroid update flips one of the three columns.
+    Per-cluster sizes remain covered by the local invariant tests.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    assignment, _ = kmeans(emb, k=10, iterations=5)
-    return (
-        assignment.groupBy("cluster")
-        .agg(F.count("*").alias("n_vecs"))
-        .select(lng(F.col("cluster")).alias("cluster"), "n_vecs")
+    inertias: list[float] = []
+    assignment, _ = kmeans(emb, k=10, iterations=5, inertia_out=inertias)
+    monotone = all(
+        b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:])
+    )
+    return assignment.agg(
+        F.countDistinct("cluster").alias("n_clusters"),
+        F.count("*").alias("n_vecs"),
+        F.lit(monotone).alias("inertia_monotone"),
     )
 
 

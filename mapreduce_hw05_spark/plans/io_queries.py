@@ -311,7 +311,7 @@ def q_bucketed_join_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(i % 16 AS INTEGER) AS bucket,
            count(*) AS n_rows,
-           sum(i) AS sum_id,
+           CAST(sum(i) AS BIGINT) AS sum_id,
            min(md5(CAST(i AS VARCHAR))) AS min_md5
     FROM range(20000) t(i)
     GROUP BY bucket

@@ -752,9 +752,9 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_decimal_exact",
     oracle="""
     SELECT o_orderstatus,
-           sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS total_exact,
-           min(CAST(o_totalprice AS DECIMAL(18, 2))) AS min_exact,
-           max(CAST(o_totalprice AS DECIMAL(18, 2))) AS max_exact,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS total_exact,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS min_exact,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS max_exact,
            count(*) AS n_orders
     FROM orders
     GROUP BY o_orderstatus
@@ -765,13 +765,21 @@ def q_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregation order, so no rounding discipline is needed —
     the right type for financial columns at any scale (the double-based
     queries in this repo round instead because the fixtures are doubles).
+
+    The EMITTED aggregates are cast to DOUBLE on both engines: the
+    driver's value hash stringifies cells, and Spark's ``Decimal('1013.70')``
+    keeps its scale-2 trailing zero while DuckDB's ``.df()`` bridge yields
+    float64 ``1013.7`` — numerically identical, hash-different. Casting the
+    single exact result to double is deterministic (one value, no
+    order-dependent float accumulation), so the exactness property still
+    holds end to end.
     """
     o = load_table(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(18,2)")
     return o.groupBy("o_orderstatus").agg(
-        F.sum(price).alias("total_exact"),
-        F.min(price).alias("min_exact"),
-        F.max(price).alias("max_exact"),
+        F.sum(price).cast("double").alias("total_exact"),
+        F.min(price).cast("double").alias("min_exact"),
+        F.max(price).cast("double").alias("max_exact"),
         F.count("*").alias("n_orders"),
     )
 

@@ -341,32 +341,51 @@ def q_near_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@contract("q_pca_variance")  # rows-only: eigendecomposition is not SQL
+@contract(
+    "q_pca_variance",
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS n_components,
+           round(sum(v), 6) AS total_variance,
+           TRUE AS spectrum_descending,
+           TRUE AS spectrum_bounded
+    FROM (
+        SELECT var_samp(val) AS v
+        FROM (
+            SELECT unnest(embedding::DOUBLE[]) AS val,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings
+        )
+        GROUP BY pos
+    )
+    """,
+)
 def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-8 principal components of the embedding corpus: eigenvalue,
-    explained-variance ratio, and cumulative ratio per component, via
+    """PCA spectrum summary over the embedding corpus via
     :mod:`operators.pca` — one mapInPandas pass reduces the data to
     per-batch Gram partials, a 4 096-row Catalyst aggregate sums them,
     and only the 64×64 covariance reaches the driver for ``eigh``.
 
-    Rows-only contract; the engine test cross-checks the eigenvalues
-    against a direct single-machine NumPy decomposition and verifies the
-    projected scores reproduce the spectrum.
+    Hashable via trace preservation: the covariance trace the engine
+    derives from its distributed Gram pass must equal the sum of per-
+    dimension sample variances, which DuckDB computes independently with
+    unnest + var_samp — a genuine cross-engine differential on the whole
+    Gram/centering pipeline. The eigendecomposition itself is checked by
+    two engine-side booleans (eigenvalues descending; top-8 mass within
+    the trace); per-component eigenvalues stay cross-checked against a
+    direct NumPy decomposition in the invariant tests.
     """
     from mapreduce_hw05_spark.operators.pca import fit_pca
 
     emb = load_table(spark, sf_dir, "embeddings")
     model = fit_pca(emb, "embedding", k=8)
     total = model["total_variance"]
-    cum = 0.0
-    rows = []
-    for i, ev in enumerate(model["eigenvalues"]):
-        cum += float(ev)
-        rows.append(
-            (i, round(float(ev), 6), round(float(ev) / total, 6), round(cum / total, 6))
-        )
+    evs = [float(e) for e in model["eigenvalues"]]
+    descending = all(a >= b - 1e-12 for a, b in zip(evs, evs[1:]))
+    bounded = 0.0 <= sum(evs) <= total * (1 + 1e-9)
     return spark.createDataFrame(
-        rows, "component int, eigenvalue double, explained_ratio double, cum_ratio double"
+        [(8, round(total, 6), descending, bounded)],
+        "n_components long, total_variance double, "
+        "spectrum_descending boolean, spectrum_bounded boolean",
     )
 
 

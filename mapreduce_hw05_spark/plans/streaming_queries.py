@@ -294,7 +294,7 @@ def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(i % 12 AS INTEGER) AS bucket,
            count(*) AS n_rows,
-           sum(i) AS sum_id,
+           CAST(sum(i) AS BIGINT) AS sum_id,
            max(md5(CAST(i AS VARCHAR))) AS max_md5
     FROM range(24000) t(i)
     GROUP BY bucket

@@ -5,6 +5,7 @@ order-insensitive value comparison, columns sorted by name).
 
 from __future__ import annotations
 
+import decimal
 import os
 import sys
 
@@ -42,7 +43,14 @@ def oracle():
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     """Canonical form: columns sorted by name, rows sorted by all columns,
-    timestamps as int64 epochs, floats left as float64."""
+    timestamps as int64 epochs, floats left as float64.
+
+    Decimal columns are deliberately NOT coerced to float64: the driver's
+    value hash stringifies cells, so ``Decimal('1013.70')`` (scale kept)
+    and float ``1013.7`` hash differently even though they are numerically
+    equal. Keeping decimals as canonical strings here makes the local
+    comparator fail exactly where the driver would (VERDICT r1 item 4).
+    """
     out = pdf[sorted(pdf.columns)].copy()
     for col in out.columns:
         s = out[col]
@@ -53,11 +61,20 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(s):
             out[col] = s.astype("float64")
         elif s.dtype == object:
-            # decimal.Decimal (DuckDB HUGEINT/DECIMAL) or str
-            try:
-                out[col] = pd.to_numeric(s)
-            except (ValueError, TypeError):
-                out[col] = s.astype(str)
+            non_null = s.dropna()
+            if len(non_null) and all(
+                isinstance(v, decimal.Decimal) for v in non_null
+            ):
+                # Scale-preserving canonical string — matches how the
+                # driver's hash sees a Spark/DuckDB DECIMAL result.
+                out[col] = s.map(lambda v: None if v is None else str(v))
+            else:
+                # Non-decimal objects (e.g. np ints boxed by pandas) may
+                # still be numeric; strings stay strings.
+                try:
+                    out[col] = pd.to_numeric(s)
+                except (ValueError, TypeError):
+                    out[col] = s.astype(str)
     return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -76,6 +93,26 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     o = normalize(oracle_pdf)
     for col in s.columns:
         sv, ov = s[col], o[col]
+        s_num = pd.api.types.is_numeric_dtype(sv)
+        o_num = pd.api.types.is_numeric_dtype(ov)
+        if s_num != o_num:
+            # One side normalized to a number, the other to a string
+            # (typically DECIMAL vs DOUBLE drift) — the driver's
+            # stringified hash would differ, so fail here too.
+            problems.append(
+                f"column {col!r}: type-kind mismatch after normalize "
+                f"(spark dtype={sv.dtype}, oracle dtype={ov.dtype}) — "
+                "driver hash would differ; align the emitted types"
+            )
+            continue
+        if pd.api.types.is_float_dtype(sv) != pd.api.types.is_float_dtype(ov):
+            problems.append(
+                f"column {col!r}: int/float kind mismatch "
+                f"(spark dtype={sv.dtype}, oracle dtype={ov.dtype}) — "
+                "stringified cells would differ (e.g. '5' vs '5.0'); "
+                "cast both sides to the same type"
+            )
+            continue
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             sa = sv.astype("float64").to_numpy()
             oa = ov.astype("float64").to_numpy()

@@ -11,6 +11,8 @@ from mapreduce_hw05_spark.operators import multimodal
 from mapreduce_hw05_spark.sources import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
+#: medium fixture for tests that need more rows than the smoke tier.
+SF_DIR_MED = "/root/testdata/sf0.01"
 
 
 # --------------------------------------------------------------------- f-7
@@ -121,7 +123,7 @@ def test_ivf_recall_and_exactness_at_full_probe(spark):
         global_topk_pairs,
     )
 
-    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").persist()
+    emb = load_table(spark, SF_DIR_MED, "embeddings").persist()
     centroids = label_seeded_centroids(emb)
     k_buckets = centroids.shape[0]
 
@@ -307,7 +309,7 @@ def test_sign_lsh_recall(spark):
         global_topk_pairs,
     )
 
-    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").persist()
+    emb = load_table(spark, SF_DIR_MED, "embeddings").persist()
     exact = global_topk_pairs(
         cosine_pairs_topk_per_row(emb, emb, "vec_id", "embedding", k=20), k=20
     ).toPandas()
@@ -501,7 +503,7 @@ def test_tpch_q6_pushdown_reaches_scan(spark):
     shrink to the four referenced columns."""
     from mapreduce_hw05_spark.plans.tpch_queries import q_tpch_q6
 
-    df = q_tpch_q6(spark, "/root/testdata/sf0.01")
+    df = q_tpch_q6(spark, SF_DIR_MED)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
@@ -601,7 +603,7 @@ def test_map_in_arrow_l2_normalize(spark):
     input column, and preserve row count (narrow op)."""
     from mapreduce_hw05_spark.operators.similarity import l2_normalize_arrow
 
-    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    emb = load_table(spark, SF_DIR_MED, "embeddings")
     out = l2_normalize_arrow(emb, "embedding")
     assert out.count() == emb.count()
     assert set(out.columns) == set(emb.columns) | {"unit_vec"}
