@@ -195,17 +195,21 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component sizes of the support-≥2 co-purchase graph.
 
-    The engine iterates min-label propagation to the (unique) fixpoint;
-    the oracle materializes the transitive closure recursively — different
-    algorithms, identical answer, which is the point of the check.
+    The engine runs alternating large-star/small-star rounds (Kiveris et
+    al.) — O(log n) rounds regardless of diameter, the 100-TB-safe CC
+    algorithm; the oracle materializes the transitive closure recursively
+    — different algorithms, identical answer, which is the point of the
+    check. (Min-label propagation remains available as
+    ``operators.graph.connected_components`` and is differential-tested
+    against this variant.)
     """
     from mapreduce_hw05_spark.operators.graph import (
-        connected_components,
+        connected_components_star,
         cooccurrence_edges_min_support,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    comps = connected_components(cooccurrence_edges_min_support(li, 2))
+    comps = connected_components_star(cooccurrence_edges_min_support(li, 2))
     return comps.groupBy("comp").agg(F.count("*").alias("n_nodes"))
 
 

@@ -732,3 +732,81 @@ def test_available_now_trigger_drains_and_stops(spark, tmp_path):
     }
     assert got == want
     spark.catalog.dropTempView(out_name)
+
+
+# ------------------------------------------------------------------ g-4 CC
+
+
+def test_star_cc_matches_min_label_on_fixture(spark):
+    """Two independent CC algorithms (large/small-star vs min-label
+    propagation) must produce identical component labelings on the
+    co-purchase graph."""
+    from mapreduce_hw05_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+        cooccurrence_edges_min_support,
+    )
+
+    li = load_table(spark, SF_DIR_MED, "lineitem")
+    edges = cooccurrence_edges_min_support(li, 2).persist()
+    star = {
+        r["node"]: r["comp"] for r in connected_components_star(edges).collect()
+    }
+    label = {
+        r["node"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    edges.unpersist()
+    assert star == label
+
+
+def test_star_cc_logarithmic_rounds_on_path_graph(spark):
+    """A 300-hop path takes min-label ~300 rounds; the star algorithm
+    must converge in O(log n) — the property that makes CC viable on
+    high-diameter graphs at scale."""
+    from mapreduce_hw05_spark.operators.graph import connected_components_star
+
+    n = 300
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    rounds: list[int] = []
+    comps = connected_components_star(path, rounds_out=rounds)
+    rows = comps.collect()
+    assert len(rows) == n + 1
+    assert {r["comp"] for r in rows} == {0}
+    assert rounds[0] <= 15, rounds
+
+
+# ------------------------------------------------------------------ g-2 hubs
+
+
+def test_triangle_count_salted_hub_path(spark):
+    """Degree orientation never makes a star hub an apex (its edges all
+    point INTO it), so the case that concentrates work is a near-uniform
+    dense block — a clique, where node 0's oriented out-degree is n-1.
+    With hub_threshold=32 every low-id clique node takes the salted
+    path-2 route; the count must equal C(n,3) and the unsalted plan."""
+    from math import comb
+
+    from mapreduce_hw05_spark.operators.graph import triangle_count
+
+    n = 120
+    clique = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    edges = spark.createDataFrame(clique, "src long, dst long")
+    salted = triangle_count(edges, hub_threshold=32).first()["n_triangles"]
+    plain = triangle_count(edges, hub_threshold=10**9).first()["n_triangles"]
+    assert salted == plain == comb(n, 3)
+
+
+def test_triangle_count_star_plus_path(spark):
+    """Star hub + leaf path: triangles are exactly (hub, i, i+1) — the
+    orientation-handles-hubs case (hub edges all point at the hub, no
+    salting needed, count still exact)."""
+    from mapreduce_hw05_spark.operators.graph import triangle_count
+
+    n = 1000
+    star = [(0, i) for i in range(1, n + 1)]
+    path = [(i, i + 1) for i in range(1, n)]
+    edges = spark.createDataFrame(star + path, "src long, dst long")
+    got = triangle_count(edges).first()["n_triangles"]
+    assert got == n - 1
