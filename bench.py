@@ -42,6 +42,19 @@ BENCH_QUERIES: dict[str, tuple[str, ...]] = {
     "q12": ("q_dedup_exact",),
 }
 
+#: Heavy tail — the expensive iterative/similarity/streaming operators,
+#: timed SINGLE-RUN (they dominate wall-clock; a 3-run protocol would
+#: triple a ~2-minute suite for little signal). Keys are prefixed
+#: ``h_`` so the driver's round-over-round diff can separate the two
+#: suites; regressions here are exactly the ones PERF.md used to hide.
+HEAVY_QUERIES: dict[str, tuple[str, ...]] = {
+    "h_triangle_count": ("q_triangle_count",),
+    "h_pagerank": ("q_pagerank",),
+    "h_connected_components": ("q_connected_components",),
+    "h_near_dup_lsh": ("q_near_dup_lsh",),
+    "h_stream_replay": ("q_stream_batch_equiv",),
+}
+
 RUNS = 3
 
 
@@ -63,6 +76,13 @@ def main() -> None:
             per_run.append(time.perf_counter() - t0)
         times[key] = round(min(per_run[1:]), 4)
 
+    heavy: dict[str, float] = {}
+    for key, names in HEAVY_QUERIES.items():
+        t0 = time.perf_counter()
+        for name in names:
+            QUERIES[name](spark, sf_dir).collect()
+        heavy[key] = round(time.perf_counter() - t0, 4)
+
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
         sf_val: float | str = float(sf)
@@ -74,7 +94,8 @@ def main() -> None:
                 "metric": "warm_total_headline_sec",
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
-                "queries": times,
+                "queries": {**times, **heavy},
+                "heavy_total_sec": round(sum(heavy.values()), 4),
                 "sf": sf_val,
             }
         )

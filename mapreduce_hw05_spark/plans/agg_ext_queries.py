@@ -696,3 +696,82 @@ def q_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(errs).alias("error_users"),
         F.count_distinct(high).alias("high_value_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg-16 (ext) — mergeable KLL-style quantile sketch rollup
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_kll_rollup",
+    oracle="""
+    SELECT event_type,
+           count(value) AS n_rows,
+           round(quantile_cont(value, 0.5), 6) AS p50_exact,
+           round(quantile_cont(value, 0.9), 6) AS p90_exact,
+           round(quantile_cont(value, 0.99), 6) AS p99_exact,
+           TRUE AS sketch_rank_within_2pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-sketch rollup (operators.quantile_sketch):
+    per-partition KLL-style partials → associative blob merge per
+    event_type → rank-error-bounded p50/p90/p99 — the reaggregatable
+    quantile pattern next to the HLL distinct rollup; at 100 TB the
+    daily partials persist and any date range re-rolls without touching
+    raw rows.
+
+    Hashable shape (same pattern as q_approx_quantile / q_hll_rollup):
+    exact percentiles plus the sketch's row count (which must equal the
+    oracle's count(value) — proving no partial was lost in the merge)
+    plus an engine-side boolean. The boolean bounds RANK error — the
+    guarantee a quantile sketch actually makes: the true rank fraction
+    of each estimate must lie within 2% of its target quantile (value
+    error is unbounded in a heavy tail where a 1% rank slip moves the
+    p99 value by ~10%). The rank check is one broadcast join of the
+    5-row estimate table back over events plus one conditional-avg pass.
+    """
+    from mapreduce_hw05_spark.operators.quantile_sketch import (
+        quantile_sketch_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = quantile_sketch_rollup(
+        ev, ["event_type"], "value", [0.5, 0.9, 0.99]
+    ).withColumnsRenamed({"q50": "s50", "q90": "s90", "q99": "s99"})
+    exact = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("e50"),
+        F.percentile("value", F.lit(0.9)).alias("e90"),
+        F.percentile("value", F.lit(0.99)).alias("e99"),
+    )
+    # True rank fraction of each sketch estimate, computed distributed:
+    # frac_lt <= q+tol and frac_le >= q-tol ⇔ the estimate sits within
+    # ±tol rank of the target quantile (the two-sided form is tie-safe).
+    probes = ev.join(F.broadcast(sk), "event_type")
+    checks = []
+    for q, col in [(0.5, "s50"), (0.9, "s90"), (0.99, "s99")]:
+        lt = F.avg((F.col("value") < F.col(col)).cast("double"))
+        le = F.avg((F.col("value") <= F.col(col)).cast("double"))
+        checks.append(
+            ((lt <= F.lit(q + 0.02)) & (le >= F.lit(q - 0.02))).alias(
+                f"ok_{col}"
+            )
+        )
+    ranks = probes.groupBy("event_type").agg(*checks)
+    return (
+        sk.join(exact, "event_type")
+        .join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            F.round("e50", 6).alias("p50_exact"),
+            F.round("e90", 6).alias("p90_exact"),
+            F.round("e99", 6).alias("p99_exact"),
+            (F.col("ok_s50") & F.col("ok_s90") & F.col("ok_s99")).alias(
+                "sketch_rank_within_2pct"
+            ),
+        )
+    )

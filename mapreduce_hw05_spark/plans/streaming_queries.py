@@ -520,6 +520,57 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@contract(
+    "q_stream_exactly_once_cdc",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_exactly_once_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level exactly-once, end to end, executed BY THE STREAMING
+    ENGINE: every replay chunk is delivered TWICE (at-least-once
+    upstream), stateful ``dropDuplicates`` on (event_id, ts) removes the
+    redelivery, and the surviving rows are ADDED into a per-user
+    count/sum state table via the committed-batch-manifest foreachBatch
+    sink. The sink is duplicate-SENSITIVE (an additive merge, not a
+    keyed upsert), so a single row delivered twice — by the source, by
+    dedup state loss, or by a replayed foreachBatch — inflates a count
+    and fails the hash against the batch aggregate oracle. This is the
+    thirteenth streaming-executed contract and the exactly-once
+    completion of the q_stream_upsert_cdc family.
+    """
+    events = load_table(spark, sf_dir, "events")
+    chunks = time_ordered_chunks(events, "ts", 3)
+    doubled = [c for chunk in chunks for c in (chunk, chunk)]
+    root = _fresh_scratch("q_eocdc_")
+    replay = FileReplay(spark, doubled, os.path.join(root, "in"))
+    state = os.path.join(root, "state")
+    with _replay_state_partitions(spark):
+        query = ops.stream_exactly_once_agg_foreachbatch(
+            ops.dedup_events(replay.stream(), watermark="3650 days"),
+            state,
+            os.path.join(root, "ckpt"),
+        ).start()
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    final = spark.read.parquet(state).select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+    result = spark.createDataFrame(final.collect(), schema=final.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 def _watermark_sentinels(spark, events):
     """One far-future click + purchase (user_id=-1) used to flush
     stream-stream outer-join state at end of a finite replay.

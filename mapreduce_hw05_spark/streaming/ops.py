@@ -271,6 +271,75 @@ def stream_upsert_foreachbatch(
     )
 
 
+def stream_exactly_once_agg_foreachbatch(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+):
+    """Row-level exactly-once streaming aggregation into a parquet state
+    table: per-batch deltas (count + sum per key) are ADDED into the
+    state — a duplicate-sensitive sink, unlike a keyed upsert, so any
+    duplicate row that slips past upstream dedup inflates the result and
+    fails the batch-oracle hash.
+
+    foreachBatch itself is only at-least-once (a recovered query re-runs
+    the last uncommitted batch), so the sink keeps a committed-batch
+    manifest ``_batches/<id>`` INSIDE the state directory and swaps
+    state + manifest in one atomic directory rename: a re-delivered batch
+    id is a no-op, which upgrades the additive merge to exactly-once.
+    Underscore-prefixed entries are invisible to Spark's file index, so
+    the manifest rides the parquet dir without disturbing reads. A real
+    deployment swaps the rewrite for a transactional table format
+    (MERGE + txn id), keeping this exact plan.
+    """
+    import os
+    import shutil
+
+    keys = keys or ["user_id"]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        marker_dir = os.path.join(state_dir, "_batches")
+        if os.path.exists(os.path.join(marker_dir, str(batch_id))):
+            return  # replayed batch already committed — exactly-once guard
+        spark = batch_df.sparkSession
+        delta = batch_df.groupBy(*keys).agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            base = spark.read.parquet(state_dir)
+            merged = (
+                base.unionByName(delta)
+                .groupBy(*keys)
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value").alias("sum_value"),
+                )
+            )
+        else:
+            merged = delta
+        tmp = state_dir.rstrip("/") + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        new_marker_dir = os.path.join(tmp, "_batches")
+        os.makedirs(new_marker_dir, exist_ok=True)
+        if os.path.isdir(marker_dir):
+            for m in os.listdir(marker_dir):
+                open(os.path.join(new_marker_dir, m), "w").close()
+        open(os.path.join(new_marker_dir, str(batch_id)), "w").close()
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
 def interval_left_join_purchases(
     events: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -275,3 +275,49 @@ def test_streaks_telescope_to_active_days(spark):
         assert r["active_days"] == days[uid], (uid, r, days[uid])
         assert r["longest_streak"] <= r["active_days"]
         assert r["n_streaks"] >= 1
+
+
+def test_kll_sketch_merge_associative_and_rank_bounded(spark):
+    """Partition partials merged in any grouping must equal the same
+    sketch built by one sequential pass (deterministic compaction), and
+    estimates must stay rank-bounded."""
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.quantile_sketch import KLLSketch
+
+    rng = np.random.RandomState(7)
+    data = rng.lognormal(3.0, 1.0, 20000)
+    parts = np.array_split(data, 8)
+
+    seq = KLLSketch(200)
+    for p in parts:
+        seq.add_many(p)
+
+    left = KLLSketch(200)
+    for p in parts[:4]:
+        left.add_many(p)
+    right = KLLSketch(200)
+    for p in parts[4:]:
+        right.add_many(p)
+    merged = left.merge(right)
+
+    assert merged.n == seq.n == len(data)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    sorted_data = np.sort(data)
+    for sk in (seq, merged):
+        for q, est in zip(qs, sk.quantiles(qs)):
+            true_rank = np.searchsorted(sorted_data, est) / len(data)
+            assert abs(true_rank - q) <= 0.025, (q, est, true_rank)
+
+
+def test_kll_sketch_serialization_roundtrip():
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.quantile_sketch import KLLSketch
+
+    sk = KLLSketch(64)
+    sk.add_many(np.arange(5000, dtype=float))
+    back = KLLSketch.deserialize(sk.serialize())
+    assert back.n == sk.n
+    assert back.levels == sk.levels
+    assert back.quantiles([0.25, 0.75]) == sk.quantiles([0.25, 0.75])

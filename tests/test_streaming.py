@@ -241,3 +241,55 @@ def test_stream_upsert_foreachbatch(spark, events, tmp_path):
     a = as_sorted_rows(got.select("user_id", "event_id"))
     b = as_sorted_rows(expect.select("user_id", "event_id"))
     assert a == b
+
+
+def test_exactly_once_sink_batch_manifest_guard(spark, tmp_path):
+    """A re-delivered foreachBatch batch id must be a no-op: the additive
+    sink is duplicate-sensitive by design, so the committed-batch
+    manifest inside the state dir is what makes it exactly-once."""
+    from mapreduce_hw05_spark.streaming.ops import (
+        stream_exactly_once_agg_foreachbatch,
+    )
+
+    state = str(tmp_path / "state")
+    batch = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 2.0)], "user_id long, value double"
+    )
+
+    # Capture the foreachBatch callable without starting a real stream:
+    # the factory only touches stream.writeStream.foreachBatch(...).
+    captured = {}
+
+    class _CaptureWriter:
+        def foreachBatch(self, fn):
+            captured["fn"] = fn
+            return self
+
+        def outputMode(self, *_):
+            return self
+
+        def option(self, *_):
+            return self
+
+    class _FakeStream:
+        writeStream = _CaptureWriter()
+
+    stream_exactly_once_agg_foreachbatch(_FakeStream(), state, str(tmp_path / "ckpt"))
+    apply_batch = captured["fn"]
+
+    def snapshot():
+        return {
+            r["user_id"]: (r["n_events"], r["sum_value"])
+            for r in spark.read.parquet(state).collect()
+        }
+
+    apply_batch(batch, 0)
+    first = snapshot()
+    assert first == {1: (2, 15.0), 2: (1, 2.0)}
+
+    apply_batch(batch, 0)  # re-delivery of a committed batch -> no-op
+    assert snapshot() == first
+
+    apply_batch(batch, 1)  # a new batch id does merge additively
+    assert snapshot() == {1: (4, 30.0), 2: (2, 4.0)}
+    assert sorted(os.listdir(os.path.join(state, "_batches"))) == ["0", "1"]
