@@ -380,51 +380,112 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@contract("q_bpe_merges")  # rows-only: iterative algorithm, no SQL analog
+@contract(
+    "q_bpe_merges",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_merges,
+           TRUE AS matches_local_reference
+    """,
+)
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First 10 BPE merges learned from the documents corpus via
+    """BPE merge induction (10 merges) from the documents corpus via
     :mod:`operators.bpe` — the tokenizer-training pass of an LLM data
     pipeline. The working set is one row per DISTINCT word; each round
     counts adjacent symbol pairs in Catalyst, ships exactly one winning
     pair to the driver, and rewrites symbols with a vectorized pandas
     UDF. Deterministic tie-break (weight desc, pair asc) makes the merge
-    list reproducible; the engine test checks it against a pure-Python
-    reference implementation.
+    list reproducible.
+
+    Hashable shape: the merge list itself has no SQL analog, so the
+    contract runs the pure-Python single-machine reference over the same
+    word counts engine-side and emits whether the distributed learner
+    reproduced it merge-for-merge — a genuine two-implementation
+    differential, now driver-visible instead of test-only.
     """
-    from mapreduce_hw05_spark.operators.bpe import learn_bpe
+    from mapreduce_hw05_spark.operators.bpe import (
+        learn_bpe,
+        learn_bpe_local,
+        word_counts,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe(docs, "text", n_merges=10)
+    wc = {r["word"]: r["cnt"] for r in word_counts(docs, "text").collect()}
+    matches = merges == learn_bpe_local(wc, n_merges=10)
     return spark.createDataFrame(
-        merges, "merge_rank int, left string, right string, weight long"
+        [(len(merges), matches)],
+        "n_merges long, matches_local_reference boolean",
     )
 
 
-@contract("q_bpe_encode")  # rows-only: depends on the learned merge list
+@contract(
+    "q_bpe_encode",
+    oracle="""
+    WITH words AS (
+        SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+            FROM documents
+        ) WHERE word <> '' GROUP BY word
+    )
+    SELECT count(*) AS n_words,
+           CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+           TRUE AS roundtrip_exact,
+           TRUE AS matches_local_encoder
+    FROM words
+    """,
+)
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer APPLICATION: learn 10 BPE merges, encode the corpus,
-    and emit the top-20 subword tokens by corpus frequency — the
-    vocabulary-build + encode pass that follows merge induction in an
-    LLM data pipeline.
+    """Tokenizer APPLICATION: learn 10 BPE merges, encode the corpus —
+    the vocabulary-build + encode pass that follows merge induction in
+    an LLM data pipeline. Encoding runs on the distinct-word table (one
+    pandas-UDF row per word type, never per occurrence).
 
-    Encoding runs on the distinct-word table (one pandas-UDF row per
-    word type, never per occurrence); corpus frequencies come from
-    re-weighting by the word counts, so the explode fans out over word
-    TYPES × tokens-per-word — bounded by vocabulary, not corpus size.
+    Hashable shape: the oracle independently recomputes the word-type
+    and occurrence totals (whitespace tokenization is SQL-expressible);
+    the engine emits those plus two booleans — every word's tokens
+    concatenate back to the word + end mark (a DISTRIBUTED round-trip
+    proof over all word types), and the distributed encoder agrees
+    token-for-token with the single-machine greedy reference.
     """
     from mapreduce_hw05_spark.operators.bpe import (
+        END,
         encode_words,
+        encode_words_local,
         learn_bpe,
         word_counts,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe(docs, "text", n_merges=10)
-    encoded = encode_words(word_counts(docs, "text"), merges)
-    return (
-        encoded.select(F.explode("tokens").alias("token"), "cnt")
-        .groupBy("token")
-        .agg(F.sum("cnt").alias("n_occurrences"))
-        .orderBy(F.desc("n_occurrences"), "token")
-        .limit(20)
+    wc_df = word_counts(docs, "text").persist()
+    try:
+        encoded = encode_words(wc_df, merges)
+        stats = encoded.agg(
+            F.count("*").alias("n_words"),
+            F.sum("cnt").alias("n_occurrences"),
+            F.min(
+                F.array_join("tokens", "")
+                == F.concat(F.col("word"), F.lit(END))
+            ).alias("roundtrip_exact"),
+        ).first()
+        got = {
+            r["word"]: list(r["tokens"]) for r in encoded.collect()
+        }
+        want = encode_words_local(
+            {r["word"]: r["cnt"] for r in wc_df.collect()}, merges
+        )
+        matches = got == want
+    finally:
+        wc_df.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                stats["n_words"],
+                stats["n_occurrences"],
+                bool(stats["roundtrip_exact"]),
+                matches,
+            )
+        ],
+        "n_words long, n_occurrences long, "
+        "roundtrip_exact boolean, matches_local_encoder boolean",
     )

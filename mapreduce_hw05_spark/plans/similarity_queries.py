@@ -242,15 +242,54 @@ def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id1", "id2", ratio(F.col("sim")).alias("cos_sim"))
 
 
-@contract("q_ann_ivf_topk")  # rows-only: IVF recall is probabilistic
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-20 similar pairs via IVF coarse quantization — the
-    scale path that replaces the broadcast brute-force kernel when the
-    reference side outgrows executor memory.
+def _ann_recall_summary(
+    spark: SparkSession,
+    ann_pairs: DataFrame,
+    emb: DataFrame,
+    recall_floor: float,
+    flag_name: str,
+) -> DataFrame:
+    """Shared hashable shape for the ANN contracts: the approximate
+    top-20 pair set is compared engine-side against the exact broadcast
+    kernel's top-20 (both deterministic at fixed seeds), and the contract
+    emits (n_pairs, recall ≥ floor, sims within unit ball) — which a SQL
+    oracle can assert as constants. A broken index (bad bucketing, lost
+    candidates, wrong cosine) drops recall or emits out-of-range sims.
+    """
+    ann = ann_pairs.collect()
+    exact = global_topk_pairs(
+        cosine_pairs_topk_per_row(emb, emb, "vec_id", "embedding", k=20, mode="pairs"),
+        k=20,
+    ).collect()
+    exact_set = {(r["id1"], r["id2"]) for r in exact}
+    hit = sum((r["id1"], r["id2"]) in exact_set for r in ann)
+    recall_ok = (hit / max(len(exact_set), 1)) >= recall_floor
+    sims_ok = all(abs(r["cos_sim"]) <= 1 + 1e-9 for r in ann)
+    return spark.createDataFrame(
+        [(len(ann), recall_ok, sims_ok)],
+        f"n_pairs long, {flag_name} boolean, sims_within_unit boolean",
+    )
 
-    Label-seeded centroids (k=10), nprobe=4. Engine test measures recall
-    against the exact kernel. Candidate generation shuffles only on
-    bucket id; no executor holds more than one inverted list.
+
+@contract(
+    "q_ann_ivf_topk",
+    oracle="""
+    SELECT CAST(20 AS BIGINT) AS n_pairs,
+           TRUE AS recall_ge_50pct,
+           TRUE AS sims_within_unit
+    """,
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 similar pairs via IVF coarse quantization — the scale path
+    that replaces the broadcast brute-force kernel when the reference
+    side outgrows executor memory. Label-seeded centroids (k=10),
+    nprobe=4; candidate generation shuffles only on bucket id; no
+    executor holds more than one inverted list.
+
+    Hashable shape: recall vs the exact kernel is deterministic at fixed
+    seeding, so the contract emits (pair count, recall ≥ 50% at
+    nprobe=4/10, sims bounded) and the oracle asserts the constants;
+    the per-pair detail stays covered by the engine recall tests.
     """
     from mapreduce_hw05_spark.operators.ann import ivf_knn_candidates
     from mapreduce_hw05_spark.operators.clustering import label_seeded_centroids
@@ -258,26 +297,35 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = label_seeded_centroids(emb)
     cands = ivf_knn_candidates(emb, emb, centroids, k=20, nprobe=4, mode="pairs")
-    return global_topk_pairs(cands, k=20)
+    top = global_topk_pairs(cands, k=20)
+    return _ann_recall_summary(spark, top, emb, 0.5, "recall_ge_50pct")
 
 
-@contract("q_ann_lsh_topk")  # rows-only: LSH recall is probabilistic
+@contract(
+    "q_ann_lsh_topk",
+    oracle="""
+    SELECT CAST(20 AS BIGINT) AS n_pairs,
+           TRUE AS recall_ge_70pct,
+           TRUE AS sims_within_unit
+    """,
+)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-20 similar pairs via sign-LSH (random-hyperplane)
-    bucketing — the index-free scale path: no training pass, corpus
-    replicated n_tables× and shuffled on bucket id, exact cosine only
-    within buckets.
+    """Top-20 similar pairs via sign-LSH (random-hyperplane) bucketing —
+    the index-free scale path: no training pass, corpus replicated
+    n_tables× and shuffled on bucket id, exact cosine only within
+    buckets. 16 tables × 4 bits tuned for this fixture's near-orthogonal
+    geometry (top pairs cos ≈ 0.45 → per-table collision ≈ 0.18, miss
+    probability across 16 tables ≈ 4%).
 
-    16 tables × 4 bits tuned for this fixture's near-orthogonal geometry
-    (top pairs cos ≈ 0.45 → per-table collision ≈ 0.18, miss probability
-    across 16 tables ≈ 4%). Engine test measures recall vs the exact
-    kernel and exhaustive-table exactness.
+    Hashable shape as q_ann_ivf_topk, with the tighter 70% floor the
+    seeded hyperplanes deterministically clear on this fixture.
     """
     from mapreduce_hw05_spark.operators.ann import sign_lsh_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = sign_lsh_pairs(emb, k_per_bucket=20, n_tables=16, n_bits=4)
-    return global_topk_pairs(pairs, k=20)
+    top = global_topk_pairs(pairs, k=20)
+    return _ann_recall_summary(spark, top, emb, 0.7, "recall_ge_70pct")
 
 
 # --------------------------------------------------------------------------
@@ -465,82 +513,147 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@contract("q_logreg_train")  # rows-only: iterative optimizer, no SQL analog
+@contract(
+    "q_logreg_train",
+    oracle="""
+    SELECT CAST(max(len(embedding)) + 1 AS BIGINT) AS n_weights,
+           count(*) AS n_rows,
+           TRUE AS loss_improved,
+           TRUE AS weights_finite,
+           TRUE AS matches_numpy_reference
+    FROM embeddings
+    """,
+)
 def q_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary logistic regression (label ≥ 5 vs < 5) trained on the
     embedding column with 20 fixed batch-gradient iterations — the
-    iterative-ML capstone next to k-means/PCA.
+    iterative-ML capstone next to k-means/PCA. Each iteration is one
+    mapInPandas pass reducing every Arrow batch to a d+1 gradient
+    partial (operators.logreg); only that vector reaches the driver.
 
-    Each iteration is one mapInPandas pass reducing every Arrow batch
-    to a d+1 gradient partial (operators.logreg); only that vector
-    reaches the driver. Output: per-dimension weights (+ bias row) and
-    the final mean log-loss, all rounded for cross-run stability.
+    Hashable shape: the oracle knows the model SIZE (d+1 weights) and
+    the training-set row count; the engine adds three booleans — final
+    log-loss below initial, all weights finite, and the distributed
+    batch-gradient trajectory agreeing with the single-machine NumPy
+    reference (fit_logreg_local) to 1e-6 (a genuine two-implementation
+    differential on the whole gradient pipeline).
     """
-    from mapreduce_hw05_spark.operators.logreg import fit_logreg
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.logreg import (
+        fit_logreg,
+        fit_logreg_local,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "embedding", (F.col("label") >= 5).cast("double").alias("y")
     ).persist()
     try:
         model = fit_logreg(emb, "embedding", "y", n_iters=20, lr=1.0)
+        n_rows = emb.count()
+        pdf = emb.toPandas()
     finally:
         emb.unpersist()
-    rows = [
-        (i, round(float(wi), 6), round(model["losses"][-1], 6))
-        for i, wi in enumerate(model["weights"])
-    ] + [(-1, round(model["bias"], 6), round(model["losses"][-1], 6))]
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    want = fit_logreg_local(x, pdf["y"].to_numpy(), n_iters=20, lr=1.0)
+    got = np.concatenate([model["weights"], [model["bias"]]])
+    ref = np.concatenate([want["weights"], [want["bias"]]])
+    matches = bool(np.allclose(got, ref, atol=1e-6))
     return spark.createDataFrame(
-        rows, "dim int, weight double, final_loss double"
+        [
+            (
+                len(got),
+                n_rows,
+                bool(model["losses"][-1] < model["losses"][0]),
+                bool(np.isfinite(got).all()),
+                matches,
+            )
+        ],
+        "n_weights long, n_rows long, loss_improved boolean, "
+        "weights_finite boolean, matches_numpy_reference boolean",
     )
 
 
-@contract("q_logreg_score")  # rows-only: depends on the trained weights
+@contract(
+    "q_logreg_score",
+    oracle="""
+    SELECT CAST(CASE WHEN label >= 5 THEN 1 ELSE 0 END AS BIGINT) AS actual,
+           count(*) AS n_rows,
+           TRUE AS paths_agree
+    FROM embeddings
+    GROUP BY 1
+    """,
+)
 def q_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inference path for the trained model: score every embedding with
-    the learned weights and emit the confusion matrix + accuracy —
-    train on the driver loop, score in one broadcast-weights map pass.
+    the learned weights — train on the driver loop, score in one
+    broadcast-weights map pass. Scoring is a single JVM-side Catalyst
+    expression (zip_with dot product over the 64-dim vector — linear per
+    row, the acceptable HOF shape); the d+1 weight vector rides into the
+    plan as literals, the scalable analog of a broadcast model.
 
-    Scoring is a single JVM-side Catalyst expression (zip_with dot
-    product over the 64-dim vector — linear per row, the acceptable HOF
-    shape); the d+1 weight vector rides into the plan as literals, the
-    scalable analog of a broadcast model.
+    Hashable shape: per-class row counts (which the oracle recomputes
+    from the label column) plus a boolean differential between the TWO
+    inference paths — the Catalyst zip_with expression and an Arrow-
+    batched NumPy kernel scoring the same weights — which must agree on
+    every row's predicted class. A drifting literal, a wrong dot
+    product, or a mis-batched kernel flips it.
     """
+    import numpy as np
+    import pandas as pd
+
     from mapreduce_hw05_spark.operators.logreg import fit_logreg
 
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "embedding", (F.col("label") >= 5).cast("double").alias("y")
+        "vec_id", "embedding", (F.col("label") >= 5).cast("double").alias("y")
     ).persist()
     try:
         model = fit_logreg(emb, "embedding", "y", n_iters=20, lr=1.0)
         w = [float(v) for v in model["weights"]]
+        bias = float(model["bias"])
         margin = F.aggregate(
             F.zip_with(
                 "embedding",
                 F.array(*[F.lit(v) for v in w]),
                 lambda x, wi: x.cast("double") * wi,
             ),
-            F.lit(float(model["bias"])),
+            F.lit(bias),
             lambda acc, v: acc + v,
         )
-        pred = (margin > 0).cast("double")
-        scored = emb.select(
+        catalyst = emb.select(
+            "vec_id",
             F.col("y").cast("long").alias("actual"),
-            pred.cast("long").alias("predicted"),
+            (margin > 0).cast("long").alias("pred_sql"),
+        )
+
+        w_arr = np.array(w + [bias])
+
+        def score_kernel(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                m = x @ w_arr[:-1] + w_arr[-1]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                        "pred_np": (m > 0).astype(np.int64),
+                    }
+                )
+
+        numpy_preds = emb.select("vec_id", "embedding").mapInPandas(
+            score_kernel, schema="vec_id long, pred_np long"
+        )
+        joined = catalyst.join(numpy_preds, "vec_id")
+        agree = (
+            joined.agg(
+                F.min(F.col("pred_sql") == F.col("pred_np")).alias("ok")
+            ).first()["ok"]
         )
         result = (
-            scored.groupBy("actual", "predicted")
-            .agg(F.count("*").alias("n"))
-            .withColumn(
-                "accuracy",
-                F.round(
-                    F.sum(
-                        F.when(F.col("actual") == F.col("predicted"), F.col("n"))
-                        .otherwise(F.lit(0))
-                    ).over(W.partitionBy())
-                    / F.sum("n").over(W.partitionBy()),
-                    6,
-                ),
-            )
+            joined.groupBy("actual")
+            .agg(F.count("*").alias("n_rows"))
+            .withColumn("paths_agree", F.lit(bool(agree)))
         )
         # materialize before unpersist: the plan reads the cached input
         return spark.createDataFrame(result.collect(), schema=result.schema)
