@@ -74,6 +74,94 @@ def assign_clusters(
     return emb.mapInPandas(kernel, schema=schema)
 
 
+def kmeans_parallel_init(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 5,
+    oversample: int | None = None,
+    seed: int = 11,
+) -> np.ndarray:
+    """k-means|| initialization (Bahmani et al., "Scalable k-means++"):
+    instead of k sequential k-means++ passes (k full scans — useless at
+    scale) or random seeding (poor starts), sample ~l·rounds candidates
+    in ``rounds`` passes, each point kept with probability
+    l·d²(x,C)/φ, then reduce the small weighted candidate set to k
+    centroids driver-side.
+
+    Determinism (contract requirement): the Bernoulli draw uses a
+    splitmix-style hash of (id, round) instead of an RNG, and the final
+    reduction is greedy weighted k-means++ (argmax of weighted distance,
+    no sampling) — same input ⇒ same centroids, any partitioning.
+    Per-round driver traffic is the candidate batch only; distances are
+    computed against a broadcast candidate matrix in one mapInPandas
+    pass (the assign_clusters kernel reused with a growing C).
+    """
+    l = oversample if oversample is not None else 2 * k
+
+    first = (
+        emb.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(1)
+        .collect()[0][vec_col]
+    )
+    centers = np.asarray([list(first)], dtype=np.float64)
+
+    for rnd in range(rounds):
+        assigned = assign_clusters(emb, centers, id_col, vec_col)
+        phi_row = assigned.agg(F.sum("sq_dist").alias("phi")).first()
+        phi = float(phi_row["phi"]) or 1e-300
+        # Deterministic Bernoulli: uniform(id, round) < l*d²/φ.
+        u = (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + rnd)), F.lit(1_000_000_007))
+            / F.lit(1_000_000_007.0)
+        )
+        picked_ids = (
+            assigned.filter(u < F.col("sq_dist") * F.lit(float(l)) / F.lit(phi))
+            .select(id_col)
+        )
+        new_rows = (
+            emb.join(picked_ids, id_col)
+            .select(vec_col)
+            .collect()
+        )
+        if new_rows:
+            centers = np.unique(
+                np.vstack(
+                    [centers]
+                    + [np.asarray(list(r[vec_col]), dtype=np.float64) for r in new_rows]
+                ),
+                axis=0,
+            )
+
+    # Weight candidates by how many points they currently own.
+    weights_df = (
+        assign_clusters(emb, centers, id_col, vec_col)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("w"))
+        .collect()
+    )
+    w = np.zeros(len(centers))
+    for r in weights_df:
+        w[int(r["cluster"])] = float(r["w"])
+
+    # Greedy weighted k-means++ reduction to k centroids (driver-side,
+    # candidate set is O(l·rounds) — tiny).
+    chosen = [int(np.argmax(w))]
+    d2 = ((centers - centers[chosen[0]]) ** 2).sum(axis=1)
+    while len(chosen) < min(k, len(centers)):
+        nxt = int(np.argmax(w * d2))
+        if d2[nxt] == 0.0:
+            break
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((centers - centers[nxt]) ** 2).sum(axis=1))
+    out = centers[chosen]
+    if len(out) < k:  # degenerate corpus: pad by repeating (documented)
+        out = np.vstack([out] * ((k // len(out)) + 1))[:k]
+    return out
+
+
 def kmeans(
     emb: DataFrame,
     k: int,

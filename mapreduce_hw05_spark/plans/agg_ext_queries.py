@@ -775,3 +775,101 @@ def q_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg-17 (ext) — theta-sketch set operations (intersectable distinct)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_theta_sketch_ops",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT count(*) FROM c) AS n_click_exact,
+           (SELECT count(*) FROM p) AS n_purchase_exact,
+           (SELECT count(*) FROM (SELECT user_id FROM c
+                                  UNION SELECT user_id FROM p)) AS n_union_exact,
+           (SELECT count(*) FROM c WHERE user_id IN (SELECT user_id FROM p))
+               AS n_intersect_exact,
+           (SELECT count(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM p))
+               AS n_diff_exact,
+           TRUE AS sketch_within_5pct
+    """,
+)
+def q_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch SET ALGEBRA (operators.theta_sketch): distinct
+    clickers, purchasers, their union, intersection, and difference —
+    the "users who did A AND B" question HLL cannot answer (HLL unions
+    but never intersects). Per-type sketches are built from bounded
+    per-partition partials (only blobs shuffle, the same topology as the
+    HLL/KLL rollups); set ops run on the two retained hash sets under
+    the common θ.
+
+    Hashable shape: the oracle computes all five EXACT cardinalities
+    relationally; the engine emits them plus a boolean bounding every
+    sketch estimate within 5% of its exact counterpart (at fixture
+    cardinality the sketches are below k and therefore exact — the 5%
+    bound is exercised at scale by the synthetic invariant test).
+    """
+    from mapreduce_hw05_spark.operators.theta_sketch import (
+        ThetaSketch,
+        theta_sketch_by_key,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    blobs = {
+        r["event_type"]: ThetaSketch.deserialize(bytes(r["sketch"]))
+        for r in theta_sketch_by_key(ev, ["event_type"], "user_id").collect()
+    }
+    clicks, purchases = blobs["click"], blobs["purchase"]
+    est = {
+        "click": clicks.estimate(),
+        "purchase": purchases.estimate(),
+        "union": clicks.union(purchases).estimate(),
+        "intersect": clicks.intersect(purchases).estimate(),
+        "diff": clicks.difference(purchases).estimate(),
+    }
+    exact_row = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("n_click"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_purchase"),
+        F.countDistinct("user_id").alias("n_union"),
+    ).first()
+    both = (
+        ev.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .count()
+    )
+    exact = {
+        "click": exact_row["n_click"],
+        "purchase": exact_row["n_purchase"],
+        "union": exact_row["n_union"],
+        "intersect": both,
+        "diff": exact_row["n_click"] - both,
+    }
+    ok = all(
+        abs(est[key] - exact[key]) <= max(exact[key] * 0.05, 1e-9)
+        for key in exact
+    )
+    return spark.createDataFrame(
+        [
+            (
+                exact["click"],
+                exact["purchase"],
+                exact["union"],
+                exact["intersect"],
+                exact["diff"],
+                ok,
+            )
+        ],
+        "n_click_exact long, n_purchase_exact long, n_union_exact long, "
+        "n_intersect_exact long, n_diff_exact long, sketch_within_5pct boolean",
+    )

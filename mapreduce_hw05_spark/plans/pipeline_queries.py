@@ -489,3 +489,159 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words long, n_occurrences long, "
         "roundtrip_exact boolean, matches_local_encoder boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# The composed pass: quality filter → exact dedup → near-dup cluster
+# removal, with per-source stage counts — the pipeline as users run it
+# --------------------------------------------------------------------------
+
+
+def _pretrain_oracle() -> str:
+    from mapreduce_hw05_spark.functions.text_analysis import STOPWORDS
+
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    WITH RECURSIVE scored AS (
+        SELECT doc_id, source, text,
+               round(0.4 * least(1.0, len(text) / 300.0)
+                   + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+                                 t -> t IN ({stop_in}))) * 1.0
+                            / len(string_split(text, ' ')))
+                   + 0.3 * (len(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+                            / len(text)), 6) AS quality
+        FROM documents
+    ), qual AS (
+        SELECT doc_id, source, text FROM scored WHERE quality >= 0.5
+    ), keepers AS (
+        SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)
+    ), survivors AS (
+        SELECT q.doc_id, q.source, q.text
+        FROM qual q JOIN keepers k ON q.doc_id = k.doc_id
+    ), toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM survivors
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+        SELECT t1.doc_id AS id1, t2.doc_id AS id2, count(*) AS n_common
+        FROM toks t1 JOIN toks t2
+          ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+        GROUP BY 1, 2
+    ), near_pairs AS (
+        SELECT id1, id2 FROM inter
+        JOIN sizes s1 ON id1 = s1.doc_id
+        JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.8
+    ), edges AS (
+        SELECT id1 AS src, id2 AS dst FROM near_pairs
+        UNION ALL SELECT id2, id1 FROM near_pairs
+    ), reach AS (
+        SELECT src AS node, src AS comp FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT e.dst AS node, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ), labels AS (
+        SELECT node, min(comp) AS comp FROM reach GROUP BY node
+    ), final AS (
+        SELECT s.doc_id, s.source, s.text FROM survivors s
+        WHERE s.doc_id NOT IN (SELECT node FROM labels WHERE node <> comp)
+    )
+    SELECT r.source,
+           r.n_raw,
+           q.n_after_quality,
+           e.n_after_exact,
+           f.n_final,
+           f.total_tokens
+    FROM (SELECT source, count(*) AS n_raw
+          FROM documents GROUP BY source) r
+    JOIN (SELECT source, count(*) AS n_after_quality
+          FROM qual GROUP BY source) q USING (source)
+    JOIN (SELECT source, count(*) AS n_after_exact
+          FROM survivors GROUP BY source) e USING (source)
+    JOIN (SELECT source, count(*) AS n_final,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     AS total_tokens
+          FROM final GROUP BY source) f USING (source)
+    """
+
+
+@contract("q_pretrain_pipeline", oracle=_pretrain_oracle())
+def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline COMPOSED, as a user actually runs it:
+    quality filter (heuristic score ≥ 0.5) → exact dedup (min doc_id per
+    content hash) → near-dup removal (token-Jaccard ≥ 0.8 pairs →
+    connected components → keep the minimum-id representative), reported
+    as per-source survival counts at every stage plus the final token
+    budget — the funnel report every corpus build ends with.
+
+    One DAG end to end: every stage consumes the previous stage's
+    DataFrame, so Catalyst sees the whole funnel (the quality projection
+    prunes into the scan; the dedup aggregate and the Jaccard
+    inverted-index join reuse the same survivor set). Scale shapes: the
+    near-dup pair step is the LSH path above fixture scale, components
+    run large-star/small-star, and every stage count is a
+    partial-agg-friendly keyed count.
+    """
+    from mapreduce_hw05_spark.functions.text_analysis import quality_metrics
+    from mapreduce_hw05_spark.operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    qual = (
+        quality_metrics(docs, "text")
+        .filter(F.col("quality") >= 0.5)
+        .select("doc_id", "source", "text")
+        .persist()
+    )
+    keepers = qual.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    survivors = qual.join(
+        keepers.select("doc_id"), "doc_id"
+    ).persist()
+
+    toks = (
+        survivors.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    t1 = toks.withColumnsRenamed({"doc_id": "id1"})
+    t2 = toks.withColumnsRenamed({"doc_id": "id2"})
+    inter = (
+        t1.join(t2, (t1.token == t2.token) & (F.col("id1") < F.col("id2")))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.withColumnsRenamed({"doc_id": "id1", "n": "n1"})
+    s2 = sizes.withColumnsRenamed({"doc_id": "id2", "n": "n2"})
+    near_pairs = (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_common"))
+            >= 0.8
+        )
+        .select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    comps = connected_components_star(near_pairs)
+    drops = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    final = survivors.join(drops, "doc_id", "left_anti")
+
+    per_raw = docs.groupBy("source").agg(F.count("*").alias("n_raw"))
+    per_qual = qual.groupBy("source").agg(F.count("*").alias("n_after_quality"))
+    per_exact = survivors.groupBy("source").agg(
+        F.count("*").alias("n_after_exact")
+    )
+    per_final = final.groupBy("source").agg(
+        F.count("*").alias("n_final"),
+        lng(F.sum(F.size(F.split("text", " ")))).alias("total_tokens"),
+    )
+    result = (
+        per_raw.join(per_qual, "source")
+        .join(per_exact, "source")
+        .join(per_final, "source")
+    )
+    out = spark.createDataFrame(result.collect(), schema=result.schema)
+    survivors.unpersist()
+    qual.unpersist()
+    return out

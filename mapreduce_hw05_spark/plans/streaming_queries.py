@@ -571,6 +571,54 @@ def q_stream_exactly_once_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@contract(
+    "q_stream_compacted_sink",
+    oracle="""
+    SELECT event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           user_id,
+           event_type,
+           round(value, 6) AS value
+    FROM events
+    """,
+)
+def q_stream_compacted_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental table maintenance executed BY THE STREAMING ENGINE:
+    the events replay appends through a foreachBatch sink that compacts
+    the directory to one right-sized file whenever the small-file count
+    trips a threshold (6 micro-batches, compaction firing mid-stream
+    multiple times). The final directory must still read back as exactly
+    the fixture — compaction is pure maintenance, invisible to readers —
+    and the engine test pins the file-count bound itself.
+    """
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_compsink_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 6),
+                        os.path.join(root, "in"))
+    out = os.path.join(root, "out")
+    with _replay_state_partitions(spark):
+        query = ops.stream_append_compacting_sink(
+            replay.stream(), out, os.path.join(root, "ckpt"),
+            max_files=4, target_files=1,
+        ).start()
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    final = spark.read.parquet(out).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+    result = spark.createDataFrame(final.collect(), schema=final.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 def _watermark_sentinels(spark, events):
     """One far-future click + purchase (user_id=-1) used to flush
     stream-stream outer-join state at end of a finite replay.

@@ -321,3 +321,66 @@ def test_kll_sketch_serialization_roundtrip():
     assert back.n == sk.n
     assert back.levels == sk.levels
     assert back.quantiles([0.25, 0.75]) == sk.quantiles([0.25, 0.75])
+
+
+def test_theta_sketch_set_ops_error_bounded():
+    """At 200k distinct ids and k=4096 (RSE ~1.6%) every set-op estimate
+    must land within 5% of truth; below k the sketch must be EXACT."""
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.theta_sketch import ThetaSketch
+
+    a_ids = np.arange(0, 120_000, dtype=np.int64)
+    b_ids = np.arange(80_000, 200_000, dtype=np.int64)  # overlap 40k
+
+    a, b = ThetaSketch(4096), ThetaSketch(4096)
+    for chunk in np.array_split(a_ids, 7):
+        a.add_many(chunk)
+    for chunk in np.array_split(b_ids, 5):
+        b.add_many(chunk)
+
+    cases = {
+        a.estimate(): 120_000,
+        b.estimate(): 120_000,
+        a.union(b).estimate(): 200_000,
+        a.intersect(b).estimate(): 40_000,
+        a.difference(b).estimate(): 80_000,
+    }
+    for got, want in cases.items():
+        assert abs(got - want) <= 0.05 * want, (got, want)
+
+    small = ThetaSketch(4096)
+    small.add_many(np.arange(1000, dtype=np.int64))
+    small.add_many(np.arange(500, 1500, dtype=np.int64))  # dups + new
+    assert small.estimate() == 1500  # below k -> exact
+
+    rt = ThetaSketch.deserialize(a.serialize())
+    assert rt.estimate() == a.estimate()
+    assert rt.theta == a.theta
+
+
+def test_kmeans_parallel_init_deterministic_and_competitive(spark):
+    """k-means|| init must be deterministic (hash Bernoulli + greedy
+    reduction), produce exactly k centroids, and give Lloyd a start at
+    least as good as label-mean seeding (within 5%) after 5 iterations."""
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.clustering import (
+        kmeans,
+        kmeans_parallel_init,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    c1 = kmeans_parallel_init(emb, k=10)
+    c2 = kmeans_parallel_init(emb, k=10)
+    assert c1.shape == (10, 64)
+    assert np.array_equal(c1, c2)
+
+    inert_pp: list[float] = []
+    kmeans(emb, k=10, iterations=5, init=c1, inertia_out=inert_pp)
+    inert_label: list[float] = []
+    kmeans(emb, k=10, iterations=5, inertia_out=inert_label)
+    assert inert_pp[-1] <= inert_label[-1] * 1.05, (
+        inert_pp[-1],
+        inert_label[-1],
+    )

@@ -293,3 +293,31 @@ def test_exactly_once_sink_batch_manifest_guard(spark, tmp_path):
     apply_batch(batch, 1)  # a new batch id does merge additively
     assert snapshot() == {1: (4, 30.0), 2: (2, 4.0)}
     assert sorted(os.listdir(os.path.join(state, "_batches"))) == ["0", "1"]
+
+
+def test_compacting_sink_bounds_file_count(spark, tmp_path):
+    """After a 6-batch replay with max_files=4 → target 1, the sink dir
+    must hold far fewer part files than batches, and its contents must
+    equal the input exactly."""
+    import glob
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "out")
+    replay = FileReplay(
+        spark, time_ordered_chunks(events, "ts", 6), str(tmp_path / "in")
+    )
+    q = ops.stream_append_compacting_sink(
+        replay.stream(), out, str(tmp_path / "ckpt"), max_files=4, target_files=1
+    ).start()
+    try:
+        while replay.push_next():
+            q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_files = len(glob.glob(out + "/part-*"))
+    assert n_files <= 4, n_files  # 6 batches appended, compaction fired
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()
+    assert got.select(F.sum("user_id")).first()[0] == \
+        events.select(F.sum("user_id")).first()[0]
