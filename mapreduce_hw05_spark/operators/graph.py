@@ -53,13 +53,20 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 10,
     damping: float = 0.85,
+    tol: float | None = None,
+    iterations_out: list | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list (src, dst) → (node, rank).
 
-    Fixed iteration count (not convergence-ε) so rows-only correctness
-    checks are deterministic. Dangling-node mass is redistributed
-    uniformly each iteration via a one-row aggregate (the genre's global
-    Counter).
+    Default mode is a FIXED iteration count (not convergence-ε) so
+    correctness checks are deterministic. Pass ``tol`` to enable
+    power-iteration convergence mode: the loop stops early once the L1
+    rank delta ‖r_new − r_old‖₁ falls below ``tol`` (``iterations``
+    then acts as the cap). The delta rides the same per-iteration
+    Observation as the dangling mass — one extra node-sized join, zero
+    extra jobs. Pass ``iterations_out=[]`` to receive the executed
+    iteration count. Dangling-node mass is redistributed uniformly each
+    iteration via a one-row aggregate (the genre's global Counter).
     """
     # The edge list is usually an unmaterialized DAG (e.g. the co-purchase
     # self-join): persist it first so the setup aggregates and the loop
@@ -114,6 +121,7 @@ def pagerank(
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
     dangling = dangling_nodes.count() / n_nodes if has_dangling else 0.0
+    n_iters = 0
     for _ in range(iterations):
         moving = F.broadcast(ranks) if bcast_ranks else ranks
         contribs = (
@@ -123,7 +131,8 @@ def pagerank(
             .agg(F.sum("contrib").alias("in_mass"))
             .withColumnRenamed("dst", "node")
         )
-        new_ranks = nodes_flagged.join(contribs, "node", "left").select(
+        base = nodes_flagged.join(contribs, "node", "left")
+        cols = [
             "node",
             "__dangling",
             (
@@ -131,18 +140,38 @@ def pagerank(
                 + F.lit(damping)
                 * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling / n_nodes))
             ).alias("rank"),
-        )
+        ]
+        if tol is not None:
+            prev = ranks.withColumnRenamed("rank", "__prev")
+            base = base.join(
+                F.broadcast(prev) if bcast_ranks else prev, "node"
+            )
+            cols.append(F.col("__prev"))
+        new_ranks = base.select(*cols)
+        metrics = []
         if has_dangling:
-            obs = Observation()
-            new_ranks = new_ranks.observe(
-                obs,
+            metrics.append(
                 F.coalesce(
                     F.sum(F.when(F.col("__dangling"), F.col("rank"))), F.lit(0.0)
-                ).alias("dangling_mass"),
+                ).alias("dangling_mass")
             )
-        ranks = new_ranks.drop("__dangling").localCheckpoint()  # truncate lineage
+        if tol is not None:
+            metrics.append(
+                F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("l1_delta")
+            )
+        obs = None
+        if metrics:
+            obs = Observation()
+            new_ranks = new_ranks.observe(obs, *metrics)
+        ranks = new_ranks.drop("__dangling", "__prev").localCheckpoint()
+        n_iters += 1
+        got = obs.get if obs is not None else {}
         if has_dangling:
-            dangling = obs.get["dangling_mass"]  # mass for the NEXT iteration
+            dangling = got["dangling_mass"]  # mass for the NEXT iteration
+        if tol is not None and got["l1_delta"] < tol:
+            break
+    if iterations_out is not None:
+        iterations_out.append(n_iters)
     links.unpersist()
     dangling_nodes.unpersist()
     edges.unpersist()

@@ -384,3 +384,27 @@ def test_kmeans_parallel_init_deterministic_and_competitive(spark):
         inert_pp[-1],
         inert_label[-1],
     )
+
+
+def test_pagerank_tolerance_mode_converges_early(spark):
+    """Power-iteration mode: with tol set, the loop must stop before the
+    iteration cap and land within tol of the long fixed-iteration run."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    edges = undirected(copurchase_edges(li))
+
+    iters: list[int] = []
+    approx = pagerank(edges, iterations=50, tol=1e-6, iterations_out=iters)
+    assert iters[0] < 50, iters
+
+    exact = pagerank(edges, iterations=50)
+    merged = approx.withColumnsRenamed({"rank": "ra"}).join(
+        exact.withColumnsRenamed({"rank": "re"}), "node"
+    )
+    l1 = merged.agg(
+        F.sum(F.abs(F.col("ra") - F.col("re"))).alias("d")
+    ).first()["d"]
+    # geometric tail: stopping when the per-step delta < tol leaves a
+    # remaining distance of at most tol·d/(1-d)
+    assert l1 <= 1e-6 * 0.85 / 0.15 + 1e-12, l1
+    total = approx.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9

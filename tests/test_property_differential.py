@@ -196,3 +196,153 @@ def test_random_join_specs_match_oracle(spark, oracle, spec):
     oracle_pdf = oracle.execute(_join_oracle_sql(spec)).df()
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{spec}: {problems}"
+
+
+# --------------------------------------------------------- window grammar
+
+window_spec = st.fixed_dictionaries(
+    {
+        "partition": st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+        "fn": st.sampled_from(
+            ["row_number", "rank", "dense_rank", "lag", "lead",
+             "running_sum", "moving_avg"]
+        ),
+        "statuses": st.sets(st.sampled_from(_STATUS), min_size=1, max_size=3),
+        "window_rows": st.integers(min_value=1, max_value=9),
+    }
+)
+
+
+def _spark_window(orders, spec):
+    from pyspark.sql import Window as W
+
+    # Total order inside each partition: date then unique key — without
+    # the unique tiebreak every ranking/navigation fn is nondeterministic.
+    w = W.partitionBy(spec["partition"]).orderBy("o_orderdate", "o_orderkey")
+    fns = {
+        "row_number": F.row_number().over(w).cast("long"),
+        "rank": F.rank().over(w).cast("long"),
+        "dense_rank": F.dense_rank().over(w).cast("long"),
+        "lag": F.lag("o_totalprice").over(w),
+        "lead": F.lead("o_totalprice").over(w),
+        "running_sum": F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+            2,
+        ),
+        "moving_avg": F.round(
+            F.avg("o_totalprice").over(
+                w.rowsBetween(-spec["window_rows"], 0)
+            ),
+            6,
+        ),
+    }
+    return orders.filter(
+        orders["o_orderstatus"].isin(*sorted(spec["statuses"]))
+    ).select("o_orderkey", fns[spec["fn"]].alias("v"))
+
+
+def _window_oracle_sql(spec):
+    statuses = ", ".join(f"'{s}'" for s in sorted(spec["statuses"]))
+    over = (
+        f"PARTITION BY {spec['partition']} ORDER BY o_orderdate, o_orderkey"
+    )
+    fn_sql = {
+        "row_number": f"CAST(row_number() OVER ({over}) AS BIGINT)",
+        "rank": f"CAST(rank() OVER ({over}) AS BIGINT)",
+        "dense_rank": f"CAST(dense_rank() OVER ({over}) AS BIGINT)",
+        "lag": f"lag(o_totalprice) OVER ({over})",
+        "lead": f"lead(o_totalprice) OVER ({over})",
+        "running_sum": (
+            f"round(sum(o_totalprice) OVER ({over} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)"
+        ),
+        "moving_avg": (
+            f"round(avg(o_totalprice) OVER ({over} "
+            f"ROWS BETWEEN {spec['window_rows']} PRECEDING AND CURRENT ROW), 6)"
+        ),
+    }
+    return (
+        f"SELECT o_orderkey, {fn_sql[spec['fn']]} AS v FROM orders "
+        f"WHERE o_orderstatus IN ({statuses})"
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=window_spec)
+def test_random_window_specs_match_oracle(spark, oracle, spec):
+    orders = load_table(spark, SF_DIR, "orders")
+    spark_pdf = _spark_window(orders, spec).toPandas()
+    oracle_pdf = oracle.execute(_window_oracle_sql(spec)).df()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{spec}: {problems}"
+
+
+# ---------------------------------------------------------- set-op grammar
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+setop_spec = st.fixed_dictionaries(
+    {
+        "op": st.sampled_from(["union", "intersect", "except"]),
+        "types_a": st.sets(st.sampled_from(_EVENT_TYPES), min_size=1, max_size=3),
+        "types_b": st.sets(st.sampled_from(_EVENT_TYPES), min_size=1, max_size=3),
+        "value_cut": st.integers(min_value=0, max_value=150),
+    }
+)
+
+
+def _spark_setop(events, spec):
+    a = events.filter(
+        events["event_type"].isin(*sorted(spec["types_a"]))
+        & (events["value"] >= float(spec["value_cut"]))
+    ).select("user_id").distinct()
+    b = events.filter(
+        events["event_type"].isin(*sorted(spec["types_b"]))
+    ).select("user_id").distinct()
+    combined = {
+        "union": a.union(b).distinct(),
+        "intersect": a.intersect(b),
+        "except": a.exceptAll(b).distinct(),
+    }[spec["op"]]
+    return combined.agg(
+        F.count("*").alias("n_users"),
+        F.coalesce(F.sum("user_id"), F.lit(0)).alias("checksum"),
+    )
+
+
+def _setop_oracle_sql(spec):
+    ta = ", ".join(f"'{t}'" for t in sorted(spec["types_a"]))
+    tb = ", ".join(f"'{t}'" for t in sorted(spec["types_b"]))
+    op_sql = {"union": "UNION", "intersect": "INTERSECT", "except": "EXCEPT"}
+    return f"""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type IN ({ta}) AND value >= {float(spec["value_cut"])}),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type IN ({tb})),
+         c AS (SELECT user_id FROM a {op_sql[spec["op"]]} SELECT user_id FROM b)
+    SELECT count(*) AS n_users,
+           CAST(coalesce(sum(user_id), 0) AS BIGINT) AS checksum
+    FROM c
+    """
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=setop_spec)
+def test_random_setop_specs_match_oracle(spark, oracle, spec):
+    events = load_table(spark, SF_DIR, "events")
+    spark_pdf = _spark_setop(events, spec).toPandas()
+    oracle_pdf = oracle.execute(_setop_oracle_sql(spec)).df()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{spec}: {problems}"
