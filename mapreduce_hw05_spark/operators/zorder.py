@@ -66,3 +66,70 @@ def zorder_rewrite(
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
     )
+
+
+def zorder_incremental(
+    spark,
+    table_dir: str,
+    partition_col: str,
+    cols: list[str],
+    num_files: int = 1,
+    bits: int = 16,
+) -> list[str]:
+    """Incrementally maintain Z-order clustering on a hive-partitioned
+    table: re-cluster ONLY partitions whose file set changed since the
+    last pass (new ingests, compactions), leaving clustered partitions
+    untouched — the maintenance loop a streaming ingest needs, where a
+    full-table OPTIMIZE would rewrite 100 TB to fix yesterday's 100 GB.
+
+    Bookkeeping is a ``_zorder_manifest`` JSON inside the table dir
+    mapping partition → hash of its (file name, size) set at last
+    rewrite; the rewrite itself swaps each partition directory
+    atomically (write to ``<part>.next``, rename), so concurrent
+    readers of other partitions are never disturbed and a crash leaves
+    either the old or the new clustering, never a mix.
+
+    Returns the list of partition values rewritten this pass.
+    """
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    manifest_path = os.path.join(table_dir, "_zorder_manifest")
+    manifest: dict[str, str] = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
+
+    def file_hash(part_dir: str) -> str:
+        entries = sorted(
+            (name, os.path.getsize(os.path.join(part_dir, name)))
+            for name in os.listdir(part_dir)
+            if name.startswith("part-")
+        )
+        return hashlib.md5(json.dumps(entries).encode()).hexdigest()
+
+    rewritten: list[str] = []
+    for entry in sorted(os.listdir(table_dir)):
+        if not entry.startswith(f"{partition_col}="):
+            continue
+        part_dir = os.path.join(table_dir, entry)
+        if not os.path.isdir(part_dir):
+            continue
+        current = file_hash(part_dir)
+        if manifest.get(entry) == current:
+            continue  # unchanged since last clustering pass
+        clustered = zorder_rewrite(
+            spark.read.parquet(part_dir), cols, num_files, bits
+        )
+        tmp = part_dir + ".next"
+        clustered.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(part_dir)
+        os.rename(tmp, part_dir)
+        manifest[entry] = file_hash(part_dir)
+        rewritten.append(entry)
+
+    with open(manifest_path, "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    return rewritten

@@ -810,3 +810,75 @@ def test_triangle_count_star_plus_path(spark):
     edges = spark.createDataFrame(star + path, "src long, dst long")
     got = triangle_count(edges).first()["n_triangles"]
     assert got == n - 1
+
+
+# ------------------------------------------------------- zorder maintenance
+
+
+def test_zorder_incremental_rewrites_only_changed_partitions(spark, tmp_path):
+    """First pass clusters every partition; appending data to ONE
+    partition makes the next pass rewrite exactly that partition (the
+    manifest skips the rest); contents survive both passes."""
+    from mapreduce_hw05_spark.operators.zorder import zorder_incremental
+
+    table = str(tmp_path / "tbl")
+    orders = load_table(spark, SF_DIR_MED, "orders").withColumn(
+        "bucket", (F.col("o_orderkey") % 3).cast("int")
+    )
+    orders.write.partitionBy("bucket").parquet(table)
+    n_before = spark.read.parquet(table).count()
+
+    first = zorder_incremental(
+        spark, table, "bucket", ["o_custkey", "o_totalprice"], num_files=1
+    )
+    assert sorted(first) == ["bucket=0", "bucket=1", "bucket=2"]
+
+    # steady state: nothing changed -> nothing rewritten
+    assert zorder_incremental(
+        spark, table, "bucket", ["o_custkey", "o_totalprice"], num_files=1
+    ) == []
+
+    # append into one partition only
+    extra = orders.filter(F.col("bucket") == 1).limit(50).drop("bucket")
+    extra.write.mode("append").parquet(table + "/bucket=1")
+    second = zorder_incremental(
+        spark, table, "bucket", ["o_custkey", "o_totalprice"], num_files=1
+    )
+    assert second == ["bucket=1"]
+    assert spark.read.parquet(table).count() == n_before + 50
+
+
+def test_zorder_incremental_tightens_envelopes(spark, tmp_path):
+    """The rewritten partition's parquet row groups must carry tight
+    min/max envelopes on BOTH clustered columns (the data-skipping
+    property the rewrite exists for)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_hw05_spark.operators.zorder import zorder_incremental
+
+    table = str(tmp_path / "tbl")
+    ev = load_table(spark, SF_DIR_MED, "events").withColumn(
+        "bucket", F.lit(0)
+    )
+    # shuffle rows so pre-clustering envelopes are wide
+    ev.orderBy(F.xxhash64("event_id")).write.partitionBy("bucket").parquet(table)
+    zorder_incremental(spark, table, "bucket", ["user_id", "value"], num_files=4)
+
+    spans = []
+    for path in glob.glob(table + "/bucket=0/part-*.parquet"):
+        md = pq.ParquetFile(path).metadata
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "user_id"
+            )
+            st = col.statistics
+            spans.append(st.max - st.min)
+    full_span = (
+        ev.agg(F.max("user_id") - F.min("user_id")).first()[0]
+    )
+    # clustered row groups cover a fraction of the full user_id range
+    assert min(spans) < full_span * 0.6, (min(spans), full_span)
