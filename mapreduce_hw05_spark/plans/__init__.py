@@ -83,6 +83,57 @@ DRIVER_WINDOW = [
 ]
 
 
+#: Rotation plan for future rounds (98 queries never driver-verified
+#: after r1+r2; swap DRIVER_WINDOW to R3 next round, R4 the one after —
+#: then every contract has a driver-green CORRECTNESS row at least once).
+#: R3 = the heavier/streaming/connector half; R4 = the remaining batch.
+DRIVER_WINDOW_R3 = [
+    # streaming-executed + connectors (the expensive, highest-risk set)
+    "q_stream_stream_join", "q_stream_stream_outer", "q_stream_stream_full",
+    "q_stream_stream_right", "q_stream_session_window", "q_stream_file_sink",
+    "q_stream_exactly_once_cdc", "q_stream_compacted_sink",
+    "q_custom_stream_source", "q_custom_sink_roundtrip",
+    "q_json_roundtrip", "q_orc_roundtrip", "q_xml_roundtrip",
+    "q_permissive_csv", "q_bucketed_join_contract",
+    # iterative / sketch / ML contracts converted in r2
+    "q_near_dup_lsh", "q_ann_ivf_topk", "q_ann_lsh_topk",
+    "q_logreg_train", "q_logreg_score", "q_bpe_merges", "q_bpe_encode",
+    "q_kll_rollup", "q_theta_sketch_ops", "q_pretrain_pipeline",
+    "q_khop_reach", "q_embedding_quantize",
+    # table maintenance
+    "q_compact_small_files", "q_zorder_rewrite", "q_incremental_rollup",
+    "q_profile_events", "q_pit_join",
+    # TPC-H remainder (half)
+    "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9_profit",
+    "q_tpch_q10", "q_tpch_q13",
+    # analytics (half)
+    "q_funnel_steps", "q_cohort_retention", "q_regression_stats",
+    "q_histogram_totalprice", "q_iqr_outliers", "q_event_transitions",
+    # governance (half)
+    "q_redact_pii", "q_k_anonymity", "q_dq_expectations",
+    # time series
+    "q_gapfill_hourly", "q_ohlc_hourly",
+]
+
+DRIVER_WINDOW_R4 = [
+    "q_variant_json", "q_time_weighted_avg", "q_event_sequences",
+    "q_token_stats", "q_fingerprint_groups", "q_simhash",
+    "q_chunk_documents", "q_fuzzy_name_match", "q_repetition_score",
+    "q_token_entropy", "q_bigram_pmi", "q_having_in_big_orders",
+    "q_max_price_in_brand", "q_multi_supplier_late", "q_conditional_agg",
+    "q_string_agg", "q_min_max_by", "q_stats_moments", "q_null_safe_join",
+    "q_sample_hash", "q_rank_distribution", "q_salted_join_contract",
+    "q_two_phase_agg_contract", "q_bloom_join_contract",
+    "q_join_hints_contract", "q_winsorized_mean", "q_percent_of_total",
+    "q_conditional_distinct", "q_rfm_segments", "q_rolling_dau",
+    "q_skyline_pareto", "q_cumulative_users", "q_mom_growth", "q_lm_score",
+    "q_decontaminate_ngram", "q_dedup_clusters", "q_inverted_index",
+    "q_pseudonymize_users", "q_domain_mix", "q_tpch_q14", "q_tpch_q19",
+    "q_tpch_q15", "q_tpch_q22", "q_tpch_q16_suppliers", "q_tpch_q2_mincost",
+    "q_tpch_q20_semi_chain", "q_union_by_name", "q_schema_evolution",
+]
+
+
 def _reorder_registry() -> None:
     missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
     unoracled = [n for n in DRIVER_WINDOW if n in QUERIES and n not in ORACLES]

@@ -47,3 +47,24 @@ def test_window_spans_families():
         if not any(n in window for n in names)
     }
     assert not missing, missing
+
+
+def test_rotation_plan_covers_all_queries_exactly_once():
+    """R2 window + R3/R4 rotation + the r1-green set must cover every
+    registered query with no overlaps — the schedule that gets every
+    contract a driver-green CORRECTNESS row by round 4."""
+    import json
+
+    from mapreduce_hw05_spark.plans import (
+        DRIVER_WINDOW_R3,
+        DRIVER_WINDOW_R4,
+    )
+
+    r1 = set(json.load(open("/root/repo/CORRECTNESS_r01.json")))
+    sets = [set(DRIVER_WINDOW) - r1, set(DRIVER_WINDOW_R3), set(DRIVER_WINDOW_R4)]
+    union = r1 | sets[0] | sets[1] | sets[2]
+    assert union >= set(QUERIES), set(QUERIES) - union
+    assert not (sets[1] & (r1 | set(DRIVER_WINDOW)))
+    assert not (sets[2] & (r1 | set(DRIVER_WINDOW) | sets[1]))
+    assert len(DRIVER_WINDOW_R3) == 50
+    assert all(n in ORACLES for n in DRIVER_WINDOW_R3 + DRIVER_WINDOW_R4)
