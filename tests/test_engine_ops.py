@@ -882,3 +882,65 @@ def test_zorder_incremental_tightens_envelopes(spark, tmp_path):
     )
     # clustered row groups cover a fraction of the full user_id range
     assert min(spans) < full_span * 0.6, (min(spans), full_span)
+
+
+# --------------------------------------------------- empty-input robustness
+
+
+def test_star_cc_empty_edges(spark):
+    from mapreduce_hw05_spark.operators.graph import connected_components_star
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components_star(empty).count() == 0
+
+
+def test_kll_sketch_empty():
+    import math
+
+    from mapreduce_hw05_spark.operators.quantile_sketch import KLLSketch
+
+    sk = KLLSketch(64)
+    assert sk.n == 0
+    assert all(math.isnan(q) for q in sk.quantiles([0.5, 0.9]))
+    rt = KLLSketch.deserialize(sk.serialize())
+    assert rt.n == 0 and rt.levels == sk.levels
+
+
+def test_theta_sketch_empty_and_disjoint():
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.theta_sketch import ThetaSketch
+
+    empty = ThetaSketch(64)
+    assert empty.estimate() == 0.0
+
+    a = ThetaSketch(64)
+    a.add_many(np.arange(100, dtype=np.int64))
+    assert a.intersect(empty).estimate() == 0.0
+    assert a.union(empty).estimate() == a.estimate()
+    assert a.difference(empty).estimate() == a.estimate()
+
+    b = ThetaSketch(64)
+    b.add_many(np.arange(1000, 1100, dtype=np.int64))
+    assert a.intersect(b).estimate() == 0.0  # disjoint ranges
+
+
+def test_kmeans_parallel_init_degenerate_corpus(spark):
+    """All-identical vectors: the greedy reduction cannot find k distinct
+    centroids; the documented pad path must still return exactly k."""
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.clustering import kmeans_parallel_init
+
+    rows = [(i, [1.0] * 8) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c = kmeans_parallel_init(emb, k=5, rounds=2)
+    assert c.shape == (5, 8)
+    assert np.allclose(c, 1.0)
+
+
+def test_l2_normalize_arrow_empty_input(spark):
+    from mapreduce_hw05_spark.operators.similarity import l2_normalize_arrow
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert l2_normalize_arrow(empty).count() == 0
