@@ -335,31 +335,33 @@ def connected_components_star(
         ).first()
         return row["n"], row["h"]
 
+    from pyspark.sql import Window as W
+
     prev = checksum(e)
     rounds = 0
+    per_node = W.partitionBy("u")
     for _ in range(max_iterations):
         # -- large-star: for every node x (seen from both endpoints), link
-        # each LARGER neighbor to the min of x's closed neighborhood.
+        # each LARGER neighbor to the min of x's closed neighborhood. The
+        # per-node min rides an unordered window over the SAME shuffle
+        # that groups the neighborhood — no separate aggregate + join
+        # (halves the exchanges per round vs the join formulation).
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("mn", F.col("u")).alias("m"))
-        )
         large = (
-            sym.join(mins, "u")
+            sym.withColumn(
+                "m", F.least(F.min("v").over(per_node), F.col("u"))
+            )
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
         )
         # -- small-star: per node, link all (smaller) neighbors and the
         # node itself to the minimum neighbor.
-        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        large_w = large.withColumn("m", F.min("v").over(per_node))
         small = (
-            large.join(mins2, "u")
-            .filter(F.col("v") != F.col("m"))
+            large_w.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(mins2.select("u", F.col("m").alias("v")))
+            .union(large_w.select("u", F.col("m").alias("v")))
             .distinct()
             .localCheckpoint()
         )
