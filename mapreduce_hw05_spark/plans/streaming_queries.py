@@ -619,6 +619,68 @@ def q_stream_compacted_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@contract(
+    "q_stream_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS sketch_within_2pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance executed BY THE STREAMING ENGINE:
+    the events replay (4 micro-batches) maintains per-type theta
+    sketches through the foreachBatch union-merge sink — distinct-count
+    state bounded at O(types × k hashes) regardless of stream length,
+    and the persisted sketches keep supporting set algebra. The final
+    merged estimates must land within 2% of the batch exact distinct
+    (below k the sketch is exact, so drift here means a broken merge or
+    a lost batch).
+    """
+    from mapreduce_hw05_spark.operators.theta_sketch import ThetaSketch
+
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_sksink_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4),
+                        os.path.join(root, "in"))
+    state = os.path.join(root, "state")
+    with _replay_state_partitions(spark):
+        query = ops.stream_sketch_rollup_foreachbatch(
+            replay.stream(), ["event_type"], "user_id",
+            state, os.path.join(root, "ckpt"),
+        ).start()
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    est = {
+        r["event_type"]: ThetaSketch.deserialize(bytes(r["sketch"])).estimate()
+        for r in spark.read.parquet(state).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = [
+        (
+            et,
+            n,
+            abs(est.get(et, 0.0) - n) <= max(n * 0.02, 1e-9),
+        )
+        for et, n in sorted(exact.items())
+    ]
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_users_exact long, sketch_within_2pct boolean"
+    )
+
+
 def _watermark_sentinels(spark, events):
     """One far-future click + purchase (user_id=-1) used to flush
     stream-stream outer-join state at end of a finite replay.

@@ -340,6 +340,87 @@ def stream_exactly_once_agg_foreachbatch(
     )
 
 
+def stream_sketch_rollup_foreachbatch(
+    stream: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = 4096,
+):
+    """Streaming maintenance of mergeable theta sketches: each
+    micro-batch is reduced to per-key sketch PARTIALS (bounded blobs,
+    built distributed), union-merged into a tiny persisted state table of
+    (key, sketch) — the streaming half of the reaggregatable-sketch
+    story. Distinct-count state is O(keys × k hashes) forever, never
+    O(stream length), and the persisted sketches keep supporting set
+    algebra (intersect "did A AND B") that no streaming countDistinct
+    could.
+
+    Exactly-once via the same committed-batch manifest + atomic
+    directory swap as the additive CDC sink (a replayed foreachBatch id
+    is a no-op).
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from mapreduce_hw05_spark.operators.theta_sketch import (
+        ThetaSketch,
+        theta_sketch_by_key,
+    )
+
+    state_schema = T.StructType(
+        [stream.schema[c] for c in key_cols]
+        + [T.StructField("sketch", T.BinaryType())]
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        marker_dir = os.path.join(state_dir, "_batches")
+        if os.path.exists(os.path.join(marker_dir, str(batch_id))):
+            return
+        spark = batch_df.sparkSession
+        partials = {
+            tuple(row[c] for c in key_cols): ThetaSketch.deserialize(
+                bytes(row["sketch"])
+            )
+            for row in theta_sketch_by_key(
+                batch_df, key_cols, value_col, k
+            ).collect()
+        }
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            for row in spark.read.parquet(state_dir).collect():
+                key = tuple(row[c] for c in key_cols)
+                old = ThetaSketch.deserialize(bytes(row["sketch"]))
+                partials[key] = (
+                    partials[key].union(old) if key in partials else old
+                )
+        merged = spark.createDataFrame(
+            [(*key, sk.serialize()) for key, sk in partials.items()],
+            state_schema,
+        )
+        tmp = state_dir.rstrip("/") + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        new_marker_dir = os.path.join(tmp, "_batches")
+        os.makedirs(new_marker_dir, exist_ok=True)
+        if os.path.isdir(marker_dir):
+            for m in os.listdir(marker_dir):
+                open(os.path.join(new_marker_dir, m), "w").close()
+        open(os.path.join(new_marker_dir, str(batch_id)), "w").close()
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
 def stream_append_compacting_sink(
     stream: DataFrame,
     out_dir: str,
