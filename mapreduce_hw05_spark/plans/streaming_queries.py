@@ -681,6 +681,78 @@ def q_stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@contract(
+    "q_stream_late_data",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE event_id <> (SELECT min(event_id) FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st-4 as a DRIVER-CHECKED contract (previously engine-test only):
+    the minimum-id event is re-stamped to the stream's FIRST hour and
+    delivered AFTER all on-time chunks — by then the watermark sits at
+    stream-end − 10 min, its window closed long ago, so the engine must
+    DROP it. A far-future sentinel chunk (user_id = −1) then pushes the
+    watermark past every real window so append mode emits the full
+    table. Final output ≡ tumbling counts over the on-time events only
+    — which is exactly the oracle's ``event_id <> min(event_id)``
+    aggregate. If late rows leaked into closed windows (or on-time rows
+    were over-dropped), the hash fails.
+
+    The sentinel's own window never closes (watermark stops 10 min
+    short of its end) so it cannot leak into the result; it is also
+    defensively filtered by hour bound.
+    """
+    events = load_table(spark, sf_dir, "events")
+    min_id = events.agg(F.min("event_id")).first()[0]
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("first_hour"),
+        F.max("ts").alias("max_ts"),
+    ).first()
+    on_time = events.filter(F.col("event_id") != min_id)
+    late = events.filter(F.col("event_id") == min_id).withColumn(
+        "ts", F.lit(bounds["first_hour"]).cast("timestamp")
+    )
+    sentinel = spark.createDataFrame(
+        [(int(-1), bounds["max_ts"], int(-1), "click", 0.0, "{}")],
+        events.schema,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+
+    chunks = time_ordered_chunks(on_time, "ts", 3) + [late, sentinel]
+    root = _fresh_scratch("q_late_")
+    replay = FileReplay(spark, chunks, os.path.join(root, "in"))
+    name = "stream_late_" + uuid.uuid4().hex[:8]
+    with _replay_state_partitions(spark):
+        query = (
+            ops.tumbling_counts(replay.stream(), watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    max_real_hour = spark.sql(
+        f"SELECT unix_timestamp(date_trunc('hour', TIMESTAMP '{bounds['max_ts']}'))"
+    ).first()[0]
+    final = spark.table(name).filter(F.col("hour_epoch") <= max_real_hour)
+    result = spark.createDataFrame(final.collect(), schema=final.schema)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 def _watermark_sentinels(spark, events):
     """One far-future click + purchase (user_id=-1) used to flush
     stream-stream outer-join state at end of a finite replay.
