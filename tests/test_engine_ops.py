@@ -944,3 +944,52 @@ def test_l2_normalize_arrow_empty_input(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert l2_normalize_arrow(empty).count() == 0
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Skew posture: with one key owning ~90% of the fact side and the
+    skew thresholds lowered to fixture scale, AQE must mark the skewed
+    sort-merge partition and split it (skew=true in the final adaptive
+    plan) — the runtime half of the skew story next to the manual
+    salting utilities (operators.skew)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # md5 payload: skew detection reads COMPRESSED map-output sizes,
+        # and a constant-key/sequential-long partition compresses below
+        # any realistic threshold — incompressible bytes keep the skewed
+        # partition visibly fat, like real data.
+        fact = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(0, 300_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        # inspect the SAME DataFrame that executes (count() would build
+        # its own plan and leave this one un-finalized)
+        res = fact.join(dim, "k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("sv")
+        )
+        row = res.collect()[0]
+        assert row["n"] == 300_000
+        final = res._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan isFinalPlan=true" in final, final
+        assert "skew=true" in final, final
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
