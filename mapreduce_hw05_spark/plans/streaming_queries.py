@@ -620,6 +620,52 @@ def q_stream_compacted_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract(
+    "q_stream_sliding",
+    oracle="""
+    SELECT CAST((epoch_us(ts) // 1000000) // 1800 * 1800 - k.off AS BIGINT)
+               AS window_start_epoch,
+           event_type,
+           count(*) AS n_events
+    FROM events, (SELECT unnest([0, 1800]) AS off) k
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st-2 executed BY THE STREAMING ENGINE: 1-hour windows sliding
+    every 30 minutes maintained incrementally across 4 micro-batches
+    (every event updates TWO window states), complete output mode; the
+    final table must hash-match the batch offset-explode oracle. The
+    last window type (tumbling/session/sliding) promoted from
+    batch-analog-only to streaming-executed.
+    """
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_sslide_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4), root)
+    name = "stream_slide_" + uuid.uuid4().hex[:8]
+    with _replay_state_partitions(spark):
+        query = (
+            ops.sliding_counts(replay.stream())
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    result = spark.createDataFrame(
+        spark.table(name).collect(), schema=spark.table(name).schema
+    )
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+@contract(
     "q_stream_sketch_rollup",
     oracle="""
     SELECT event_type,
