@@ -346,3 +346,121 @@ def test_random_setop_specs_match_oracle(spark, oracle, spec):
     oracle_pdf = oracle.execute(_setop_oracle_sql(spec)).df()
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{spec}: {problems}"
+
+
+# --------------------------------------------------- scalar-expr grammar
+
+scalar_spec = st.fixed_dictionaries(
+    {
+        "str_fn": st.sampled_from(
+            ["upper", "lower", "substr", "lpad", "reverse", "replace", "trim"]
+        ),
+        "sub_start": st.integers(min_value=1, max_value=6),
+        "sub_len": st.integers(min_value=1, max_value=8),
+        "pad_len": st.integers(min_value=5, max_value=20),
+        "math_fn": st.sampled_from(
+            ["round", "abs_shift", "ceil", "floor", "sqrt", "ln", "mod", "pow2"]
+        ),
+        "round_d": st.integers(min_value=0, max_value=4),
+        "mod_k": st.integers(min_value=2, max_value=97),
+        "date_fn": st.sampled_from(
+            ["year", "month", "quarter", "day", "trunc_month_epoch", "unix_ts"]
+        ),
+    }
+)
+
+
+def _scalar_exprs(spec):
+    """(spark Column, duckdb SQL fragment) pairs over the orders table —
+    constrained to the semantics BOTH engines define identically
+    (1-based substring starts, positive pads, ln on positives…)."""
+    s, d = spec, spec
+    str_pairs = {
+        "upper": (
+            F.upper("o_orderpriority"), "upper(o_orderpriority)"),
+        "lower": (
+            F.lower("o_orderpriority"), "lower(o_orderpriority)"),
+        "substr": (
+            F.substring("o_orderpriority", s["sub_start"], s["sub_len"]),
+            f"substring(o_orderpriority, {s['sub_start']}, {s['sub_len']})"),
+        "lpad": (
+            F.lpad("o_orderstatus", s["pad_len"], "*"),
+            f"lpad(o_orderstatus, {s['pad_len']}, '*')"),
+        "reverse": (
+            F.reverse("o_orderpriority"), "reverse(o_orderpriority)"),
+        "replace": (
+            F.regexp_replace("o_orderpriority", "-", "_"),
+            "regexp_replace(o_orderpriority, '-', '_', 'g')"),
+        "trim": (
+            F.trim(F.concat(F.lit("  "), F.col("o_orderstatus"), F.lit(" "))),
+            "trim('  ' || o_orderstatus || ' ')"),
+    }
+    math_pairs = {
+        "round": (
+            F.round("o_totalprice", d["round_d"]),
+            f"round(o_totalprice, {d['round_d']})"),
+        "abs_shift": (
+            F.abs(F.col("o_totalprice") - 150000.0),
+            "abs(o_totalprice - 150000.0)"),
+        "ceil": (F.ceil("o_totalprice").cast("long"),
+                 "CAST(ceil(o_totalprice) AS BIGINT)"),
+        "floor": (F.floor("o_totalprice").cast("long"),
+                  "CAST(floor(o_totalprice) AS BIGINT)"),
+        "sqrt": (F.round(F.sqrt("o_totalprice"), 6),
+                 "round(sqrt(o_totalprice), 6)"),
+        "ln": (F.round(F.log(F.col("o_totalprice") + 1.0), 6),
+               "round(ln(o_totalprice + 1.0), 6)"),
+        "mod": (F.pmod(F.col("o_orderkey"), F.lit(d["mod_k"])).cast("long"),
+                f"CAST(o_orderkey % {d['mod_k']} AS BIGINT)"),
+        "pow2": (F.round(F.pow(F.col("o_totalprice") / 100000.0, 2), 6),
+                 "round(pow(o_totalprice / 100000.0, 2), 6)"),
+    }
+    date_pairs = {
+        "year": (F.year("o_orderdate").cast("long"),
+                 "CAST(year(o_orderdate) AS BIGINT)"),
+        "month": (F.month("o_orderdate").cast("long"),
+                  "CAST(month(o_orderdate) AS BIGINT)"),
+        "quarter": (F.quarter("o_orderdate").cast("long"),
+                    "CAST(quarter(o_orderdate) AS BIGINT)"),
+        "day": (F.dayofmonth("o_orderdate").cast("long"),
+                "CAST(day(o_orderdate) AS BIGINT)"),
+        "trunc_month_epoch": (
+            F.unix_timestamp(F.date_trunc("month", "o_orderdate")),
+            "CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT)"),
+        "unix_ts": (F.unix_timestamp("o_orderdate"),
+                    "CAST(epoch(o_orderdate) AS BIGINT)"),
+    }
+    return (
+        str_pairs[spec["str_fn"]],
+        math_pairs[spec["math_fn"]],
+        date_pairs[spec["date_fn"]],
+    )
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=scalar_spec)
+def test_random_scalar_exprs_match_oracle(spark, oracle, spec):
+    """Per-row scalar expressions must agree cell-for-cell: group by the
+    three generated expressions and count, so any divergent cell shows
+    up as a row-set difference."""
+    (s_col, s_sql), (m_col, m_sql), (d_col, d_sql) = _scalar_exprs(spec)
+    orders = load_table(spark, SF_DIR, "orders")
+    spark_pdf = (
+        orders.select(
+            s_col.alias("sv"), m_col.alias("mv"), d_col.alias("dv")
+        )
+        .groupBy("sv", "mv", "dv")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+    )
+    oracle_pdf = oracle.execute(
+        f"SELECT {s_sql} AS sv, {m_sql} AS mv, {d_sql} AS dv, "
+        "count(*) AS n FROM orders GROUP BY 1, 2, 3"
+    ).df()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{spec}: {problems}"
