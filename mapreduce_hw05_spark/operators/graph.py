@@ -178,7 +178,11 @@ def pagerank(
     return ranks
 
 
-def triangle_count(edges: DataFrame, hub_threshold: int = 1024) -> DataFrame:
+def triangle_count(
+    edges: DataFrame,
+    hub_threshold: int = 1024,
+    broadcast_edge_limit: int = 8_000_000,
+) -> DataFrame:
     """Count triangles in a canonical (src < dst) undirected edge list
     via degree-ordered orientation (Schank–Wagner).
 
@@ -217,6 +221,31 @@ def triangle_count(edges: DataFrame, hub_threshold: int = 1024) -> DataFrame:
         F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
     ).persist()
+
+    # Edge-iterator fast path while the ORIENTED adjacency fits a
+    # broadcast (total size = m entries — the edge list itself): each
+    # oriented edge (u,v) intersects the two sorted out-neighbor arrays
+    # JVM-side, counting every triangle exactly once at its base edge.
+    # Work is spread per EDGE (never concentrated on a hub apex), and
+    # nothing path-2-sized ever materializes or shuffles. Past the
+    # broadcast limit the salted path-2 join below is the scale path.
+    m_edges = oriented.count()
+    if m_edges <= broadcast_edge_limit:
+        adj = oriented.groupBy("u").agg(
+            F.sort_array(F.collect_list("v")).alias("nbrs")
+        )
+        a_u = adj.withColumnsRenamed({"nbrs": "nu"})
+        a_v = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))
+        return (
+            oriented.join(F.broadcast(a_u), "u")
+            .join(F.broadcast(a_v), "v")
+            .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
+            .agg(
+                F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias(
+                    "n_triangles"
+                )
+            )
+        )
 
     out_deg = oriented.groupBy("u").agg(F.count("*").alias("out_deg"))
     tagged = oriented.join(out_deg, "u")

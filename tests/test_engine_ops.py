@@ -793,9 +793,16 @@ def test_triangle_count_salted_hub_path(spark):
     n = 120
     clique = [(i, j) for i in range(n) for j in range(i + 1, n)]
     edges = spark.createDataFrame(clique, "src long, dst long")
-    salted = triangle_count(edges, hub_threshold=32).first()["n_triangles"]
-    plain = triangle_count(edges, hub_threshold=10**9).first()["n_triangles"]
-    assert salted == plain == comb(n, 3)
+    # broadcast_edge_limit=0 forces the path-2 machinery (the adjacency
+    # fast path would otherwise take over at this size)
+    salted = triangle_count(
+        edges, hub_threshold=32, broadcast_edge_limit=0
+    ).first()["n_triangles"]
+    plain = triangle_count(
+        edges, hub_threshold=10**9, broadcast_edge_limit=0
+    ).first()["n_triangles"]
+    adjacency = triangle_count(edges).first()["n_triangles"]
+    assert salted == plain == adjacency == comb(n, 3)
 
 
 def test_triangle_count_star_plus_path(spark):
