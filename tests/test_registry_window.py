@@ -26,19 +26,23 @@ def test_window_fully_oracled():
 
 
 def test_window_spans_families():
-    """At least one representative per major §2 family group."""
+    """At least one representative per §2 family the R3 window targets
+    (the never-driver-verified half: streaming matrix, connectors, ANN,
+    BPE/ML, sketches, maintenance, TPC-H remainder, governance)."""
     family_markers = {
-        "llm-dedup": ["q_dedup_exact", "q_near_dup_jaccard"],
-        "llm-text": ["q_wordcount", "q_tfidf_top_terms"],
-        "similarity": ["q_similarity_topk"],
-        "udf": ["q_udf_python", "q_udtf_tokens"],
-        "graph": ["q_pagerank", "q_triangle_count"],
-        "io": ["q_csv_roundtrip", "q_custom_datasource"],
-        "streaming": ["q_stream_dedup", "q_stream_upsert_cdc"],
-        "subquery": ["q_exists_shiplag"],
-        "sketch": ["q_approx_quantile", "q_hll_rollup"],
-        "pipeline": ["q_pack_sequences", "q_decontaminate"],
-        "tpch": ["q_tpch_q3"],
+        "stream-stream": ["q_stream_stream_join", "q_stream_stream_full"],
+        "stream-late-data (st-4)": ["q_stream_late_data"],
+        "stream-sinks": ["q_stream_file_sink", "q_stream_compacted_sink"],
+        "connectors": ["q_json_roundtrip", "q_orc_roundtrip"],
+        "lsh-ann": ["q_near_dup_lsh", "q_ann_ivf_topk"],
+        "ml": ["q_logreg_train", "q_bpe_merges"],
+        "sketch": ["q_kll_rollup", "q_theta_sketch_ops"],
+        "pipeline": ["q_pretrain_pipeline"],
+        "maintenance": ["q_compact_small_files", "q_zorder_rewrite"],
+        "tpch": ["q_tpch_q5", "q_tpch_q6"],
+        "analytics": ["q_funnel_steps"],
+        "governance": ["q_redact_pii"],
+        "timeseries": ["q_gapfill_hourly"],
     }
     window = set(DRIVER_WINDOW)
     missing = {
@@ -50,21 +54,22 @@ def test_window_spans_families():
 
 
 def test_rotation_plan_covers_all_queries_exactly_once():
-    """R2 window + R3/R4 rotation + the r1-green set must cover every
-    registered query with no overlaps — the schedule that gets every
-    contract a driver-green CORRECTNESS row by round 4."""
+    """r1-green set + frozen r2 window + this round's window + R4 must
+    cover every registered query with no overlaps — the schedule that
+    gets every contract a driver-green CORRECTNESS row by round 4."""
     import json
 
     from mapreduce_hw05_spark.plans import (
-        DRIVER_WINDOW_R3,
+        DRIVER_WINDOW_R2,
         DRIVER_WINDOW_R4,
     )
 
     r1 = set(json.load(open("/root/repo/CORRECTNESS_r01.json")))
-    sets = [set(DRIVER_WINDOW) - r1, set(DRIVER_WINDOW_R3), set(DRIVER_WINDOW_R4)]
+    r2 = set(json.load(open("/root/repo/CORRECTNESS_r02.json")))
+    assert r2 == set(DRIVER_WINDOW_R2)  # frozen record matches the driver's
+    sets = [r2 - r1, set(DRIVER_WINDOW), set(DRIVER_WINDOW_R4)]
     union = r1 | sets[0] | sets[1] | sets[2]
     assert union >= set(QUERIES), set(QUERIES) - union
-    assert not (sets[1] & (r1 | set(DRIVER_WINDOW)))
-    assert not (sets[2] & (r1 | set(DRIVER_WINDOW) | sets[1]))
-    assert len(DRIVER_WINDOW_R3) == 50
-    assert all(n in ORACLES for n in DRIVER_WINDOW_R3 + DRIVER_WINDOW_R4)
+    assert not (sets[1] & (r1 | r2))
+    assert not (sets[2] & (r1 | r2 | sets[1]))
+    assert all(n in ORACLES for n in DRIVER_WINDOW + DRIVER_WINDOW_R4)
