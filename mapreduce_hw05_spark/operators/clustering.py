@@ -100,17 +100,23 @@ def kmeans_parallel_init(
     """
     l = oversample if oversample is not None else 2 * k
 
-    first = (
+    first_rows = (
         emb.select(id_col, vec_col)
         .orderBy(id_col)
         .limit(1)
-        .collect()[0][vec_col]
+        .collect()
     )
-    centers = np.asarray([list(first)], dtype=np.float64)
+    if not first_rows:
+        raise ValueError("kmeans_parallel_init: empty input DataFrame")
+    centers = np.asarray([list(first_rows[0][vec_col])], dtype=np.float64)
 
     for rnd in range(rounds):
         assigned = assign_clusters(emb, centers, id_col, vec_col)
         phi_row = assigned.agg(F.sum("sq_dist").alias("phi")).first()
+        if phi_row["phi"] is None:
+            raise ValueError(
+                "kmeans_parallel_init: empty input (no assignable rows)"
+            )
         phi = float(phi_row["phi"]) or 1e-300
         # Deterministic Bernoulli: uniform(id, round) < l*d²/φ.
         u = (

@@ -18,9 +18,10 @@ aggregating the compacted output against the original table's oracle.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_hw05_spark.fsutil import recover_dir, replace_dir
 
 
 def dir_bytes(path: str) -> int:
@@ -44,15 +45,14 @@ def compact_parquet_dir(
     target_bytes: int = 128 * (1 << 20),
 ) -> int:
     """Rewrite ``path`` into ~target-sized parquet files; returns the new
-    file count. Atomic: readers of ``path`` see old files until the
-    final rename."""
-    n = plan_num_files(dir_bytes(path), target_bytes)
+    file count. Crash-safe rename-aside swap (``fsutil.replace_dir``):
+    readers of ``path`` see old files until the final rename, and a
+    crash mid-swap is recovered on the next pass. On object stores the
+    same protocol is a manifest swap."""
     tmp = path.rstrip("/") + ".compact-tmp"
+    recover_dir(path, tmp)
+    n = plan_num_files(dir_bytes(path), target_bytes)
     df: DataFrame = spark.read.parquet(path)
     df.repartition(n).write.mode("overwrite").parquet(tmp)
-    # POSIX rename swap; on object stores this is a manifest swap instead.
-    old = path.rstrip("/") + ".compact-old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    replace_dir(tmp, path)
     return n

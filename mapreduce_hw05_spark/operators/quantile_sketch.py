@@ -43,13 +43,18 @@ class KLLSketch:
         vals = np.asarray(values, dtype=np.float64)
         vals = vals[~np.isnan(vals)]
         self.n += len(vals)
-        lvl0 = self.levels[0]
-        cap = self._capacity(0)
-        for start in range(0, len(vals), cap):
-            lvl0.extend(vals[start : start + cap].tolist())
-            if len(lvl0) > cap:
+        # Level-0 capacity SHRINKS whenever a compaction deepens the
+        # hierarchy, so it must be re-read every chunk — caching it once
+        # would overfill level 0 past the (2/3)^depth schedule and
+        # loosen the worst-case rank-error bound.
+        pos = 0
+        while pos < len(vals):
+            cap = self._capacity(0)
+            chunk = vals[pos : pos + cap]
+            pos += len(chunk)
+            self.levels[0].extend(chunk.tolist())
+            if len(self.levels[0]) > cap:
                 self._compact(0)
-                lvl0 = self.levels[0]
 
     def _capacity(self, level: int) -> int:
         # higher levels shrink geometrically (KLL's (2/3)^depth schedule,
@@ -156,8 +161,14 @@ def quantile_sketch_rollup(
         for pdf in batches:
             if pdf.empty:
                 continue
-            for key, grp in pdf.groupby(key_cols, sort=False):
+            # dropna=False: SQL GROUP BY keeps the null group — the
+            # DuckDB oracles do; pandas' default would silently drop it.
+            for key, grp in pdf.groupby(key_cols, sort=False, dropna=False):
                 key = key if isinstance(key, tuple) else (key,)
+                key = tuple(
+                    None if (isinstance(c, float) and np.isnan(c)) else c
+                    for c in key
+                )
                 sk = acc.get(key)
                 if sk is None:
                     sk = acc[key] = KLLSketch(k)

@@ -122,8 +122,14 @@ def theta_sketch_by_key(
         for pdf in batches:
             if pdf.empty:
                 continue
-            for key, grp in pdf.groupby(key_cols, sort=False):
+            # dropna=False: SQL GROUP BY keeps the null group — the
+            # DuckDB oracles do; pandas' default would silently drop it.
+            for key, grp in pdf.groupby(key_cols, sort=False, dropna=False):
                 key = key if isinstance(key, tuple) else (key,)
+                key = tuple(
+                    None if (isinstance(c, float) and np.isnan(c)) else c
+                    for c in key
+                )
                 sk = acc.get(key)
                 if sk is None:
                     sk = acc[key] = ThetaSketch(k)

@@ -84,17 +84,21 @@ def zorder_incremental(
 
     Bookkeeping is a ``_zorder_manifest`` JSON inside the table dir
     mapping partition → hash of its (file name, size) set at last
-    rewrite; the rewrite itself swaps each partition directory
-    atomically (write to ``<part>.next``, rename), so concurrent
-    readers of other partitions are never disturbed and a crash leaves
-    either the old or the new clustering, never a mix.
+    rewrite; the rewrite itself swaps each partition directory via the
+    crash-safe rename-aside protocol (:mod:`mapreduce_hw05_spark.fsutil`
+    — write ``<part>.next``, rename the old dir aside, rename the new in,
+    drop the old), so concurrent readers of other partitions are never
+    disturbed and a crash leaves either the old or the new clustering —
+    never a mix, and never a missing partition. Dangling ``.next``/
+    ``.old`` remnants from a crashed pass are recovered before hashing.
 
     Returns the list of partition values rewritten this pass.
     """
     import hashlib
     import json
     import os
-    import shutil
+
+    from mapreduce_hw05_spark.fsutil import recover_dir, replace_dir
 
     manifest_path = os.path.join(table_dir, "_zorder_manifest")
     manifest: dict[str, str] = {}
@@ -110,10 +114,25 @@ def zorder_incremental(
         )
         return hashlib.md5(json.dumps(entries).encode()).hexdigest()
 
+    # Recovery prepass: a crashed previous pass may have left a
+    # partition only under its .next/.old name — restore it before the
+    # main scan so it is hashed (and listed) like any other partition.
+    for entry in sorted(os.listdir(table_dir)):
+        if entry.startswith(f"{partition_col}=") and entry.endswith(
+            (".next", ".old")
+        ):
+            base = entry.rsplit(".", 1)[0]
+            recover_dir(
+                os.path.join(table_dir, base),
+                os.path.join(table_dir, base) + ".next",
+            )
+
     rewritten: list[str] = []
     for entry in sorted(os.listdir(table_dir)):
         if not entry.startswith(f"{partition_col}="):
             continue
+        if entry.endswith((".next", ".old")):
+            continue  # would only remain if recovery itself crashed
         part_dir = os.path.join(table_dir, entry)
         if not os.path.isdir(part_dir):
             continue
@@ -125,8 +144,7 @@ def zorder_incremental(
         )
         tmp = part_dir + ".next"
         clustered.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(part_dir)
-        os.rename(tmp, part_dir)
+        replace_dir(tmp, part_dir)
         manifest[entry] = file_hash(part_dir)
         rewritten.append(entry)
 

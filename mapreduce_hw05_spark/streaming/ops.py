@@ -230,9 +230,11 @@ def stream_upsert_foreachbatch(
 
     from pyspark.sql import Window as W
 
+    from mapreduce_hw05_spark.fsutil import recover_dir, replace_dir
     from mapreduce_hw05_spark.operators.cdc import merge_upsert
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        recover_dir(state_dir, state_dir.rstrip("/") + ".next")
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
@@ -258,11 +260,7 @@ def stream_upsert_foreachbatch(
         # over it in place would race the scan.
         tmp = state_dir.rstrip("/") + ".next"
         merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
-        os.rename(tmp, state_dir)
+        replace_dir(tmp, state_dir)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
@@ -294,11 +292,13 @@ def stream_exactly_once_agg_foreachbatch(
     (MERGE + txn id), keeping this exact plan.
     """
     import os
-    import shutil
+
+    from mapreduce_hw05_spark.fsutil import recover_dir, replace_dir
 
     keys = keys or ["user_id"]
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        recover_dir(state_dir, state_dir.rstrip("/") + ".next")
         if batch_df.isEmpty():
             return
         marker_dir = os.path.join(state_dir, "_batches")
@@ -329,9 +329,7 @@ def stream_exactly_once_agg_foreachbatch(
             for m in os.listdir(marker_dir):
                 open(os.path.join(new_marker_dir, m), "w").close()
         open(os.path.join(new_marker_dir, str(batch_id)), "w").close()
-        if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
-        os.rename(tmp, state_dir)
+        replace_dir(tmp, state_dir)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
@@ -362,10 +360,10 @@ def stream_sketch_rollup_foreachbatch(
     is a no-op).
     """
     import os
-    import shutil
 
     from pyspark.sql import types as T
 
+    from mapreduce_hw05_spark.fsutil import recover_dir, replace_dir
     from mapreduce_hw05_spark.operators.theta_sketch import (
         ThetaSketch,
         theta_sketch_by_key,
@@ -377,6 +375,7 @@ def stream_sketch_rollup_foreachbatch(
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        recover_dir(state_dir, state_dir.rstrip("/") + ".next")
         if batch_df.isEmpty():
             return
         marker_dir = os.path.join(state_dir, "_batches")
@@ -410,9 +409,7 @@ def stream_sketch_rollup_foreachbatch(
             for m in os.listdir(marker_dir):
                 open(os.path.join(new_marker_dir, m), "w").close()
         open(os.path.join(new_marker_dir, str(batch_id)), "w").close()
-        if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
-        os.rename(tmp, state_dir)
+        replace_dir(tmp, state_dir)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
@@ -442,24 +439,60 @@ def stream_append_compacting_sink(
     either the old file set or the compacted one, never a mix. At scale
     the rewrite scopes to a partition subdirectory (compact only
     partitions whose file count tripped) — same swap protocol.
+
+    Replay-safe: foreachBatch is at-least-once, so the sink keeps the
+    same committed-batch manifest (``_batches/<id>`` — underscore dirs
+    are invisible to Spark's file index) as the sibling state sinks, and
+    appends under deterministic per-batch file names (``b<id>-<i>``,
+    crash remnants deleted before re-staging). A replayed batch id is a
+    no-op; a half-appended batch is re-staged cleanly; the manifest
+    survives compaction because the rewrite copies it into the new
+    directory before the crash-safe rename-aside swap.
     """
     import glob
     import os
     import shutil
 
+    from mapreduce_hw05_spark.fsutil import recover_dir, replace_dir
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        recover_dir(out_dir, out_dir.rstrip("/") + ".next")
         if batch_df.isEmpty():
             return
+        marker_dir = os.path.join(out_dir, "_batches")
+        if os.path.exists(os.path.join(marker_dir, str(batch_id))):
+            return  # replayed batch already committed
         spark = batch_df.sparkSession
-        batch_df.write.mode("append").parquet(out_dir)
-        n_files = len(glob.glob(os.path.join(out_dir, "part-*")))
+        # Stage the batch, then move its files in under deterministic
+        # names so a replay of a half-appended batch replaces rather
+        # than duplicates.
+        stage = out_dir.rstrip("/") + f".stage-{batch_id}"
+        shutil.rmtree(stage, ignore_errors=True)
+        batch_df.write.mode("overwrite").parquet(stage)
+        os.makedirs(out_dir, exist_ok=True)
+        for leftover in glob.glob(os.path.join(out_dir, f"b{batch_id}-*")):
+            os.remove(leftover)
+        staged = sorted(glob.glob(os.path.join(stage, "part-*")))
+        for i, src in enumerate(staged):
+            os.rename(src, os.path.join(out_dir, f"b{batch_id}-{i}.parquet"))
+        open(os.path.join(out_dir, "_SUCCESS"), "w").close()
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(marker_dir, exist_ok=True)
+        open(os.path.join(marker_dir, str(batch_id)), "w").close()
+        n_files = len(
+            glob.glob(os.path.join(out_dir, "part-*"))
+            + glob.glob(os.path.join(out_dir, "b*-*.parquet"))
+        )
         if n_files > max_files:
             tmp = out_dir.rstrip("/") + ".next"
             spark.read.parquet(out_dir).repartition(target_files).write.mode(
                 "overwrite"
             ).parquet(tmp)
-            shutil.rmtree(out_dir)
-            os.rename(tmp, out_dir)
+            new_marker_dir = os.path.join(tmp, "_batches")
+            os.makedirs(new_marker_dir, exist_ok=True)
+            for m in os.listdir(marker_dir):
+                open(os.path.join(new_marker_dir, m), "w").close()
+            replace_dir(tmp, out_dir)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

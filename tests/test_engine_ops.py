@@ -932,6 +932,59 @@ def test_theta_sketch_empty_and_disjoint():
     assert a.intersect(b).estimate() == 0.0  # disjoint ranges
 
 
+def test_sketch_rollups_keep_null_key_group(spark):
+    """SQL GROUP BY keeps the null group; the sketch partial builders use
+    pandas groupby which silently drops it by default (ADVICE r2 item 3)
+    — both rollups must report the null-key group."""
+    from mapreduce_hw05_spark.operators.quantile_sketch import (
+        quantile_sketch_rollup,
+    )
+    from mapreduce_hw05_spark.operators.theta_sketch import theta_sketch_by_key
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 3.0), (None, 4.0), (None, 5.0)],
+        "k string, v double",
+    )
+    q = quantile_sketch_rollup(df, ["k"], "v", [0.5]).collect()
+    by_key = {r["k"]: r["n_rows"] for r in q}
+    assert by_key == {"a": 2, None: 3}
+
+    dfi = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 3), (None, 4), (None, 4)],
+        "k string, v long",
+    )
+    t = theta_sketch_by_key(dfi, ["k"], "v").collect()
+    assert {r["k"] for r in t} == {"a", None}
+
+
+def test_kll_chunk_loop_recomputes_level0_capacity():
+    """ADVICE r2 item 4: level-0 capacity shrinks when compaction deepens
+    the hierarchy; the chunked add path must never leave level 0 holding
+    more than its current capacity."""
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.quantile_sketch import KLLSketch
+
+    sk = KLLSketch(64)
+    sk.add_many(np.arange(100_000, dtype=np.float64))
+    for lvl in range(len(sk.levels)):
+        assert len(sk.levels[lvl]) <= sk._capacity(lvl), (
+            lvl, len(sk.levels[lvl]), sk._capacity(lvl)
+        )
+    assert sk.n == 100_000
+
+
+def test_kmeans_parallel_init_empty_input_raises(spark):
+    """ADVICE r2 item 5: explicit error instead of IndexError."""
+    import pytest
+
+    from mapreduce_hw05_spark.operators.clustering import kmeans_parallel_init
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty input"):
+        kmeans_parallel_init(empty, k=3, rounds=1)
+
+
 def test_kmeans_parallel_init_degenerate_corpus(spark):
     """All-identical vectors: the greedy reduction cannot find k distinct
     centroids; the documented pad path must still return exactly k."""

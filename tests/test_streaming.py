@@ -315,9 +315,108 @@ def test_compacting_sink_bounds_file_count(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    n_files = len(glob.glob(out + "/part-*"))
+    n_files = len(glob.glob(out + "/part-*") + glob.glob(out + "/b*-*.parquet"))
     assert n_files <= 4, n_files  # 6 batches appended, compaction fired
     got = spark.read.parquet(out)
     assert got.count() == events.count()
     assert got.select(F.sum("user_id")).first()[0] == \
         events.select(F.sum("user_id")).first()[0]
+
+
+def _capture_foreach_batch(factory, *args, **kwargs):
+    """Extract a sink factory's foreachBatch callable without starting a
+    real stream (the factories only touch stream.writeStream...)."""
+    captured = {}
+
+    class _CaptureWriter:
+        def foreachBatch(self, fn):
+            captured["fn"] = fn
+            return self
+
+        def outputMode(self, *_):
+            return self
+
+        def option(self, *_):
+            return self
+
+    class _FakeStream:
+        writeStream = _CaptureWriter()
+
+    factory(_FakeStream(), *args, **kwargs)
+    return captured["fn"]
+
+
+def test_compacting_sink_replayed_batch_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a committed batch id
+    to the compacting append sink must not duplicate rows (ADVICE r2
+    item 2), including when the batch's files were already compacted
+    away."""
+    out = str(tmp_path / "out")
+    apply_batch = _capture_foreach_batch(
+        ops.stream_append_compacting_sink, out, str(tmp_path / "ckpt"),
+        2, 1,  # max_files, target_files — force compaction quickly
+    )
+    batch = spark.createDataFrame(
+        [(1, 10.0), (2, 2.0)], "user_id long, value double"
+    )
+
+    apply_batch(batch, 0)
+    assert spark.read.parquet(out).count() == 2
+    apply_batch(batch, 0)  # immediate re-delivery
+    assert spark.read.parquet(out).count() == 2
+
+    for bid in (1, 2, 3):  # trips compaction (max_files=2)
+        apply_batch(batch, bid)
+    total = spark.read.parquet(out).count()
+    assert total == 8
+    # re-deliver an old batch AFTER compaction rewrote its files
+    apply_batch(batch, 2)
+    assert spark.read.parquet(out).count() == total
+
+
+def test_exactly_once_sink_survives_crash_mid_swap(spark, tmp_path):
+    """Simulate a crash between the two renames of the state swap: on
+    the next batch the sink must recover the fully-written .next state
+    (roll-forward) instead of restarting from nothing — the silent
+    state-reset bug of the old rmtree-then-rename swap."""
+    import os
+
+    from mapreduce_hw05_spark.streaming.ops import (
+        stream_exactly_once_agg_foreachbatch,
+    )
+
+    state = str(tmp_path / "state")
+    apply_batch = _capture_foreach_batch(
+        stream_exactly_once_agg_foreachbatch, state, str(tmp_path / "ckpt")
+    )
+    batch = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 2.0)], "user_id long, value double"
+    )
+
+    apply_batch(batch, 0)
+    apply_batch(batch, 1)
+    expect = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert expect == {1: (4, 30.0), 2: (2, 4.0)}
+
+    # crash injection: state was renamed aside, .next (complete, with
+    # batch-2 merged + its marker) not yet renamed in
+    os.rename(state, state + ".next")      # stand-in for the written tmp
+    os.rename(state + ".next", state + ".old")
+    # now simulate the real window: .old holds pre-batch state, .next
+    # holds post-batch state. Rebuild both sides explicitly:
+    os.rename(state + ".old", state)
+    apply_batch(batch, 2)                  # commits batch 2 normally
+    post = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(state).collect()
+    }
+    os.rename(state, state + ".next")      # crash left only .next
+    apply_batch(batch, 2)                  # replay: recover + marker no-op
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == post  # state rolled forward, replayed batch a no-op
