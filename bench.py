@@ -10,19 +10,25 @@ function anti-pattern measured in BASELINE.md.
 
 Protocol mirrors BASELINE.md: warm the session, 3 runs per query,
 report warm = best of runs 2–3; results are collected to the driver.
+
+Isolation (r2 VERDICT item 3): BENCH_r02's headline total drifted ~20%
+uniformly vs r1 purely from same-session history (hundreds of
+accumulated stages/shuffles by timing start), which isolated re-runs
+didn't reproduce — so the headline and heavy suites now each run in
+their OWN subprocess with a fresh JVM, and this parent merges the two
+partial results into the single JSON line. Round-over-round headline
+diffs are apples-to-apples no matter what ran before bench.py.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from mapreduce_hw05_spark.plans import QUERIES  # noqa: E402
-from mapreduce_hw05_spark.session import get_spark  # noqa: E402
 
 #: BASELINE.md row → registry contract query.
 BENCH_QUERIES: dict[str, tuple[str, ...]] = {
@@ -56,33 +62,67 @@ HEAVY_QUERIES: dict[str, tuple[str, ...]] = {
 }
 
 RUNS = 3
+_PART_ENV = "SPARK_GRAFT_BENCH_PART"
+_MARK = "BENCH_PART_JSON "
 
 
-def main() -> None:
+def _run_part(part: str) -> None:
+    """Child mode: fresh JVM, run one suite, print a marked JSON line."""
+    from mapreduce_hw05_spark.plans import QUERIES
+    from mapreduce_hw05_spark.session import get_spark
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark("bench")
+    spark = get_spark(f"bench-{part}")
 
     # Warm the JVM/codegen once (BASELINE.md: cold-run spikes are JIT).
     QUERIES["q_groupagg_pricing"](spark, sf_dir).collect()
 
-    times: dict[str, float] = {}
-    for key, names in BENCH_QUERIES.items():
-        per_run = []
-        for _ in range(RUNS):
+    out: dict[str, float] = {}
+    if part == "headline":
+        for key, names in BENCH_QUERIES.items():
+            per_run = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                for name in names:
+                    QUERIES[name](spark, sf_dir).collect()
+                per_run.append(time.perf_counter() - t0)
+            out[key] = round(min(per_run[1:]), 4)
+    else:
+        for key, names in HEAVY_QUERIES.items():
             t0 = time.perf_counter()
             for name in names:
                 QUERIES[name](spark, sf_dir).collect()
-            per_run.append(time.perf_counter() - t0)
-        times[key] = round(min(per_run[1:]), 4)
+            out[key] = round(time.perf_counter() - t0, 4)
+    print(_MARK + json.dumps(out), flush=True)
 
-    heavy: dict[str, float] = {}
-    for key, names in HEAVY_QUERIES.items():
-        t0 = time.perf_counter()
-        for name in names:
-            QUERIES[name](spark, sf_dir).collect()
-        heavy[key] = round(time.perf_counter() - t0, 4)
 
+def _spawn_part(part: str) -> dict[str, float]:
+    env = dict(os.environ, **{_PART_ENV: part})
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        check=True,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith(_MARK):
+            return json.loads(line[len(_MARK):])
+    raise RuntimeError(f"bench part {part!r} produced no result line")
+
+
+def main() -> None:
+    part = os.environ.get(_PART_ENV)
+    if part:
+        _run_part(part)
+        return
+
+    times = _spawn_part("headline")
+    heavy = _spawn_part("heavy")
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
         sf_val: float | str = float(sf)
