@@ -157,10 +157,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature (array<long>) over its token set.
 
-    Vectorized pandas UDF: token → stable 64-bit hash, then
-    ``min((a*h + b) mod p)`` per hash function. Deterministic given seed.
-    Scale: one pass, no shuffle — signatures are tiny (num_hashes longs)
-    regardless of document size.
+    Fully batch-vectorized pandas UDF — the 100-TB near-dup pipeline's
+    compute bottleneck is exactly this pass (O(total tokens)), so no
+    per-token or per-document Python runs in it:
+
+    1. tokenize the WHOLE Arrow batch with ``pyarrow.compute
+       .split_pattern`` (C++, one ListArray; its offsets delimit docs),
+    2. ``dictionary_encode`` the flat token array (C++), hash only the
+       DISTINCT tokens in one ``pd.util.hash_array`` pass (vectorized
+       64-bit SipHash, process-stable key), and evaluate the whole
+       ``(a·h + b) mod p`` family once per distinct token — a
+       (num_hashes × vocab) table instead of (num_hashes × tokens),
+    3. per hash function, a table-gather over the token codes and one
+       ``np.minimum.reduceat`` at the doc offsets — duplicates within a
+       doc are harmless (min over a multiset equals min over its set),
+       so no per-doc dedup either.
+
+    Deterministic given seed. Scale: one pass, no shuffle — signatures
+    are tiny (num_hashes longs) regardless of document size. Measured
+    ≈5× the per-token-Python kernel it replaced at 128 hashes
+    (0.45 → 2.3 M tokens/s single-core; PERF.md r3).
     """
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
@@ -168,28 +184,33 @@ def minhash_signatures(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        import hashlib
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        out = []
-        for text in texts:
-            toks = set(text.split(" "))
-            hashes = np.array(
-                [
-                    int.from_bytes(
-                        hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-                    )
-                    & 0x7FFFFFFFFFFFFFFF
-                    for t in toks
-                ],
-                dtype=np.uint64,
-            )
-            # (num_hashes, n_tokens) via uint64 wrap-around mul then mod p
-            sims = (
-                a.astype(np.uint64)[:, None] * hashes[None, :]
-                + b.astype(np.uint64)[:, None]
-            ) % np.uint64(_MERSENNE)
-            out.append(sims.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+        if texts.empty:
+            return pd.Series([], dtype=object)
+        arr = pc.coalesce(
+            pa.array(texts, type=pa.string()), pa.scalar("", type=pa.string())
+        )
+        toks = pc.split_pattern(arr, " ")
+        # split_pattern maps "" → [""], so every doc segment is
+        # non-empty and reduceat's start indices are strictly increasing.
+        offsets = toks.offsets.to_numpy()
+        starts = offsets[:-1].astype(np.int64)
+        dct = toks.flatten().dictionary_encode()
+        codes = dct.indices.to_numpy().astype(np.int64)
+        uniq = dct.dictionary.to_pandas().to_numpy()
+        huniq = pd.util.hash_array(uniq).astype(np.uint64)
+        au, bu = a.astype(np.uint64), b.astype(np.uint64)
+        p = np.uint64(_MERSENNE)
+        # uint64 wrap-around mul then mod p, once per DISTINCT token
+        table = (au[:, None] * huniq[None, :] + bu[:, None]) % p
+        sig_mat = np.empty((num_hashes, len(starts)), dtype=np.int64)
+        for i in range(num_hashes):
+            sig_mat[i] = np.minimum.reduceat(
+                table[i][codes], starts
+            ).astype(np.int64)
+        return pd.Series(list(sig_mat.T))
 
     return docs.select(id_col, sig(F.col(text_col)).alias("signature"))
 
