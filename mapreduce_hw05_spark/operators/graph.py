@@ -344,9 +344,16 @@ def connected_components_star(
     neighborhood; the edge set converges to min-rooted stars in
     O(log n) rounds REGARDLESS of graph diameter — the scale-safe
     replacement for min-label propagation's O(diameter) rounds (a 10⁶-hop
-    path graph converges in ~20 rounds, not 10⁶). Per round: two keyed
-    joins + two min-aggregates, lineage truncated per round; the
-    convergence check is a one-row (count, hash-sum) aggregate.
+    path graph converges in ~20 rounds, not 10⁶). Per round exactly
+    THREE exchanges (r3 rewrite, was 7): one hash(u) shuffle per star
+    window and one for the final (u,v) dedup. The intermediate
+    large-star ``distinct`` is dropped — the small-star window takes a
+    per-node MIN, which duplicate rows cannot change — and small-star's
+    two emissions ((v→m) and (u→m)) come from a single ``explode``
+    instead of a self-union, which previously recomputed the whole
+    large-star subtree once per union branch (Spark does not share
+    subplans across union arms). Convergence check is a one-row
+    (count, hash-sum) aggregate.
 
     Pass ``rounds_out=[]`` to receive the number of rounds executed.
     """
@@ -382,15 +389,23 @@ def connected_components_star(
             )
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
+            # no distinct here: duplicates can't change the small-star
+            # MIN, and the final (u,v) dedup below catches them — saves
+            # a full (u,v) exchange per round.
         )
         # -- small-star: per node, link all (smaller) neighbors and the
-        # node itself to the minimum neighbor.
-        large_w = large.withColumn("m", F.min("v").over(per_node))
+        # node itself to the minimum neighbor. Both emissions — (v→m)
+        # for every neighbor and (u→m) once per row — come from one
+        # explode; in `large` always m < u and v < u with m = min(v),
+        # so filtering u != v afterwards drops exactly the (v→m) rows
+        # where v IS the minimum (self-loops), never a (u→m) row.
         small = (
-            large_w.filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(large_w.select("u", F.col("m").alias("v")))
+            large.withColumn("m", F.min("v").over(per_node))
+            .select(
+                F.explode(F.array(F.col("v"), F.col("u"))).alias("u"),
+                F.col("m").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint()
         )
