@@ -855,6 +855,79 @@ def test_zorder_incremental_rewrites_only_changed_partitions(spark, tmp_path):
     assert spark.read.parquet(table).count() == n_before + 50
 
 
+def test_zorder_incremental_recovers_crash_remnants(spark, tmp_path):
+    """A crashed previous pass can leave a partition under its .next or
+    .old name (mid rename-aside swap); the next pass must restore it and
+    keep every row — never treat the remnant as a partition or lose the
+    directory (ADVICE r2 item 1)."""
+    import os
+    import shutil
+
+    from mapreduce_hw05_spark.operators.zorder import zorder_incremental
+
+    table = str(tmp_path / "tbl")
+    orders = load_table(spark, SF_DIR_MED, "orders").withColumn(
+        "bucket", (F.col("o_orderkey") % 3).cast("int")
+    )
+    orders.write.partitionBy("bucket").parquet(table)
+    n_rows = spark.read.parquet(table).count()
+    zorder_incremental(
+        spark, table, "bucket", ["o_custkey", "o_totalprice"], num_files=1
+    )
+
+    # crash scenario A: partition exists only under .old (crash between
+    # the two renames, roll-back case)
+    os.rename(
+        os.path.join(table, "bucket=1"), os.path.join(table, "bucket=1.old")
+    )
+    rewritten = zorder_incremental(
+        spark, table, "bucket", ["o_custkey", "o_totalprice"], num_files=1
+    )
+    assert "bucket=1.old" not in rewritten  # remnant never scanned as a partition
+    assert not os.path.exists(os.path.join(table, "bucket=1.old"))
+    assert spark.read.parquet(table).count() == n_rows
+
+    # crash scenario B: fully-written .next beside a missing partition
+    # (crash after rename-aside, roll-forward case)
+    os.rename(
+        os.path.join(table, "bucket=2"), os.path.join(table, "bucket=2.next")
+    )
+    zorder_incremental(
+        spark, table, "bucket", ["o_custkey", "o_totalprice"], num_files=1
+    )
+    assert not os.path.exists(os.path.join(table, "bucket=2.next"))
+    assert spark.read.parquet(table).count() == n_rows
+
+    # crash scenario C: stale incomplete .next next to a live partition
+    # (crash mid-write, before any rename) — must be discarded
+    stale = os.path.join(table, "bucket=0.next")
+    os.makedirs(stale)
+    open(os.path.join(stale, "part-junk"), "w").write("not parquet")
+    zorder_incremental(
+        spark, table, "bucket", ["o_custkey", "o_totalprice"], num_files=1
+    )
+    assert not os.path.exists(stale)
+    assert spark.read.parquet(table).count() == n_rows
+    shutil.rmtree(table)
+
+
+def test_compact_parquet_dir_recovers_crash_remnants(spark, tmp_path):
+    """compact_parquet_dir must recover a directory left mid-swap by a
+    crashed previous compaction before recompacting."""
+    import os
+
+    from mapreduce_hw05_spark.operators.compaction import compact_parquet_dir
+
+    path = str(tmp_path / "t")
+    load_table(spark, SF_DIR_MED, "orders").repartition(8).write.parquet(path)
+    n_rows = spark.read.parquet(path).count()
+    # crash: dir renamed aside, fully-written tmp not yet renamed in
+    os.rename(path, path + ".compact-tmp")
+    compact_parquet_dir(spark, path, target_bytes=1 << 30)
+    assert spark.read.parquet(path).count() == n_rows
+    assert not os.path.exists(path + ".compact-tmp")
+
+
 def test_zorder_incremental_tightens_envelopes(spark, tmp_path):
     """The rewritten partition's parquet row groups must carry tight
     min/max envelopes on BOTH clustered columns (the data-skipping
