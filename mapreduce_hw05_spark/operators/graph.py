@@ -131,7 +131,13 @@ def pagerank(
             .agg(F.sum("contrib").alias("in_mass"))
             .withColumnRenamed("dst", "node")
         )
-        base = nodes_flagged.join(contribs, "node", "left")
+        # contribs is node-sized: in the broadcast regime hash-join it
+        # broadcast (LeftOuter/BuildRight) — the localCheckpoint scan of
+        # nodes_flagged reports no partitioning, so a shuffled join here
+        # would re-exchange + sort the node table EVERY iteration.
+        base = nodes_flagged.join(
+            F.broadcast(contribs) if bcast_ranks else contribs, "node", "left"
+        )
         cols = [
             "node",
             "__dangling",
