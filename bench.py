@@ -103,14 +103,19 @@ def _spawn_part(part: str) -> dict[str, float]:
         [sys.executable, os.path.abspath(__file__)],
         env=env,
         stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL,
+        stderr=subprocess.PIPE,
         text=True,
-        check=True,
     )
-    for line in proc.stdout.splitlines():
-        if line.startswith(_MARK):
-            return json.loads(line[len(_MARK):])
-    raise RuntimeError(f"bench part {part!r} produced no result line")
+    if proc.returncode == 0:
+        for line in proc.stdout.splitlines():
+            if line.startswith(_MARK):
+                return json.loads(line[len(_MARK):])
+    # keep the failure diagnosable: surface the child's stderr tail
+    tail = "\n".join(proc.stderr.splitlines()[-15:])
+    raise RuntimeError(
+        f"bench part {part!r} failed (exit {proc.returncode}); "
+        f"stderr tail:\n{tail}"
+    )
 
 
 def main() -> None:
