@@ -346,6 +346,69 @@ def _capture_foreach_batch(factory, *args, **kwargs):
     return captured["fn"]
 
 
+def test_sketch_rollup_sink_survives_crash_mid_swap(spark, tmp_path):
+    """Same crash window as the agg sink, for the theta-sketch rollup
+    state: a fully-written .next left by a crash between the two swap
+    renames must be rolled forward with its committed-batch manifest, so
+    the replayed batch neither resets nor double-merges the sketches."""
+    import os
+
+    from mapreduce_hw05_spark.operators.theta_sketch import ThetaSketch
+    from mapreduce_hw05_spark.streaming.ops import (
+        stream_sketch_rollup_foreachbatch,
+    )
+
+    state = str(tmp_path / "state")
+
+    class _S:
+        pass
+
+    batch = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 7)], "k string, v long"
+    )
+
+    captured = {}
+
+    class _CaptureWriter:
+        def foreachBatch(self, fn):
+            captured["fn"] = fn
+            return self
+
+        def outputMode(self, *_):
+            return self
+
+        def option(self, *_):
+            return self
+
+    fake = _S()
+    fake.schema = batch.schema  # the factory derives state_schema from it
+    fake.writeStream = _CaptureWriter()
+    stream_sketch_rollup_foreachbatch(
+        fake, ["k"], "v", state, str(tmp_path / "ckpt"), k=64
+    )
+    apply_batch = captured["fn"]
+
+    def estimates():
+        return {
+            r["k"]: round(
+                ThetaSketch.deserialize(bytes(r["sketch"])).estimate(), 3
+            )
+            for r in spark.read.parquet(state).collect()
+        }
+
+    apply_batch(batch, 0)
+    batch2 = spark.createDataFrame([("a", 3), ("b", 7)], "k string, v long")
+    apply_batch(batch2, 1)
+    post = estimates()
+    assert post == {"a": 3.0, "b": 1.0}
+
+    # crash: state fully swapped out to .next, dst missing
+    os.rename(state, state + ".next")
+    apply_batch(batch2, 1)  # replay: roll forward, marker makes it a no-op
+    assert estimates() == post
+    assert sorted(os.listdir(os.path.join(state, "_batches"))) == ["0", "1"]
+
+
 def test_compacting_sink_replayed_batch_is_noop(spark, tmp_path):
     """foreachBatch is at-least-once: re-delivering a committed batch id
     to the compacting append sink must not duplicate rows (ADVICE r2
