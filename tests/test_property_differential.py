@@ -464,3 +464,98 @@ def test_random_scalar_exprs_match_oracle(spark, oracle, spec):
     ).df()
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{spec}: {problems}"
+
+
+# ------------------------------------------- multi-level aggregation grammar
+
+_GS_COLS = ["o_orderstatus", "o_orderpriority", "order_year"]
+
+gs_spec = st.fixed_dictionaries(
+    {
+        "mode": st.sampled_from(["rollup", "cube", "sets"]),
+        "cols": st.lists(
+            st.sampled_from(_GS_COLS), min_size=2, max_size=3, unique=True
+        ),
+        # for mode="sets": indices into the powerset of cols (resolved
+        # against the drawn cols; dedup + always keep at least one set)
+        "set_masks": st.sets(
+            st.integers(min_value=0, max_value=7), min_size=1, max_size=4
+        ),
+        "aggs": st.sets(
+            st.sampled_from(["n", "sum_price", "min_price", "n_cust"]),
+            min_size=1,
+            max_size=3,
+        ),
+        "price_lo": st.integers(min_value=0, max_value=150_000),
+    }
+)
+
+_GS_AGG_SQL = {
+    "n": "count(*) AS n",
+    "sum_price": "round(sum(o_totalprice), 2) AS sum_price",
+    "min_price": "min(o_totalprice) AS min_price",
+    "n_cust": "count(DISTINCT o_custkey) AS n_cust",
+}
+
+
+def _gs_group_clause(spec):
+    """Returns (group-by clause, selectable columns). A column is only
+    selectable if it appears in ≥1 grouping set — selecting an uncovered
+    column is invalid SQL (Spark rejects it; DuckDB is laxer)."""
+    cols = spec["cols"]
+    if spec["mode"] == "rollup":
+        return f"ROLLUP ({', '.join(cols)})", cols
+    if spec["mode"] == "cube":
+        return f"CUBE ({', '.join(cols)})", cols
+    sets = []
+    for mask in sorted(spec["set_masks"]):
+        subset = [c for i, c in enumerate(cols) if mask & (1 << i)]
+        if subset not in sets:
+            sets.append(subset)
+    covered = [c for c in cols if any(c in sub for sub in sets)]
+    rendered = ", ".join(f"({', '.join(sub)})" for sub in sets)
+    return f"GROUPING SETS ({rendered})", covered
+
+
+def _gs_sql(spec, relation: str) -> str:
+    """One SQL text for BOTH engines: multi-level aggregates with a
+    per-column grouping bit vector (gid) — the null-group vs null-VALUE
+    disambiguation that makes rollup results well-defined."""
+    clause, covered = _gs_group_clause(spec)
+    gid = (
+        " + ".join(
+            f"grouping({c}) * {1 << (len(covered) - 1 - i)}"
+            for i, c in enumerate(covered)
+        )
+        or "0"
+    )
+    select_cols = "".join(f"{c}, " for c in covered)
+    aggs = ", ".join(_GS_AGG_SQL[a] for a in sorted(spec["aggs"]))
+    return (
+        "WITH src AS (SELECT o_orderstatus, o_orderpriority, o_custkey, "
+        "o_totalprice, CAST(year(o_orderdate) AS BIGINT) AS order_year "
+        f"FROM {relation} WHERE o_totalprice >= {float(spec['price_lo'])}) "
+        f"SELECT {select_cols}CAST({gid} AS BIGINT) AS gid, {aggs} "
+        f"FROM src GROUP BY {clause}"
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=gs_spec)
+def test_random_grouping_set_specs_match_oracle(spark, oracle, spec):
+    """ROLLUP / CUBE / arbitrary GROUPING SETS over random column lists,
+    aggregate subsets, and filters must agree with DuckDB exactly —
+    including the gid bit vector and the all-null super-aggregate rows
+    (Spark compiles these to one Expand + aggregate; the grammar hunts
+    Expand/null-marker interaction bugs the fixed contract can't)."""
+    orders = load_table(spark, SF_DIR, "orders")
+    orders.createOrReplaceTempView("pd_gs_orders")
+    spark_pdf = spark.sql(_gs_sql(spec, "pd_gs_orders")).toPandas()
+    oracle_pdf = oracle.execute(_gs_sql(spec, "orders")).df()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{spec}: {problems}"
