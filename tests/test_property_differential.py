@@ -121,7 +121,9 @@ def test_random_filter_agg_specs_match_oracle(spark, oracle, spec, group_col, ag
 
 join_spec = st.fixed_dictionaries(
     {
-        "how": st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+        "how": st.sampled_from(
+            ["inner", "left", "right", "full", "left_semi", "left_anti"]
+        ),
         "segments": st.sets(
             st.sampled_from(
                 ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
@@ -171,7 +173,12 @@ def _join_oracle_sql(spec):
             SELECT 1 FROM orders WHERE {o_pred} AND o_custkey = c_custkey)
         GROUP BY c_mktsegment
         """
-    how = "JOIN" if spec["how"] == "inner" else "LEFT JOIN"
+    how = {
+        "inner": "JOIN",
+        "left": "LEFT JOIN",
+        "right": "RIGHT JOIN",  # unmatched orders land in the NULL segment group
+        "full": "FULL JOIN",
+    }[spec["how"]]
     return f"""
     SELECT c_mktsegment, count(*) AS n,
            count(o_orderkey) AS n_orders,
