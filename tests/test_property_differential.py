@@ -566,3 +566,97 @@ def test_random_grouping_set_specs_match_oracle(spark, oracle, spec):
     oracle_pdf = oracle.execute(_gs_sql(spec, "orders")).df()
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{spec}: {problems}"
+
+
+# ------------------------------------------------- as-of join grammar (j-9)
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+asof_spec = st.fixed_dictionaries(
+    {
+        "left_type": st.sampled_from(_EVENT_TYPES),
+        "right_type": st.sampled_from(_EVENT_TYPES),
+        # key cardinality knob: fewer keys → more rows per key → deeper
+        # running-last state and more cross-row interaction per partition
+        "key_mod": st.sampled_from([1, 5, 17, 101]),
+        # timestamp truncation MAKES ties — the semantics corner where
+        # as-of implementations disagree (does right.ts == left.ts match?)
+        "trunc": st.sampled_from([None, "minute", "hour"]),
+        "value_min": st.one_of(st.none(), st.integers(min_value=5, max_value=80)),
+    }
+)
+
+
+def _asof_frames(spark, spec):
+    """Compile the spec for the engine (operators.asof union+window) —
+    the right side is pre-deduped to one row per (key, ts) via max(value)
+    so the as-of pick is deterministic on both engines."""
+    from mapreduce_hw05_spark.operators.asof import asof_join
+
+    ev = load_table(spark, SF_DIR, "events")
+    key = (F.col("user_id") % spec["key_mod"]).alias("k")
+    ts = (
+        F.date_trunc(spec["trunc"], F.col("ts")) if spec["trunc"] else F.col("ts")
+    ).alias("ts")
+    left = ev.filter(F.col("event_type") == spec["left_type"]).select(
+        key, ts, "event_id"
+    )
+    right = ev.filter(F.col("event_type") == spec["right_type"])
+    if spec["value_min"] is not None:
+        right = right.filter(F.col("value") >= float(spec["value_min"]))
+    right = (
+        right.select(key, ts, "value")
+        .groupBy("k", "ts")
+        .agg(F.round(F.max("value"), 2).alias("rv"))
+    )
+    joined = asof_join(left, right, on=["k"], ts_col="ts", carry_cols=["rv"])
+    return joined.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.count("ts_asof").alias("n_matched"),
+        F.sum(F.unix_micros("ts") - F.unix_micros("ts_asof")).alias("gap_sum"),
+        F.round(F.sum("rv_asof"), 2).alias("rv_sum"),
+    )
+
+
+def _asof_oracle_sql(spec):
+    key = f"user_id % {spec['key_mod']}"
+    ts = f"date_trunc('{spec['trunc']}', ts)" if spec["trunc"] else "ts"
+    v_pred = (
+        f"AND value >= {float(spec['value_min'])}"
+        if spec["value_min"] is not None
+        else ""
+    )
+    return f"""
+    WITH l AS (
+        SELECT {key} AS k, {ts} AS ts, event_id
+        FROM events WHERE event_type = '{spec["left_type"]}'
+    ), r AS (
+        SELECT {key} AS k, {ts} AS ts, round(max(value), 2) AS rv
+        FROM events WHERE event_type = '{spec["right_type"]}' {v_pred}
+        GROUP BY 1, 2
+    )
+    SELECT l.k, count(*) AS n,
+           CAST(count(r.ts) AS BIGINT) AS n_matched,
+           CAST(sum(epoch_us(l.ts) - epoch_us(r.ts)) AS BIGINT) AS gap_sum,
+           round(sum(r.rv), 2) AS rv_sum
+    FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts
+    GROUP BY l.k
+    """
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=asof_spec)
+def test_random_asof_specs_match_duckdb_asof(spark, oracle, spec):
+    """The union+window as-of operator must agree with DuckDB's native
+    ASOF LEFT JOIN across event-type pairs, key cardinalities, tie-making
+    timestamp truncations, and right-side filters — including the
+    tie-matches (right.ts == left.ts) and no-match-null corners."""
+    spark_pdf = _asof_frames(spark, spec).toPandas()
+    oracle_pdf = oracle.execute(_asof_oracle_sql(spec)).df()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{spec}: {problems}"
