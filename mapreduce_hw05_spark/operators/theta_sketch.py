@@ -101,15 +101,17 @@ class ThetaSketch:
         return sk
 
 
-def theta_sketch_by_key(
+def theta_sketch_partials(
     df: DataFrame,
     key_cols: list[str],
     value_col: str,
     k: int = 4096,
 ) -> DataFrame:
-    """(key..., sketch binary) — one merged theta sketch per key, built
-    from per-partition partials; only O(partitions × keys) blobs of
-    ≤ k hashes shuffle."""
+    """(key..., sketch binary) PARTIALS — one sketch per (partition ×
+    key), built in a single mapInPandas pass with NO shuffle. Callers
+    that already merge driver-side (the streaming rollup sink) consume
+    these directly; :func:`theta_sketch_by_key` adds the keyed
+    distributed merge."""
     from pyspark.sql import types as T
 
     key_fields = [df.schema[c] for c in key_cols]
@@ -140,6 +142,23 @@ def theta_sketch_by_key(
                 columns=[*key_cols, "sketch"],
             )
 
+    return df.select(*key_cols, value_col).mapInPandas(
+        build_partials, schema=partial_schema
+    )
+
+
+def theta_sketch_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 4096,
+) -> DataFrame:
+    """(key..., sketch binary) — one merged theta sketch per key, built
+    from per-partition partials; only O(partitions × keys) blobs of
+    ≤ k hashes shuffle."""
+    from pyspark.sql import types as T
+
+    key_fields = [df.schema[c] for c in key_cols]
     out_schema = T.StructType(
         list(key_fields) + [T.StructField("sketch", T.BinaryType())]
     )
@@ -152,9 +171,7 @@ def theta_sketch_by_key(
         row = [pdf.iloc[0][c] for c in key_cols] + [merged.serialize()]
         return pd.DataFrame([row], columns=[*key_cols, "sketch"])
 
-    partials = df.select(*key_cols, value_col).mapInPandas(
-        build_partials, schema=partial_schema
-    )
+    partials = theta_sketch_partials(df, key_cols, value_col, k)
     return partials.groupBy(*key_cols).applyInPandas(
         merge_group, schema=out_schema
     )

@@ -366,7 +366,7 @@ def stream_sketch_rollup_foreachbatch(
     from mapreduce_hw05_spark.fsutil import recover_dir, replace_dir
     from mapreduce_hw05_spark.operators.theta_sketch import (
         ThetaSketch,
-        theta_sketch_by_key,
+        theta_sketch_partials,
     )
 
     state_schema = T.StructType(
@@ -382,14 +382,17 @@ def stream_sketch_rollup_foreachbatch(
         if os.path.exists(os.path.join(marker_dir, str(batch_id))):
             return
         spark = batch_df.sparkSession
-        partials = {
-            tuple(row[c] for c in key_cols): ThetaSketch.deserialize(
-                bytes(row["sketch"])
-            )
-            for row in theta_sketch_by_key(
-                batch_df, key_cols, value_col, k
-            ).collect()
-        }
+        # Collect per-partition PARTIALS and merge here: this loop is
+        # already the driver-side merge point (state ∪ batch), so the
+        # keyed applyInPandas merge stage theta_sketch_by_key adds would
+        # be a redundant shuffle + Python stage per micro-batch.
+        partials: dict[tuple, ThetaSketch] = {}
+        for row in theta_sketch_partials(
+            batch_df, key_cols, value_col, k
+        ).collect():
+            key = tuple(row[c] for c in key_cols)
+            sk = ThetaSketch.deserialize(bytes(row["sketch"]))
+            partials[key] = partials[key].union(sk) if key in partials else sk
         if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
             for row in spark.read.parquet(state_dir).collect():
                 key = tuple(row[c] for c in key_cols)
