@@ -212,10 +212,13 @@ window_spec = st.fixed_dictionaries(
         "partition": st.sampled_from(["o_orderstatus", "o_orderpriority"]),
         "fn": st.sampled_from(
             ["row_number", "rank", "dense_rank", "lag", "lead",
-             "running_sum", "moving_avg"]
+             "running_sum", "moving_avg", "range_sum", "range_cumsum",
+             "percent_rank", "cume_dist", "ntile"]
         ),
         "statuses": st.sets(st.sampled_from(_STATUS), min_size=1, max_size=3),
         "window_rows": st.integers(min_value=1, max_value=9),
+        "range_span": st.integers(min_value=1_000, max_value=80_000),
+        "ntile_n": st.integers(min_value=2, max_value=7),
     }
 )
 
@@ -244,6 +247,37 @@ def _spark_window(orders, spec):
             ),
             6,
         ),
+        # RANGE frames order by the VALUE column: peers (duplicate
+        # o_totalprice) share one frame, the classic ROWS-vs-RANGE trap
+        "range_sum": F.round(
+            F.sum("o_totalprice").over(
+                W.partitionBy(spec["partition"])
+                .orderBy("o_totalprice")
+                .rangeBetween(-spec["range_span"], 0)
+            ),
+            2,
+        ),
+        "range_cumsum": F.round(
+            F.sum("o_totalprice").over(
+                W.partitionBy(spec["partition"])
+                .orderBy("o_totalprice")
+                .rangeBetween(W.unboundedPreceding, W.currentRow)
+            ),
+            2,
+        ),
+        "percent_rank": F.round(
+            F.percent_rank().over(
+                W.partitionBy(spec["partition"]).orderBy("o_totalprice")
+            ),
+            6,
+        ),
+        "cume_dist": F.round(
+            F.cume_dist().over(
+                W.partitionBy(spec["partition"]).orderBy("o_totalprice")
+            ),
+            6,
+        ),
+        "ntile": F.ntile(spec["ntile_n"]).over(w).cast("long"),
     }
     return orders.filter(
         orders["o_orderstatus"].isin(*sorted(spec["statuses"]))
@@ -269,6 +303,25 @@ def _window_oracle_sql(spec):
             f"round(avg(o_totalprice) OVER ({over} "
             f"ROWS BETWEEN {spec['window_rows']} PRECEDING AND CURRENT ROW), 6)"
         ),
+        "range_sum": (
+            f"round(sum(o_totalprice) OVER (PARTITION BY {spec['partition']} "
+            f"ORDER BY o_totalprice RANGE BETWEEN {spec['range_span']} "
+            "PRECEDING AND CURRENT ROW), 2)"
+        ),
+        "range_cumsum": (
+            f"round(sum(o_totalprice) OVER (PARTITION BY {spec['partition']} "
+            "ORDER BY o_totalprice RANGE BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW), 2)"
+        ),
+        "percent_rank": (
+            f"round(percent_rank() OVER (PARTITION BY {spec['partition']} "
+            "ORDER BY o_totalprice), 6)"
+        ),
+        "cume_dist": (
+            f"round(cume_dist() OVER (PARTITION BY {spec['partition']} "
+            "ORDER BY o_totalprice), 6)"
+        ),
+        "ntile": f"CAST(ntile({spec['ntile_n']}) OVER ({over}) AS BIGINT)",
     }
     return (
         f"SELECT o_orderkey, {fn_sql[spec['fn']]} AS v FROM orders "
