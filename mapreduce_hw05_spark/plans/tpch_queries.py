@@ -868,3 +868,62 @@ def q_tpch_q20_semi_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
         .select("s_name", money(F.col("s_acctbal")).alias("s_acctbal"), "n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Q18 — large-volume customers: orders whose total quantity exceeds 200
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_tpch_q18",
+    oracle="""
+    SELECT * FROM (
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        HAVING round(sum(l_quantity), 2) > 200
+    )
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: top-100 large-volume orders (total quantity
+    > 200) with their customer, ordered by order value.
+
+    The fact-scale work happens ONCE: a single per-order quantity
+    rollup, HAVING-cut to the qualifying tail, is both the semi-join
+    key set and the sum_qty source — no second lineitem pass, unlike a
+    literal transcription of the benchmark's correlated IN. Orders then
+    joins that tiny aggregate (broadcast) and the customer dim
+    (broadcast). The top-100 cut is a TakeOrdered, tiebroken on
+    o_orderkey so both engines slice identically.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(money(F.sum("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(heavy), orders.o_orderkey == heavy.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            money(F.col("o_totalprice")).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
