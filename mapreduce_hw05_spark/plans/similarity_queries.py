@@ -249,6 +249,81 @@ def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id1", "id2", ratio(F.col("sim")).alias("cos_sim"))
 
 
+# --------------------------------------------------------------------------
+# llm-3c — semantic dedup: cluster-then-prune (SemDeDup), the scale path
+# for embedding-space dedup when the all-pairs kernel can't hold the
+# reference matrix
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_semantic_dedup",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(DISTINCT label) AS BIGINT) AS n_centroids,
+           TRUE AS kept_pairs_clean,
+           TRUE AS dropped_covered
+    FROM embeddings
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: label-seeded k-means
+    centroids, map-only assignment, greedy per-cluster pruning at
+    cosine ≥ 0.4 — pairwise work bounded to Σ|cluster|², one shuffle
+    (cluster id), no all-pairs product anywhere.
+
+    Hashable shape (kept count is deterministic but not SQL-knowable):
+    SQL-knowable facts (vector count, centroid count = distinct labels)
+    plus the two invariants that define a correct prune, verified
+    engine-side by the INDEPENDENT all-pairs kernel
+    (``cosine_pairs_above``, its own normalization/join path):
+    no two kept vectors in the same cluster at ≥ threshold, and every
+    dropped vector has a kept same-cluster neighbor at ≥ threshold.
+    Cross-cluster near-dups surviving is the documented SemDeDup trade.
+    """
+    from mapreduce_hw05_spark.operators.clustering import label_seeded_centroids
+    from mapreduce_hw05_spark.operators.semdedup import semantic_dedup
+    from mapreduce_hw05_spark.operators.similarity import cosine_pairs_above
+
+    threshold = 0.4
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = label_seeded_centroids(emb)
+    res = semantic_dedup(emb, centroids, threshold).cache()
+
+    pairs = cosine_pairs_above(emb, threshold, "vec_id", "embedding")
+    a = res.select(
+        F.col("vec_id").alias("id1"),
+        F.col("cluster").alias("c1"),
+        F.col("kept").alias("k1"),
+    )
+    b = res.select(
+        F.col("vec_id").alias("id2"),
+        F.col("cluster").alias("c2"),
+        F.col("kept").alias("k2"),
+    )
+    same_cluster = (
+        pairs.join(F.broadcast(a), "id1")
+        .join(F.broadcast(b), "id2")
+        .filter(F.col("c1") == F.col("c2"))
+    )
+    n_bad_kept = same_cluster.filter(F.col("k1") & F.col("k2")).count()
+    covered = same_cluster.filter(F.col("k1") != F.col("k2")).select(
+        F.when(F.col("k1"), F.col("id2")).otherwise(F.col("id1")).alias("vec_id")
+    )
+    n_uncovered = (
+        res.filter(~F.col("kept"))
+        .join(covered, "vec_id", "left_anti")
+        .count()
+    )
+    n_vecs = res.count()
+    res.unpersist()
+    return spark.createDataFrame(
+        [(n_vecs, int(centroids.shape[0]), n_bad_kept == 0, n_uncovered == 0)],
+        "n_vecs long, n_centroids long, kept_pairs_clean boolean, "
+        "dropped_covered boolean",
+    )
+
+
 def _ann_recall_summary(
     spark: SparkSession,
     ann_pairs: DataFrame,

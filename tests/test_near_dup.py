@@ -54,3 +54,76 @@ def test_minhash_signatures_deterministic(spark):
           for r in minhash_signatures(docs, num_hashes=32).collect()}
     assert s1 == s2
     assert all(len(sig) == 32 for sig in s1.values())
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup cluster-then-prune)
+# --------------------------------------------------------------------------
+
+
+def _unit(*v):
+    import numpy as np
+
+    a = np.array(v, dtype=float)
+    return (a / np.linalg.norm(a)).tolist()
+
+
+def test_semantic_dedup_greedy_invariants_on_crafted_clusters(spark):
+    """Two well-separated clusters, each with a near-dup pair plus a
+    distinct member: the lowest id of each dup pair is kept, its twin
+    dropped, distinct members kept, nothing pruned across clusters."""
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.semdedup import semantic_dedup
+
+    # cluster 0 ~ +x axis, cluster 1 ~ +y axis
+    rows = [
+        (1, _unit(1.0, 0.02, 0.0)),   # kept (first in cluster 0)
+        (2, _unit(1.0, 0.03, 0.0)),   # dup of 1 -> dropped
+        (3, _unit(0.6, 0.0, 0.8)),    # cluster 0 but dissimilar -> kept
+        (10, _unit(0.0, 1.0, 0.02)),  # kept (first in cluster 1)
+        (11, _unit(0.0, 1.0, 0.03)),  # dup of 10 -> dropped
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    got = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in semantic_dedup(emb, centroids, threshold=0.95).collect()
+    }
+    assert got == {
+        1: (0, True),
+        2: (0, False),
+        3: (0, True),
+        10: (1, True),
+        11: (1, False),
+    }
+
+
+def test_semantic_dedup_partitioning_invariant(spark):
+    """Same kept set regardless of input partitioning (greedy order is
+    pinned by id sort inside each cluster group, not arrival order)."""
+    from mapreduce_hw05_spark.operators.clustering import label_seeded_centroids
+    from mapreduce_hw05_spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    centroids = label_seeded_centroids(emb)
+    base = {
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in semantic_dedup(emb, centroids, 0.4).collect()
+    }
+    repart = {
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in semantic_dedup(emb.repartition(7), centroids, 0.4).collect()
+    }
+    assert base == repart
+    assert any(not k for (_, _, k) in base), "threshold 0.4 should drop some"
+
+
+def test_semantic_dedup_empty_input(spark):
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, np.eye(3), 0.5).collect()
+    assert out == []
