@@ -303,3 +303,50 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         """
     )
+
+
+# --------------------------------------------------------------------------
+# sq-8 — NOT IN under NULL keys: the three-valued-logic rewrite contract
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_not_in_null_semantics",
+    oracle="""
+    WITH o AS (
+        SELECT *, nullif(o_custkey % 50, 13) AS k FROM orders
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM o
+    WHERE k NOT IN (SELECT nullif(c_custkey % 50, 55) AS ik
+                    FROM customer WHERE c_acctbal >= 9500)
+    GROUP BY o_orderstatus
+    """,
+)
+def q_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``NOT IN`` with NULL-able keys on both sides, rewritten through
+    :func:`operators.subquery.null_safe_not_in` — bounded inner-NULL
+    probe, then a plain anti equi-join over non-NULL keys (hash-joinable
+    at any scale; never a null-aware nested loop). Orders whose bucketed
+    key is NULL (custkey % 50 == 13) must NOT qualify, and if the rich-
+    customer inner set ever produced a NULL bucket the whole result
+    would collapse to empty — exactly SQL three-valued logic, which the
+    native-``NOT IN`` oracle pins. The property grammar
+    (tests/test_property_differential.py) sweeps the remaining corners.
+    """
+    from mapreduce_hw05_spark.operators.subquery import null_safe_not_in
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "k", F.nullif(F.col("o_custkey") % 50, F.lit(13))
+    )
+    inner = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") >= 9500
+    )
+    kept = null_safe_not_in(
+        orders, F.col("k"), inner, F.nullif(F.col("c_custkey") % 50, F.lit(55))
+    )
+    return kept.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        money(F.sum("o_totalprice")).alias("sum_price"),
+    )

@@ -713,3 +713,106 @@ def test_random_asof_specs_match_duckdb_asof(spark, oracle, spec):
     oracle_pdf = oracle.execute(_asof_oracle_sql(spec)).df()
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{spec}: {problems}"
+
+
+# ------------------------------------------- subquery / NOT-IN null grammar
+
+subquery_spec = st.fixed_dictionaries(
+    {
+        "kind": st.sampled_from(["in", "not_in", "exists", "not_exists"]),
+        # NULLIF remainders inject NULL keys on either side independently
+        # (0..49 hits; 50+ never fires = no nulls on that side); the
+        # inner-NULL case is what breaks naive NOT IN -> anti rewrites
+        "outer_null_rem": st.integers(min_value=0, max_value=60),
+        "inner_null_rem": st.integers(min_value=0, max_value=60),
+        "acctbal_min": st.integers(min_value=-1000, max_value=9000),
+        "statuses": st.sets(st.sampled_from(_STATUS), min_size=1, max_size=3),
+    }
+)
+
+
+def _subquery_frames(spark, spec):
+    """Compile the spec through the operators.subquery rewrites: IN /
+    EXISTS -> semi equi-join, NOT EXISTS -> anti equi-join, NOT IN ->
+    null_safe_not_in (bounded inner-NULL probe + anti equi-join)."""
+    from mapreduce_hw05_spark.operators.subquery import (
+        null_safe_not_in,
+        semi_in,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderstatus").isin(*sorted(spec["statuses"]))
+    )
+    outer = orders.withColumn(
+        "k", F.nullif(F.col("o_custkey") % 50, F.lit(spec["outer_null_rem"]))
+    )
+    inner = (
+        load_table(spark, SF_DIR, "customer")
+        .filter(F.col("c_acctbal") >= float(spec["acctbal_min"]))
+        .withColumn(
+            "ik", F.nullif(F.col("c_custkey") % 50, F.lit(spec["inner_null_rem"]))
+        )
+    )
+    kind = spec["kind"]
+    if kind == "in":
+        kept = semi_in(outer, F.col("k"), inner, F.col("ik"))
+    elif kind == "not_in":
+        kept = null_safe_not_in(outer, F.col("k"), inner, F.col("ik"))
+    elif kind == "exists":
+        kept = outer.join(
+            inner.select("ik"), F.col("k") == F.col("ik"), "left_semi"
+        )
+    else:  # not_exists: NULL outer keys have no match and are KEPT
+        kept = outer.join(
+            inner.select("ik"), F.col("k") == F.col("ik"), "left_anti"
+        )
+    return kept.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def _subquery_oracle_sql(spec):
+    statuses = ", ".join(f"'{s}'" for s in sorted(spec["statuses"]))
+    op = {
+        "in": "k IN",
+        "not_in": "k NOT IN",
+        "exists": "EXISTS",
+        "not_exists": "NOT EXISTS",
+    }[spec["kind"]]
+    inner = (
+        f"SELECT nullif(c_custkey % 50, {spec['inner_null_rem']}) AS ik "
+        f"FROM customer WHERE c_acctbal >= {float(spec['acctbal_min'])}"
+    )
+    if spec["kind"] in ("in", "not_in"):
+        pred = f"{op} ({inner})"
+    else:
+        pred = f"{op} (SELECT 1 FROM ({inner}) WHERE ik = k)"
+    return f"""
+    WITH o AS (
+        SELECT *, nullif(o_custkey % 50, {spec["outer_null_rem"]}) AS k
+        FROM orders WHERE o_orderstatus IN ({statuses})
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM o WHERE {pred}
+    GROUP BY o_orderstatus
+    """
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=subquery_spec)
+def test_random_subquery_specs_match_oracle(spark, oracle, spec):
+    """The semi/anti rewrites must reproduce native IN / NOT IN /
+    EXISTS / NOT EXISTS semantics under NULL keys on either side —
+    including inner-set-contains-NULL (NOT IN must return nothing) and
+    NULL outer keys (dropped by IN/NOT IN/EXISTS, kept by NOT EXISTS)."""
+    spark_pdf = _subquery_frames(spark, spec).toPandas()
+    oracle_pdf = oracle.execute(_subquery_oracle_sql(spec)).df()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{spec}: {problems}"
