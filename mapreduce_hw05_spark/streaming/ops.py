@@ -374,18 +374,41 @@ def stream_sketch_rollup_foreachbatch(
         + [T.StructField("sketch", T.BinaryType())]
     )
 
+    import pyarrow as pa
+
+    #: Spark -> Arrow types for the driver-side state write (keys only;
+    #: extend as new key types appear in contracts).
+    _PA_TYPES = {
+        T.StringType: pa.string(),
+        T.LongType: pa.int64(),
+        T.IntegerType: pa.int32(),
+        T.ShortType: pa.int16(),
+        T.DoubleType: pa.float64(),
+        T.BooleanType: pa.bool_(),
+        T.DateType: pa.date32(),
+    }
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         recover_dir(state_dir, state_dir.rstrip("/") + ".next")
         if batch_df.isEmpty():
             return
         marker_dir = os.path.join(state_dir, "_batches")
         if os.path.exists(os.path.join(marker_dir, str(batch_id))):
             return
-        spark = batch_df.sparkSession
         # Collect per-partition PARTIALS and merge here: this loop is
         # already the driver-side merge point (state ∪ batch), so the
         # keyed applyInPandas merge stage theta_sketch_by_key adds would
-        # be a redundant shuffle + Python stage per micro-batch.
+        # be a redundant shuffle + Python stage per micro-batch. The
+        # partial build is the ONLY Spark job per batch: the state table
+        # is driver-sized by the same argument that lets partials
+        # collect, so its read/modify/write is direct parquet IO, not
+        # two more scheduled jobs. (Past driver-sized key sets, switch
+        # to theta_sketch_by_key + a distributed state write.)
         partials: dict[tuple, ThetaSketch] = {}
         for row in theta_sketch_partials(
             batch_df, key_cols, value_col, k
@@ -394,18 +417,36 @@ def stream_sketch_rollup_foreachbatch(
             sk = ThetaSketch.deserialize(bytes(row["sketch"]))
             partials[key] = partials[key].union(sk) if key in partials else sk
         if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-            for row in spark.read.parquet(state_dir).collect():
-                key = tuple(row[c] for c in key_cols)
-                old = ThetaSketch.deserialize(bytes(row["sketch"]))
-                partials[key] = (
-                    partials[key].union(old) if key in partials else old
-                )
-        merged = spark.createDataFrame(
-            [(*key, sk.serialize()) for key, sk in partials.items()],
-            state_schema,
-        )
+            for part in sorted(os.listdir(state_dir)):
+                if not part.endswith(".parquet"):
+                    continue
+                for rec in pq.read_table(
+                    os.path.join(state_dir, part)
+                ).to_pylist():
+                    key = tuple(rec[c] for c in key_cols)
+                    old = ThetaSketch.deserialize(bytes(rec["sketch"]))
+                    partials[key] = (
+                        partials[key].union(old) if key in partials else old
+                    )
         tmp = state_dir.rstrip("/") + ".next"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        keys_sorted = sorted(partials, key=lambda t: tuple(map(str, t)))
+        table = pa.table(
+            {
+                **{
+                    c: [key[i] for key in keys_sorted]
+                    for i, c in enumerate(key_cols)
+                },
+                "sketch": [partials[key].serialize() for key in keys_sorted],
+            },
+            schema=pa.schema(
+                [(c, _PA_TYPES[type(state_schema[c].dataType)]) for c in key_cols]
+                + [("sketch", pa.binary())]
+            ),
+        )
+        pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
         new_marker_dir = os.path.join(tmp, "_batches")
         os.makedirs(new_marker_dir, exist_ok=True)
         if os.path.isdir(marker_dir):
