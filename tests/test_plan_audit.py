@@ -27,7 +27,7 @@ SKIP_PREFIXES = (
     "q_json_roundtrip", "q_orc", "q_xml", "q_partitioned", "q_bucketed",
     "q_permissive", "q_schema_evolution", "q_pagerank", "q_kmeans",
     "q_connected", "q_bpe", "q_pca", "q_ann_ivf", "q_ann_lsh", "q_logreg",
-    "q_theta_sketch", "q_pretrain",
+    "q_theta_sketch", "q_pretrain", "q_semantic",
 )
 
 #: queries where a BroadcastNestedLoopJoin is the intended plan.
