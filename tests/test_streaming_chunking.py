@@ -117,3 +117,66 @@ def test_stateful_counts_invariant_to_chunking(spark, events, seed):
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
     assert as_sorted_rows(latest) == as_sorted_rows(expect), f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_stream_stream_inner_join_invariant_to_chunking(spark, events, seed):
+    """Stream-stream interval join: every (purchase, trailing-hour click)
+    match must appear exactly once no matter where batch boundaries fall
+    — a purchase arriving batches after its clicks probes RETAINED click
+    state, which is where premature watermark eviction would show."""
+    got = replay_through(
+        spark,
+        random_chunks(events, "ts", seed),
+        ops.interval_join_clicks_purchases,
+        "append",
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    expect = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+        "click_value",
+    )
+    assert as_sorted_rows(got) == as_sorted_rows(expect), f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", SEEDS[:2])
+def test_stream_stream_outer_join_invariant_to_chunking(spark, events, seed):
+    """Left-outer stream-stream join: the null-extended rows may only
+    emit once the watermark proves no match can arrive — but WHICH rows
+    ultimately emit must not depend on micro-batch boundaries, since
+    every chunking ends at the same sentinel-driven final watermark."""
+    from mapreduce_hw05_spark.plans.streaming_queries import (
+        _watermark_sentinels,
+    )
+
+    flush = _watermark_sentinels(spark, events)
+    got = replay_through(
+        spark,
+        random_chunks(events, "ts", seed) + [flush],
+        ops.interval_left_join_purchases,
+        "append",
+    )
+    ref = replay_through(
+        spark,
+        [events.localCheckpoint(), flush],
+        ops.interval_left_join_purchases,
+        "append",
+    )
+    assert as_sorted_rows(got) == as_sorted_rows(ref), f"seed={seed}"
