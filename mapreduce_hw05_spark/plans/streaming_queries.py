@@ -41,13 +41,14 @@ def _fresh_scratch(prefix: str) -> str:
 
 
 @contextlib.contextmanager
-def _replay_state_partitions(spark: SparkSession, n: int = 8):
+def _replay_state_partitions(spark: SparkSession, n: int = 4):
     """Scope ``spark.sql.shuffle.partitions`` down for a file-replay run.
 
     A stateful streaming query spins up one state-store instance per
     shuffle partition PER MICRO-BATCH; on a fixture-sized replay that
     fixed cost dominates (stream-stream join at sf0.01: 23 s at 32
-    partitions → 7 s at 8). State partition count should size to
+    partitions → 7 s at 8 → 4.7 s at 4; a stream-stream join holds
+    FOUR stores per partition, so it gains the most). State partition count should size to
     stateful-key cardinality and executor count — a deployment knob, not
     a plan property; each query here starts from a fresh checkpoint, so
     the scoped value never conflicts with pinned checkpoint metadata.
