@@ -180,3 +180,51 @@ def test_stream_stream_outer_join_invariant_to_chunking(spark, events, seed):
         "append",
     )
     assert as_sorted_rows(got) == as_sorted_rows(ref), f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_late_data_drop_invariant_to_chunking_and_late_set(spark, events, seed):
+    """st-4 generalized: a seeded-random SET of events is re-stamped
+    into the stream's first hour and delivered after a seeded-random
+    chunking of the on-time rows. Their windows closed long before, so
+    the engine must drop exactly the late set — no leakage into closed
+    windows, no over-dropping — for every (late set, chunking) draw."""
+    import datetime
+
+    rng = random.Random(seed)
+    ids = [r[0] for r in events.select("event_id").collect()]
+    late_ids = sorted(rng.sample(ids, rng.randint(1, 5)))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("first_hour"),
+        F.max("ts").alias("max_ts"),
+    ).first()
+
+    on_time = events.filter(~F.col("event_id").isin(late_ids))
+    late = events.filter(F.col("event_id").isin(late_ids)).withColumn(
+        "ts", F.lit(bounds["first_hour"]).cast("timestamp")
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, bounds["max_ts"] + datetime.timedelta(hours=2), -1,
+          "click", 0.0, "{}")],
+        events.schema,
+    )
+    chunks = random_chunks(on_time, "ts", seed) + [late, sentinel]
+    got = replay_through(
+        spark,
+        chunks,
+        lambda s: ops.tumbling_counts(s, watermark="10 minutes"),
+        "append",
+    )
+    max_real_hour = int(bounds["max_ts"].replace(
+        minute=0, second=0, microsecond=0).timestamp())
+    got = got.filter(F.col("hour_epoch") <= max_real_hour)
+    expect = on_time.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    assert as_sorted_rows(got) == as_sorted_rows(expect), (
+        f"seed={seed} late_ids={late_ids}"
+    )
