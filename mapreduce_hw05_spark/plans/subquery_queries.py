@@ -320,7 +320,8 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(o_totalprice), 2) AS sum_price
     FROM o
     WHERE k NOT IN (SELECT nullif(c_custkey % 50, 55) AS ik
-                    FROM customer WHERE c_acctbal >= 9500)
+                    FROM customer
+                    WHERE c_acctbal >= 9500 AND c_custkey % 50 < 20)
     GROUP BY o_orderstatus
     """,
 )
@@ -341,7 +342,7 @@ def q_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", F.nullif(F.col("o_custkey") % 50, F.lit(13))
     )
     inner = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_acctbal") >= 9500
+        (F.col("c_acctbal") >= 9500) & (F.col("c_custkey") % 50 < 20)
     )
     kept = null_safe_not_in(
         orders, F.col("k"), inner, F.nullif(F.col("c_custkey") % 50, F.lit(55))
