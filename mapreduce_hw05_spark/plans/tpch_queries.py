@@ -900,9 +900,12 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fact-scale work happens ONCE: a single per-order quantity
     rollup, HAVING-cut to the qualifying tail, is both the semi-join
     key set and the sum_qty source — no second lineitem pass, unlike a
-    literal transcription of the benchmark's correlated IN. Orders then
-    joins that tiny aggregate (broadcast) and the customer dim
-    (broadcast). The top-100 cut is a TakeOrdered, tiebroken on
+    literal transcription of the benchmark's correlated IN. No
+    broadcast HINTS here, deliberately: the rollup is FACT-derived
+    (HAVING-selective at fixture scale, unbounded at 100 TB) and
+    customer is unfiltered, so both joins are left to AQE, which
+    converts them to broadcast at runtime exactly when the build side
+    is actually small. The top-100 cut is a TakeOrdered, tiebroken on
     o_orderkey so both engines slice identically.
     """
     li = load_table(spark, sf_dir, "lineitem")
@@ -914,8 +917,8 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(heavy), orders.o_orderkey == heavy.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
