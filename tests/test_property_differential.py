@@ -816,3 +816,83 @@ def test_random_subquery_specs_match_oracle(spark, oracle, spec):
     oracle_pdf = oracle.execute(_subquery_oracle_sql(spec)).df()
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{spec}: {problems}"
+
+
+# ------------------------------------- multi-distinct aggregation grammar
+
+_MD_DISTINCTS = {
+    "nd_cust": ("o_custkey", "count(DISTINCT o_custkey)"),
+    "nd_prio": ("o_orderpriority", "count(DISTINCT o_orderpriority)"),
+    "nd_year": ("year(o_orderdate)", "count(DISTINCT year(o_orderdate))"),
+    # floor() on both sides: DuckDB CAST(double AS INT) rounds,
+    # Spark's cast truncates — floor makes the bucketing engine-neutral
+    "nd_bucket": (
+        "CAST(floor(o_totalprice / 50000) AS INT)",
+        "count(DISTINCT CAST(floor(o_totalprice / 50000) AS INT))",
+    ),
+}
+
+multi_distinct_spec = st.fixed_dictionaries(
+    {
+        "group_col": st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+        "distincts": st.sets(
+            st.sampled_from(sorted(_MD_DISTINCTS)), min_size=1, max_size=4
+        ),
+        "having_min": st.integers(min_value=0, max_value=4000),
+        "statuses": st.sets(st.sampled_from(_STATUS), min_size=1, max_size=3),
+    }
+)
+
+
+def _md_spark(orders, spec):
+    """N distinct aggregates in ONE aggregation — Catalyst compiles this
+    to a single Expand (one replicated row group per distinct set), the
+    plan shape this grammar hunts bugs in."""
+    exprs = {
+        "nd_cust": F.countDistinct("o_custkey"),
+        "nd_prio": F.countDistinct("o_orderpriority"),
+        "nd_year": F.countDistinct(F.year("o_orderdate")),
+        "nd_bucket": F.countDistinct(
+            F.floor(F.col("o_totalprice") / 50000).cast("int")
+        ),
+    }
+    aggs = [exprs[k].alias(k) for k in sorted(spec["distincts"])]
+    aggs.append(F.count("*").alias("n_rows"))
+    return (
+        orders.filter(orders["o_orderstatus"].isin(*sorted(spec["statuses"])))
+        .groupBy(spec["group_col"])
+        .agg(*aggs)
+        .filter(F.col("n_rows") >= spec["having_min"])
+    )
+
+
+def _md_oracle_sql(spec):
+    statuses = ", ".join(f"'{s}'" for s in sorted(spec["statuses"]))
+    cols = ", ".join(
+        f"{_MD_DISTINCTS[k][1]} AS {k}" for k in sorted(spec["distincts"])
+    )
+    return f"""
+    SELECT {spec["group_col"]}, {cols}, count(*) AS n_rows
+    FROM orders
+    WHERE o_orderstatus IN ({statuses})
+    GROUP BY {spec["group_col"]}
+    HAVING count(*) >= {spec["having_min"]}
+    """
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=multi_distinct_spec)
+def test_random_multi_distinct_specs_match_oracle(spark, oracle, spec):
+    """Up to four DISTINCT aggregates of mixed expressions in one
+    aggregation + HAVING — the Expand-plan combinations fixed contracts
+    only sample."""
+    orders = load_table(spark, SF_DIR, "orders")
+    spark_pdf = _md_spark(orders, spec).toPandas()
+    oracle_pdf = oracle.execute(_md_oracle_sql(spec)).df()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{spec}: {problems}"
