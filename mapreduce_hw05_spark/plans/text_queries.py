@@ -204,3 +204,48 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(F.avg(norm)).alias("avg_norm"),
         lng(F.sum(F.when(first > 0, 1).otherwise(0))).alias("n_pos_first"),
     )
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters — space-saving frequent tokens (mergeable O(k) summaries)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, count(*) AS n_occurrences
+    FROM toks GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 20
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most frequent tokens via SPACE-SAVING summaries instead of
+    a full wordcount shuffle: each partition reduces its token stream to
+    an O(k) (item, count, err) summary in one map pass; only
+    partitions × k rows reach the driver-side mergeable-summaries fold
+    (the same partial-shape as the HLL/KLL/theta sketches, for frequent
+    items). With k = 4096 far above this corpus's vocabulary no counter
+    is ever evicted, so counts are provably EXACT and the top-20 is
+    hash-comparable to the plain GROUP BY oracle; the eviction regime's
+    (n/k)-error and no-lost-heavy-hitter guarantees are engine-tested on
+    crafted Zipf data (tests/test_engine_ops.py).
+    """
+    from mapreduce_hw05_spark.operators.heavy_hitters import (
+        merge_summary_rows,
+        space_saving_partials,
+    )
+    from mapreduce_hw05_spark.plans.common import spread_small
+
+    k = 4096
+    toks = tokenize(spread_small(load_table(spark, sf_dir, "documents")), "text")
+    rows = [r.asDict() for r in space_saving_partials(toks, "token", k).collect()]
+    merged = merge_summary_rows(rows, "token", k)
+    return spark.createDataFrame(
+        [(it, int(c)) for it, c, _err in merged.top(20)],
+        "token string, n_occurrences long",
+    )

@@ -1126,3 +1126,81 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --------------------------------------------------------------------------
+# Space-saving heavy hitters (operators.heavy_hitters)
+# --------------------------------------------------------------------------
+
+
+def test_space_saving_exact_when_under_capacity():
+    from mapreduce_hw05_spark.operators.heavy_hitters import SpaceSaving
+
+    a, b = SpaceSaving(16), SpaceSaving(16)
+    for item, n in [("x", 5), ("y", 3), ("z", 1)]:
+        a.offer(item, n)
+    for item, n in [("y", 4), ("w", 2)]:
+        b.offer(item, n)
+    m = a.merge(b)
+    assert m.top(10) == [("y", 7, 0), ("x", 5, 0), ("w", 2, 0), ("z", 1, 0)]
+
+
+def test_space_saving_guarantees_under_eviction():
+    """Zipf stream with k far below the vocabulary: every item with
+    true count > n/k must survive, and every reported count must
+    bracket the truth within its tracked err."""
+    from mapreduce_hw05_spark.operators.heavy_hitters import SpaceSaving
+
+    import random
+
+    rng = random.Random(7)
+    truth = {}
+    sk = SpaceSaving(64)
+    # 200 head items (Zipf-ish weights) + long uniform tail
+    stream = []
+    for i in range(200):
+        stream += [f"head{i}"] * (2000 // (i + 1))
+    stream += [f"tail{i}" for i in range(5000)]
+    rng.shuffle(stream)
+    for it in stream:
+        truth[it] = truth.get(it, 0) + 1
+        sk.offer(it)
+    n = len(stream)
+    threshold = n / 64
+    reported = {it: (c, e) for it, c, e in sk.top(64)}
+    for it, tc in truth.items():
+        if tc > threshold:
+            assert it in reported, f"lost heavy hitter {it} ({tc} > {threshold})"
+    for it, (c, e) in reported.items():
+        tc = truth[it]
+        assert tc <= c <= tc + e + threshold, (it, tc, c, e)
+
+
+def test_space_saving_partials_merge_matches_exact_counts(spark):
+    """Distributed partials over a small-vocabulary corpus merge to
+    EXACT token counts (no eviction anywhere), independent of input
+    partitioning."""
+    from mapreduce_hw05_spark.operators.heavy_hitters import (
+        merge_summary_rows,
+        space_saving_partials,
+    )
+    from mapreduce_hw05_spark.operators.text import tokenize
+    from mapreduce_hw05_spark.sources import load_table
+
+    toks = tokenize(load_table(spark, SF_DIR, "documents"), "text")
+    exact = {
+        r["token"]: r["n"]
+        for r in toks.groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+    for parts in (3, 11):
+        rows = [
+            r.asDict()
+            for r in space_saving_partials(
+                toks.repartition(parts), "token", k=4096
+            ).collect()
+        ]
+        merged = merge_summary_rows(rows, "token", 4096)
+        got = {it: c for it, c, e in merged.top(4096)}
+        errs = {it: e for it, c, e in merged.top(4096)}
+        assert got == exact
+        assert set(errs.values()) == {0}
