@@ -30,6 +30,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 
+def _ord(item):
+    """Native-type tie order (matches SQL ORDER BY on the item column;
+    a str() fallback would sort 132 before 15), NULLs last."""
+    return (item is None, item)
+
+
 class SpaceSaving:
     """One space-saving summary: item -> (count, err)."""
 
@@ -58,7 +64,7 @@ class SpaceSaving:
             return
         # evict the minimum counter: the newcomer inherits its count as
         # overestimation error (the classic space-saving step)
-        evict = min(self.counts, key=lambda i: (self.counts[i], str(i)))
+        evict = min(self.counts, key=lambda i: (self.counts[i], _ord(i)))
         floor = self.counts.pop(evict)
         self.errs.pop(evict)
         self.counts[item] = floor + weight
@@ -78,7 +84,7 @@ class SpaceSaving:
             e = self.errs.get(it, m_self) + other.errs.get(it, m_other)
             merged[it] = (c, e)
         keep = sorted(
-            merged, key=lambda i: (-merged[i][0], str(i))
+            merged, key=lambda i: (-merged[i][0], _ord(i))
         )[: self.k]
         for it in keep:
             out.counts[it], out.errs[it] = merged[it]
@@ -87,7 +93,7 @@ class SpaceSaving:
     def top(self, n: int) -> list[tuple]:
         """(item, count, err) rows, ordered (count desc, item asc)."""
         order = sorted(
-            self.counts, key=lambda i: (-self.counts[i], str(i))
+            self.counts, key=lambda i: (-self.counts[i], _ord(i))
         )[:n]
         return [(it, self.counts[it], self.errs[it]) for it in order]
 

@@ -124,7 +124,7 @@ DRIVER_WINDOW_R4 = [
     "q_tpch_q20_semi_chain", "q_union_by_name", "q_schema_evolution",
     # round-3 continuation additions (never driver-verified, so R4)
     "q_tpch_q18", "q_semantic_dedup", "q_not_in_null_semantics",
-    "q_heavy_hitters",
+    "q_heavy_hitters", "q_stream_heavy_hitters",
 ]
 
 

@@ -1060,3 +1060,52 @@ def q_stream_stream_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+@contract(
+    "q_stream_heavy_hitters",
+    oracle="""
+    SELECT user_id, count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 20
+    """,
+)
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frequent-items maintenance executed BY THE STREAMING
+    ENGINE: the events replay (4 micro-batches) folds per-partition
+    space-saving summaries into one persisted O(k) state table through
+    the manifest-guarded foreachBatch sink — trending-user state bounded
+    at k counters regardless of stream length. k = 4096 far exceeds the
+    fixture's user cardinality, so the maintained counts are provably
+    exact (no eviction in any batch or merge) and the final top-20 is
+    hash-comparable to the batch GROUP BY oracle; eviction-regime
+    guarantees are engine-tested (tests/test_engine_ops.py).
+    """
+    from mapreduce_hw05_spark.operators.heavy_hitters import SpaceSaving
+
+    k = 4096
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_shh_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4),
+                        os.path.join(root, "in"))
+    state = os.path.join(root, "state")
+    with _replay_state_partitions(spark):
+        query = ops.stream_heavy_hitters_foreachbatch(
+            replay.stream(), "user_id",
+            state, os.path.join(root, "ckpt"), k,
+        ).start()
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    sk = SpaceSaving(k)
+    for r in spark.read.parquet(state).collect():
+        sk.counts[r["user_id"]] = r["count"]
+        sk.errs[r["user_id"]] = r["err"]
+    rows = [(int(it), int(c)) for it, c, _e in sk.top(20)]
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "user_id long, n_events long")

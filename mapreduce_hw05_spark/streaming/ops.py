@@ -666,3 +666,86 @@ def interval_right_join_purchases(
         F.unix_micros("c_ts").alias("click_ts_us"),
         "click_value",
     )
+
+
+def stream_heavy_hitters_foreachbatch(
+    stream: DataFrame,
+    item_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = 4096,
+):
+    """Streaming frequent-items maintenance: each micro-batch reduces to
+    per-partition space-saving summaries (O(k) rows each, built
+    distributed) that fold into ONE persisted summary of ≤ k
+    (item, count, err) rows — trending-items state bounded at O(k)
+    forever, never O(stream length). Same exactly-once discipline and
+    one-Spark-job-per-batch shape as the sketch rollup sink: the
+    distributed partial build is the only scheduled job; the
+    driver-sized state is read/written with direct pyarrow IO inside
+    the committed-batch manifest + atomic-swap protocol.
+    """
+    import os
+    import shutil
+
+    from mapreduce_hw05_spark.fsutil import recover_dir, replace_dir
+    from mapreduce_hw05_spark.operators.heavy_hitters import (
+        SpaceSaving,
+        merge_summary_rows,
+        space_saving_partials,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        recover_dir(state_dir, state_dir.rstrip("/") + ".next")
+        if batch_df.isEmpty():
+            return
+        marker_dir = os.path.join(state_dir, "_batches")
+        if os.path.exists(os.path.join(marker_dir, str(batch_id))):
+            return
+        rows = [
+            r.asDict()
+            for r in space_saving_partials(batch_df, item_col, k).collect()
+        ]
+        merged = merge_summary_rows(rows, item_col, k)
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            prev = SpaceSaving(k)
+            for part in sorted(os.listdir(state_dir)):
+                if not part.endswith(".parquet"):
+                    continue
+                for rec in pq.read_table(
+                    os.path.join(state_dir, part)
+                ).to_pylist():
+                    prev.counts[rec[item_col]] = rec["count"]
+                    prev.errs[rec[item_col]] = rec["err"]
+            merged = prev.merge(merged)
+        tmp = state_dir.rstrip("/") + ".next"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pdf = pd.DataFrame(
+            [
+                {item_col: it, "count": c, "err": e}
+                for it, c, e in merged.top(k)
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(tmp, "part-00000.parquet"),
+        )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        new_marker_dir = os.path.join(tmp, "_batches")
+        os.makedirs(new_marker_dir, exist_ok=True)
+        if os.path.isdir(marker_dir):
+            for m in os.listdir(marker_dir):
+                open(os.path.join(new_marker_dir, m), "w").close()
+        open(os.path.join(new_marker_dir, str(batch_id)), "w").close()
+        replace_dir(tmp, state_dir)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )

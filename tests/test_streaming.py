@@ -483,3 +483,41 @@ def test_exactly_once_sink_survives_crash_mid_swap(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert got == post  # state rolled forward, replayed batch a no-op
+
+
+def test_heavy_hitters_sink_survives_crash_mid_swap(spark, tmp_path):
+    """Crash-mid-swap + replayed-batch semantics for the space-saving
+    frequent-items sink: a dangling .next rolls forward with its
+    manifest, and the re-delivered batch id is a no-op (no double
+    counting)."""
+    import os
+
+    from mapreduce_hw05_spark.streaming.ops import (
+        stream_heavy_hitters_foreachbatch,
+    )
+
+    state = str(tmp_path / "hh_state")
+    apply_batch = _capture_foreach_batch(
+        stream_heavy_hitters_foreachbatch, "k", state,
+        str(tmp_path / "ckpt"), 64,
+    )
+
+    def counts():
+        return {
+            r["k"]: (r["count"], r["err"])
+            for r in spark.read.parquet(state).collect()
+        }
+
+    b0 = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "k string"
+    )
+    b1 = spark.createDataFrame([("a",), ("c",)], "k string")
+    apply_batch(b0, 0)
+    apply_batch(b1, 1)
+    post = counts()
+    assert post == {"a": (3, 0), "b": (1, 0), "c": (1, 0)}
+
+    os.rename(state, state + ".next")  # crash between the two renames
+    apply_batch(b1, 1)  # replay: roll forward; marker makes it a no-op
+    assert counts() == post
+    assert sorted(os.listdir(os.path.join(state, "_batches"))) == ["0", "1"]
