@@ -228,3 +228,29 @@ def test_late_data_drop_invariant_to_chunking_and_late_set(spark, events, seed):
     assert as_sorted_rows(got) == as_sorted_rows(expect), (
         f"seed={seed} late_ids={late_ids}"
     )
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_session_window_invariant_to_chunking(spark, events, seed):
+    """st-3: session-window state MERGES across micro-batches (a session
+    split by a batch boundary must still coalesce into one window) —
+    final sessions must equal the batch session_window aggregation for
+    any seeded chunking."""
+    got = replay_through(
+        spark,
+        random_chunks(events, "ts", seed),
+        lambda s: ops.session_window_stats(s, gap="30 minutes"),
+        "complete",
+    )
+    expect = (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("win"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("win.start").alias("session_start_epoch"),
+            "n_events",
+        )
+    )
+    assert as_sorted_rows(got) == as_sorted_rows(expect), f"seed={seed}"
