@@ -99,9 +99,9 @@ DRIVER_WINDOW_R2 = [
     "q_tpch_q3",
 ]
 
-#: Round-4 rotation: the 54 remaining never-driver-verified contracts
-#: (48 original + 3 demoted from this round's window + 3 added after the
-#: r3 window froze). 54 > 50, so the r4 curator keeps the 50
+#: Round-4 rotation: the 56 remaining never-driver-verified contracts
+#: (48 original + 3 demoted from this round's window + 5 added after the
+#: r3 window froze). 56 > 50, so the r4 curator keeps the 50
 #: highest-risk at the head and rolls the leftovers (plus any
 #: re-verifications) into r5.
 DRIVER_WINDOW_R4 = [
