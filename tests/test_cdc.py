@@ -146,3 +146,39 @@ def test_decontamination_finds_planted_overlap(spark):
     train = docs.filter(split != "0").select("doc_id", h.alias("h"))
     hits = {r.doc_id for r in train.join(F.broadcast(bench), "h", "left_semi").collect()}
     assert hits == {1000}
+
+
+# --------------------------------------------------------------------------
+# Randomized CDC fold — seeded change-batch sequences vs a dict reference
+# --------------------------------------------------------------------------
+
+
+def test_random_cdc_sequences_fold_like_reference(spark):
+    """Seeded random sequences of upsert/delete batches folded through
+    merge_upsert must land on the same final table as a plain dict
+    fold — hunts cross-batch interactions (delete-then-reinsert,
+    re-delete of a missing key, op precedence) that single-batch unit
+    fixtures miss."""
+    import random
+
+    for seed in (3, 19, 71):
+        rng = random.Random(seed)
+        ref: dict[int, tuple[str, float]] = {}
+        base = spark.createDataFrame([], "k long, s string, v double")
+        for _batch in range(rng.randint(2, 5)):
+            keys = rng.sample(range(12), rng.randint(1, 8))
+            rows = []
+            for k in keys:
+                if rng.random() < 0.3:
+                    rows.append((k, None, 0.0, "D"))
+                    ref.pop(k, None)
+                else:
+                    s, v = rng.choice("abcde"), round(rng.uniform(0, 99), 2)
+                    rows.append((k, s, v, "U"))
+                    ref[k] = (s, v)
+            changes = spark.createDataFrame(
+                rows, "k long, s string, v double, op string"
+            )
+            base = merge_upsert(base, changes, ["k"]).localCheckpoint()
+        got = {r.k: (r.s, r.v) for r in base.collect()}
+        assert got == ref, f"seed={seed}"
