@@ -1204,3 +1204,23 @@ def test_space_saving_partials_merge_matches_exact_counts(spark):
         errs = {it: e for it, c, e in merged.top(4096)}
         assert got == exact
         assert set(errs.values()) == {0}
+
+
+def test_space_saving_partials_keep_null_group(spark):
+    """SQL GROUP BY keeps the NULL group — the partials builder must
+    too (value_counts dropna=False), and NULLs sort last in ties."""
+    from mapreduce_hw05_spark.operators.heavy_hitters import (
+        merge_summary_rows,
+        space_saving_partials,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,), ("b",)], "k string"
+    )
+    rows = [r.asDict() for r in space_saving_partials(df, "k", k=8).collect()]
+    merged = merge_summary_rows(rows, "k", 8)
+    assert dict((it, c) for it, c, e in merged.top(8)) == {
+        "a": 2, None: 2, "b": 1
+    }
+    # tie at count 2: non-null 'a' must precede NULL
+    assert [it for it, _c, _e in merged.top(8)][:2] == ["a", None]
