@@ -101,30 +101,41 @@ DRIVER_WINDOW_R2 = [
 
 #: Round-4 rotation: the 56 remaining never-driver-verified contracts
 #: (48 original + 3 demoted from this round's window + 5 added after the
-#: r3 window froze). 56 > 50, so the r4 curator keeps the 50
-#: highest-risk at the head and rolls the leftovers (plus any
-#: re-verifications) into r5.
+#: r3 window froze). PRE-CURATED: the first 50 entries are the intended
+#: r4 driver window (highest-risk first — streaming sink, custom-
+#: operator machinery, null-semantics, sketches, TPC-H remainder), so
+#: the r4 swap is exactly ``DRIVER_WINDOW = DRIVER_WINDOW_R4[:50]``.
+#: The 6 tail entries (single-aggregate shapes with long-green local
+#: parity) roll to r5 together with any re-verifications.
 DRIVER_WINDOW_R4 = [
-    # demoted from R3 to make room for the streaming promotions
-    "q_histogram_totalprice", "q_iqr_outliers", "q_regression_stats",
-    "q_variant_json", "q_time_weighted_avg", "q_event_sequences",
-    "q_token_stats", "q_fingerprint_groups", "q_simhash",
-    "q_chunk_documents", "q_fuzzy_name_match", "q_repetition_score",
-    "q_token_entropy", "q_bigram_pmi", "q_having_in_big_orders",
-    "q_max_price_in_brand", "q_multi_supplier_late", "q_conditional_agg",
-    "q_string_agg", "q_min_max_by", "q_stats_moments", "q_null_safe_join",
-    "q_sample_hash", "q_rank_distribution", "q_salted_join_contract",
-    "q_two_phase_agg_contract", "q_bloom_join_contract",
-    "q_join_hints_contract", "q_winsorized_mean", "q_percent_of_total",
-    "q_conditional_distinct", "q_rfm_segments", "q_rolling_dau",
-    "q_skyline_pareto", "q_cumulative_users", "q_mom_growth", "q_lm_score",
+    # round-3 continuation additions (new operators — verify first)
+    "q_stream_heavy_hitters", "q_heavy_hitters", "q_semantic_dedup",
+    "q_not_in_null_semantics", "q_tpch_q18",
+    # contract-machinery / physical-strategy contracts
+    "q_salted_join_contract", "q_two_phase_agg_contract",
+    "q_bloom_join_contract", "q_join_hints_contract",
+    "q_union_by_name", "q_schema_evolution", "q_null_safe_join",
+    # text/similarity remainder
+    "q_simhash", "q_fingerprint_groups", "q_fuzzy_name_match",
+    "q_chunk_documents", "q_repetition_score", "q_token_entropy",
+    "q_token_stats", "q_bigram_pmi", "q_lm_score",
     "q_decontaminate_ngram", "q_dedup_clusters", "q_inverted_index",
-    "q_pseudonymize_users", "q_domain_mix", "q_tpch_q14", "q_tpch_q19",
-    "q_tpch_q15", "q_tpch_q22", "q_tpch_q16_suppliers", "q_tpch_q2_mincost",
-    "q_tpch_q20_semi_chain", "q_union_by_name", "q_schema_evolution",
-    # round-3 continuation additions (never driver-verified, so R4)
-    "q_tpch_q18", "q_semantic_dedup", "q_not_in_null_semantics",
-    "q_heavy_hitters", "q_stream_heavy_hitters",
+    # governance + sampling
+    "q_pseudonymize_users", "q_domain_mix", "q_sample_hash",
+    # analytics remainder
+    "q_variant_json", "q_time_weighted_avg", "q_event_sequences",
+    "q_rfm_segments", "q_rolling_dau", "q_skyline_pareto",
+    "q_cumulative_users", "q_rank_distribution", "q_conditional_distinct",
+    "q_stats_moments", "q_conditional_agg", "q_string_agg", "q_min_max_by",
+    # subquery remainder
+    "q_having_in_big_orders", "q_max_price_in_brand",
+    "q_multi_supplier_late",
+    # TPC-H remainder
+    "q_tpch_q14", "q_tpch_q19", "q_tpch_q15", "q_tpch_q22",
+    "q_tpch_q16_suppliers", "q_tpch_q2_mincost", "q_tpch_q20_semi_chain",
+    # ---- r5 tail (single-agg shapes, long-green local parity) ----
+    "q_histogram_totalprice", "q_iqr_outliers", "q_regression_stats",
+    "q_winsorized_mean", "q_percent_of_total", "q_mom_growth",
 ]
 
 
