@@ -17,7 +17,7 @@ from mapreduce_hw05_spark.operators.graph import connected_components
 from mapreduce_hw05_spark.operators.text import tokenize, word_shingles
 from mapreduce_hw05_spark.plans.common import lng, ratio, spread_small
 from mapreduce_hw05_spark.plans.registry import contract
-from mapreduce_hw05_spark.plans.similarity_queries import _exact_jaccard_pairs
+from mapreduce_hw05_spark.plans.similarity_queries import lsh_jaccard_pairs
 from mapreduce_hw05_spark.sources import load_table
 
 # --------------------------------------------------------------------------
@@ -203,7 +203,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-iteration checkpointing (O(cluster-diameter) rounds — near-dup
     clusters are shallow), and the final agg is one shuffle on comp.
     """
-    pairs = _exact_jaccard_pairs(spark, sf_dir, threshold=0.8)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_jaccard_pairs(spread_small(docs), 0.8)
     edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     comps = connected_components(edges)
     return comps.groupBy(F.col("comp").alias("keep_doc_id")).agg(
