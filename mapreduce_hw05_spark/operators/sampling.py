@@ -71,3 +71,51 @@ def stratified_sample_oracle_where(
         f"substr(md5(CAST({id_col} AS VARCHAR)), 1, {_PREFIX_LEN}) < "
         f"(CASE {cases} ELSE '{rate_threshold_hex(default_rate)}' END)"
     )
+
+
+# 15 hex chars = 60 bits of md5 — comfortably inside a double's exact
+# integer range after the IEEE round, and identical on any engine that
+# parses the same hex.
+_U_DENOM = float(16**15 + 1)
+
+
+def hash_uniform(id_col: Column) -> Column:
+    """Deterministic uniform (0, 1) from md5(id) — the reproducible
+    stand-in for rand() everywhere sampling must survive retries,
+    repartitioning, and cross-engine checks. Never exactly 0 (the +1)
+    so it is safe under log/pow."""
+    v = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10)
+    return (v.cast("double") + F.lit(1.0)) / F.lit(_U_DENOM)
+
+
+def weighted_sample_keys(
+    df: DataFrame, id_col: str, weight_col: str
+) -> DataFrame:
+    """Attach the Efraimidis–Spirakis A-Res sampling key
+    ``u^(1/w)`` (u = hash-uniform of the id, w = the row's weight):
+    the k rows with the LARGEST keys are exactly a weighted random
+    sample without replacement of size k (Efraimidis & Spirakis 2006,
+    "Weighted random sampling with a reservoir").
+
+    The key is rounded to 9 decimals before any ordering so the top-k
+    cut is stable across engines (pow/libm drift is ~1 ulp, far below
+    round-9); break remaining ties on the id. Scale: a narrow map over
+    the scan plus one TakeOrdered — per-partition top-k then a
+    k-row merge, no full sort, no shuffle of the data itself.
+    """
+    key = F.pow(
+        hash_uniform(F.col(id_col)),
+        F.lit(1.0) / F.col(weight_col).cast("double"),
+    )
+    return df.withColumn("sample_key", F.round(key, 9))
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """The k-row weighted sample itself (largest keys win)."""
+    return (
+        weighted_sample_keys(df, id_col, weight_col)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -99,18 +99,18 @@ DRIVER_WINDOW_R2 = [
     "q_tpch_q3",
 ]
 
-#: Round-4 rotation: the 56 remaining never-driver-verified contracts
-#: (48 original + 3 demoted from this round's window + 5 added after the
+#: Round-4 rotation: the 57 remaining never-driver-verified contracts
+#: (48 original + 3 demoted from this round's window + 6 added after the
 #: r3 window froze). PRE-CURATED: the first 50 entries are the intended
 #: r4 driver window (highest-risk first — streaming sink, custom-
 #: operator machinery, null-semantics, sketches, TPC-H remainder), so
 #: the r4 swap is exactly ``DRIVER_WINDOW = DRIVER_WINDOW_R4[:50]``.
-#: The 6 tail entries (single-aggregate shapes with long-green local
+#: The tail entries (single-aggregate shapes with long-green local
 #: parity) roll to r5 together with any re-verifications.
 DRIVER_WINDOW_R4 = [
     # round-3 continuation additions (new operators — verify first)
     "q_stream_heavy_hitters", "q_heavy_hitters", "q_semantic_dedup",
-    "q_not_in_null_semantics", "q_tpch_q18",
+    "q_not_in_null_semantics", "q_tpch_q18", "q_weighted_sample",
     # contract-machinery / physical-strategy contracts
     "q_salted_join_contract", "q_two_phase_agg_contract",
     "q_bloom_join_contract", "q_join_hints_contract",

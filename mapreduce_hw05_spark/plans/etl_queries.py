@@ -517,3 +517,50 @@ def q_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         lng(F.sum("l_partkey")).alias("sum_parts"),
         money(F.sum("l_quantity")).alias("sum_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling — Efraimidis–Spirakis without replacement, hash-seeded
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT lang, doc_id, n_chars,
+               round(pow(
+                   (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                    + 1) / 1152921504606846977.0,
+                   1.0 / n_chars), 9) AS sample_key
+        FROM documents
+    ), topk AS (
+        SELECT * FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 100
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM topk GROUP BY lang
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted 100-doc sample without replacement
+    (Efraimidis–Spirakis A-Res: largest ``u^(1/w)`` keys win, u =
+    hash-uniform of the doc id, w = n_chars), summarized per language.
+
+    Deterministic by construction — the uniform comes from md5(doc_id),
+    not rand(), so the SAME sample falls out on any engine, any retry,
+    any partitioning; the oracle recomputes the identical keys in SQL
+    and must select the identical 100 docs. Longer documents are
+    proportionally more likely to be drawn — the importance-sampling
+    primitive a token-budget corpus cut needs.
+    """
+    from mapreduce_hw05_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = weighted_sample(docs, "doc_id", "n_chars", 100)
+    return top.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        lng(F.sum("doc_id")).alias("id_checksum"),
+        lng(F.sum("n_chars")).alias("sum_chars"),
+    )

@@ -1224,3 +1224,43 @@ def test_space_saving_partials_keep_null_group(spark):
     }
     # tie at count 2: non-null 'a' must precede NULL
     assert [it for it, _c, _e in merged.top(8)][:2] == ["a", None]
+
+
+def test_weighted_sample_matches_reference_and_partitioning(spark):
+    """The hash-seeded Efraimidis–Spirakis sample must equal a NumPy
+    reference computing the same keys, and be invariant to input
+    partitioning (no rand(), no order dependence)."""
+    import hashlib
+
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.sampling import weighted_sample
+    from mapreduce_hw05_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "n_chars"
+    )
+    pdf = docs.toPandas()
+
+    def key(doc_id, w):
+        v = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        u = (v + 1) / float(16**15 + 1)
+        return round(u ** (1.0 / w), 9)
+
+    pdf["k"] = [key(i, w) for i, w in zip(pdf.doc_id, pdf.n_chars)]
+    expect = set(
+        pdf.sort_values(["k", "doc_id"], ascending=[False, True])
+        .head(50)["doc_id"]
+    )
+    got = {
+        r["doc_id"]
+        for r in weighted_sample(docs, "doc_id", "n_chars", 50).collect()
+    }
+    got_repart = {
+        r["doc_id"]
+        for r in weighted_sample(
+            docs.repartition(13), "doc_id", "n_chars", 50
+        ).collect()
+    }
+    assert got == expect
+    assert got_repart == expect
