@@ -99,8 +99,8 @@ DRIVER_WINDOW_R2 = [
     "q_tpch_q3",
 ]
 
-#: Round-4 rotation: the 57 remaining never-driver-verified contracts
-#: (48 original + 3 demoted from this round's window + 6 added after the
+#: Round-4 rotation: the 58 remaining never-driver-verified contracts
+#: (48 original + 3 demoted from this round's window + 7 added after the
 #: r3 window froze). PRE-CURATED: the first 50 entries are the intended
 #: r4 driver window (highest-risk first — streaming sink, custom-
 #: operator machinery, null-semantics, sketches, TPC-H remainder), so
@@ -111,6 +111,7 @@ DRIVER_WINDOW_R4 = [
     # round-3 continuation additions (new operators — verify first)
     "q_stream_heavy_hitters", "q_heavy_hitters", "q_semantic_dedup",
     "q_not_in_null_semantics", "q_tpch_q18", "q_weighted_sample",
+    "q_stream_weighted_reservoir",
     # contract-machinery / physical-strategy contracts
     "q_salted_join_contract", "q_two_phase_agg_contract",
     "q_bloom_join_contract", "q_join_hints_contract",

@@ -1109,3 +1109,60 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(int(it), int(c)) for it, c, _e in sk.top(20)]
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, "user_id long, n_events long")
+
+
+@contract(
+    "q_stream_weighted_reservoir",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_id, value,
+               round(pow(
+                   (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::UBIGINT
+                    + 1) / 1152921504606846977.0,
+                   1.0 / value), 9) AS sample_key
+        FROM events
+    ), topk AS (
+        SELECT * FROM keyed ORDER BY sample_key DESC, event_id LIMIT 50
+    )
+    SELECT count(*) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum,
+           round(sum(value), 2) AS sum_value
+    FROM topk
+    """,
+)
+def q_stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling executed BY THE STREAMING ENGINE
+    (19th streaming-executed contract): the events replay folds
+    per-batch Efraimidis–Spirakis top-50 keys into a persisted 50-row
+    reservoir through the manifest-guarded sink. The keys are
+    deterministic functions of the event ids (hash-uniform, not
+    rand()), so the streaming reservoir must EQUAL the batch weighted
+    sample over the same rows — which the batch SQL oracle recomputes
+    and the hash check enforces. Value-weighted: high-value events are
+    proportionally more likely to be retained.
+    """
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_swres_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4),
+                        os.path.join(root, "in"))
+    state = os.path.join(root, "state")
+    with _replay_state_partitions(spark):
+        query = ops.stream_weighted_reservoir_foreachbatch(
+            replay.stream(), "event_id", "value", 50,
+            state, os.path.join(root, "ckpt"),
+        ).start()
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    rows = spark.read.parquet(state).collect()
+    shutil.rmtree(root, ignore_errors=True)
+    n = len(rows)
+    return spark.createDataFrame(
+        [(n,
+          int(sum(r["event_id"] for r in rows)),
+          round(sum(r["value"] for r in rows), 2))],
+        "n_rows long, id_checksum long, sum_value double",
+    )

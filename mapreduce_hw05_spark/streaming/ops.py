@@ -749,3 +749,81 @@ def stream_heavy_hitters_foreachbatch(
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def stream_weighted_reservoir_foreachbatch(
+    stream: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming weighted reservoir (A-Res over a stream): each
+    micro-batch computes its rows' hash-seeded Efraimidis–Spirakis
+    keys and folds the per-batch top-k into a persisted k-row
+    reservoir — O(k) state forever, and because the keys are
+    deterministic functions of the ids (not rand()), the final
+    reservoir EQUALS the batch weighted sample over the same data,
+    which is what the contract hash-checks. Same exactly-once manifest
+    + atomic-swap + driver-side pyarrow state IO as the sibling sinks;
+    the per-batch top-k (one TakeOrdered) is the only Spark job.
+    """
+    import os
+    import shutil
+
+    from mapreduce_hw05_spark.operators.sampling import weighted_sample
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from mapreduce_hw05_spark.fsutil import recover_dir, replace_dir
+
+        recover_dir(state_dir, state_dir.rstrip("/") + ".next")
+        if batch_df.isEmpty():
+            return
+        marker_dir = os.path.join(state_dir, "_batches")
+        if os.path.exists(os.path.join(marker_dir, str(batch_id))):
+            return
+        batch_top = [
+            (r[id_col], r[weight_col], r["sample_key"])
+            for r in weighted_sample(
+                batch_df.select(id_col, weight_col), id_col, weight_col, k
+            ).collect()
+        ]
+        rows = {i: (i, w, key) for i, w, key in batch_top}
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            for part in sorted(os.listdir(state_dir)):
+                if not part.endswith(".parquet"):
+                    continue
+                for rec in pq.read_table(
+                    os.path.join(state_dir, part)
+                ).to_pylist():
+                    rows[rec[id_col]] = (
+                        rec[id_col], rec[weight_col], rec["sample_key"]
+                    )
+        keep = sorted(rows.values(), key=lambda t: (-t[2], t[0]))[:k]
+        tmp = state_dir.rstrip("/") + ".next"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pdf = pd.DataFrame(keep, columns=[id_col, weight_col, "sample_key"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(tmp, "part-00000.parquet"),
+        )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        new_marker_dir = os.path.join(tmp, "_batches")
+        os.makedirs(new_marker_dir, exist_ok=True)
+        if os.path.isdir(marker_dir):
+            for m in os.listdir(marker_dir):
+                open(os.path.join(new_marker_dir, m), "w").close()
+        open(os.path.join(new_marker_dir, str(batch_id)), "w").close()
+        replace_dir(tmp, state_dir)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -521,3 +521,44 @@ def test_heavy_hitters_sink_survives_crash_mid_swap(spark, tmp_path):
     apply_batch(b1, 1)  # replay: roll forward; marker makes it a no-op
     assert counts() == post
     assert sorted(os.listdir(os.path.join(state, "_batches"))) == ["0", "1"]
+
+
+def test_weighted_reservoir_sink_survives_crash_mid_swap(spark, tmp_path):
+    """Crash-mid-swap + replayed-batch semantics for the weighted
+    reservoir sink, and the fold property: per-batch top-k merged into
+    state equals the global top-k over all delivered rows."""
+    import os
+
+    from mapreduce_hw05_spark.operators.sampling import weighted_sample
+    from mapreduce_hw05_spark.streaming.ops import (
+        stream_weighted_reservoir_foreachbatch,
+    )
+
+    state = str(tmp_path / "res_state")
+    apply_batch = _capture_foreach_batch(
+        stream_weighted_reservoir_foreachbatch, "id", "w", 5,
+        state, str(tmp_path / "ckpt"),
+    )
+    b0 = spark.createDataFrame(
+        [(i, float(10 + i)) for i in range(1, 8)], "id long, w double"
+    )
+    b1 = spark.createDataFrame(
+        [(i, float(100 * i)) for i in range(8, 12)], "id long, w double"
+    )
+    apply_batch(b0, 0)
+    apply_batch(b1, 1)
+
+    def reservoir():
+        return {r["id"] for r in spark.read.parquet(state).collect()}
+
+    expect = {
+        r["id"]
+        for r in weighted_sample(b0.union(b1), "id", "w", 5).collect()
+    }
+    post = reservoir()
+    assert post == expect
+
+    os.rename(state, state + ".next")  # crash between the two renames
+    apply_batch(b1, 1)  # replay: roll forward; marker makes it a no-op
+    assert reservoir() == post
+    assert sorted(os.listdir(os.path.join(state, "_batches"))) == ["0", "1"]
