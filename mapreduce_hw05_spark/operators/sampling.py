@@ -99,14 +99,17 @@ def weighted_sample_keys(
 
     The key is rounded to 9 decimals before any ordering so the top-k
     cut is stable across engines (pow/libm drift is ~1 ulp, far below
-    round-9); break remaining ties on the id. Scale: a narrow map over
-    the scan plus one TakeOrdered — per-partition top-k then a
-    k-row merge, no full sort, no shuffle of the data itself.
+    round-9); break remaining ties on the id. Rows with weight ≤ 0 get
+    key 0 — never sampled while any positive-weight row remains (the
+    standard A-Res treatment; also keeps ANSI mode from throwing on
+    1/0). Scale: a narrow map over the scan plus one TakeOrdered —
+    per-partition top-k then a k-row merge, no full sort, no shuffle of
+    the data itself.
     """
-    key = F.pow(
-        hash_uniform(F.col(id_col)),
-        F.lit(1.0) / F.col(weight_col).cast("double"),
-    )
+    w = F.col(weight_col).cast("double")
+    key = F.when(
+        w > 0.0, F.pow(hash_uniform(F.col(id_col)), F.lit(1.0) / w)
+    ).otherwise(F.lit(0.0))
     return df.withColumn("sample_key", F.round(key, 9))
 
 

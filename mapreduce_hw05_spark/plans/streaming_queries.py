@@ -1116,10 +1116,10 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
         SELECT event_id, value,
-               round(pow(
+               round(CASE WHEN value > 0 THEN pow(
                    (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::UBIGINT
                     + 1) / 1152921504606846977.0,
-                   1.0 / value), 9) AS sample_key
+                   1.0 / value) ELSE 0.0 END, 9) AS sample_key
         FROM events
     ), topk AS (
         SELECT * FROM keyed ORDER BY sample_key DESC, event_id LIMIT 50

@@ -1264,3 +1264,16 @@ def test_weighted_sample_matches_reference_and_partitioning(spark):
     }
     assert got == expect
     assert got_repart == expect
+
+
+def test_weighted_sample_zero_weight_rows_never_win(spark):
+    """Weight <= 0 rows take key 0 (never sampled while positive-weight
+    rows remain) instead of throwing under ANSI division — the sf0.1
+    events fixture contains value == 0.0 rows."""
+    from mapreduce_hw05_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0), (4, 1.0)], "id long, w double"
+    )
+    got = {r["id"] for r in weighted_sample(df, "id", "w", 2).collect()}
+    assert got == {3, 4}
