@@ -27,18 +27,9 @@ from mapreduce_hw05_spark.plans import (  # noqa: F401  (import = register)
 )
 from mapreduce_hw05_spark.plans.registry import ORACLES, QUERIES
 
-#: The correctness driver verifies the FIRST 50 registered queries only
-#: (registration-order prefix of ``queries()``). Module import order above
-#: would leave that window all-relational, so the registry is re-ordered
-#: here. Round-3 window (VERDICT r2 items 1+2): the 101 contracts never
-#: driver-verified after r1+r2, heavier/streaming/connector half first,
-#: with the three late-r2 streaming contracts (st-4 watermark/late-data,
-#: sliding window, sketch rollup) promoted in — st-4 was the only §2
-#: operator without a driver-green row. Three low-risk batch analytics
-#: queries were demoted to R4 to make room.
-#: Every name here MUST have a SQL oracle — the driver records
-#: ``err: no_oracle`` for rows-only contracts instead of rows-checking.
-DRIVER_WINDOW = [
+#: Frozen round-3 window (what CORRECTNESS_r03.json verified — 50/50
+#: green) — kept for the rotation-coverage test.
+DRIVER_WINDOW_R3 = [
     # streaming-executed + connectors (the expensive, highest-risk set)
     "q_stream_stream_join", "q_stream_stream_outer", "q_stream_stream_full",
     "q_stream_stream_right", "q_stream_session_window", "q_stream_file_sink",
@@ -99,14 +90,15 @@ DRIVER_WINDOW_R2 = [
     "q_tpch_q3",
 ]
 
-#: Round-4 rotation: the 58 remaining never-driver-verified contracts
-#: (48 original + 3 demoted from this round's window + 7 added after the
-#: r3 window froze). PRE-CURATED: the first 50 entries are the intended
-#: r4 driver window (highest-risk first — streaming sink, custom-
-#: operator machinery, null-semantics, sketches, TPC-H remainder), so
-#: the r4 swap is exactly ``DRIVER_WINDOW = DRIVER_WINDOW_R4[:50]``.
-#: The tail entries (single-aggregate shapes with long-green local
-#: parity) roll to r5 together with any re-verifications.
+#: Round-4 rotation (THE ACTIVE WINDOW is ``DRIVER_WINDOW_R4[:50]``):
+#: the 58 contracts that had never been driver-verified after r1+r2+r3
+#: (48 original + 3 demoted from the r3 window + 7 added after the r3
+#: window froze). Highest-risk first — streaming sink, custom-operator
+#: machinery, null-semantics, sketches, TPC-H remainder. The 8 tail
+#: entries (single-aggregate shapes and two TPC-H queries with
+#: long-green local parity) roll to r5 via ``DRIVER_WINDOW_R5_PENDING``.
+#: Every window name MUST have a SQL oracle — the driver records
+#: ``err: no_oracle`` for rows-only contracts instead of rows-checking.
 DRIVER_WINDOW_R4 = [
     # round-3 continuation additions (new operators — verify first)
     "q_stream_heavy_hitters", "q_heavy_hitters", "q_semantic_dedup",
@@ -139,6 +131,51 @@ DRIVER_WINDOW_R4 = [
     "q_winsorized_mean", "q_percent_of_total", "q_mom_growth",
 ]
 
+#: The correctness driver verifies the FIRST 50 registered queries only
+#: (registration-order prefix of ``queries()``). Round-4 window = the
+#: pre-curated head of the R4 rotation list (VERDICT r3 item 1).
+DRIVER_WINDOW = DRIVER_WINDOW_R4[:50]
+
+#: Round-5 rotation, pre-staged (VERDICT r3 item 4). Two parts:
+#:
+#: 1. ``DRIVER_WINDOW_R5_PENDING`` — contracts with NO driver row yet:
+#:    the 8-entry R4 tail, plus ANY contract added during/after round 4
+#:    (append new contract names here or the rotation-coverage test in
+#:    ``tests/test_registry_window.py`` fails).
+#: 2. ``DRIVER_WINDOW_R5_REVERIFY`` — highest-value re-verifications:
+#:    the r1-green relational/window/set core has not been driver-checked
+#:    since round 1 (the engine under it has been rewritten several times
+#:    since). Curated to 42 so PENDING(8) + REVERIFY(42) = 50; if PENDING
+#:    grows past 8, trim REVERIFY from the end at r5 swap time.
+#:
+#: The r5 swap is:
+#: ``DRIVER_WINDOW = (DRIVER_WINDOW_R5_PENDING + DRIVER_WINDOW_R5_REVERIFY)[:50]``
+DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:])
+
+DRIVER_WINDOW_R5_REVERIFY = [
+    # relational core (joins first — the highest-churn plan surface)
+    "q_join_orders_customer", "q_join_lineitem_part_bcast",
+    "q_join_dim_chain", "q_join_left_outer",
+    "q_semi_customers_with_orders", "q_anti_customers_without_orders",
+    "q_cross_region_pairs", "q_range_join", "q_theta_join",
+    "q_filter_project", "q_predicates", "q_groupagg_pricing",
+    "q_rollup_nation_segment", "q_cube_year_status", "q_group_by_all",
+    "q_global_sort", "q_topk_customers",
+    "q_union_users", "q_intersect_users", "q_except_users",
+    "q_pivot_status_by_year", "q_unpivot_metrics", "q_scalar_subquery",
+    "q_percentiles",
+    # window functions
+    "q_window_rank", "q_window_running", "q_window_moving_avg",
+    "q_window_navigation", "q_window_time_range", "q_ntile_quartiles",
+    "q_activity_streaks",
+    # events / semi-structured
+    "q_avg_value_by_type", "q_distinct_users", "q_json_extract",
+    "q_tumbling_counts", "q_sliding_counts", "q_sessionize",
+    # expression semantics (null handling is the riskiest battery)
+    "q_null_semantics", "q_regexp_all", "q_explode_outer",
+    "q_date_funcs", "q_map_funcs",
+]
+
 
 def _reorder_registry() -> None:
     missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
@@ -157,4 +194,13 @@ def _reorder_registry() -> None:
 
 _reorder_registry()
 
-__all__ = ["QUERIES", "ORACLES", "DRIVER_WINDOW", "DRIVER_WINDOW_R2", "DRIVER_WINDOW_R4"]
+__all__ = [
+    "QUERIES",
+    "ORACLES",
+    "DRIVER_WINDOW",
+    "DRIVER_WINDOW_R2",
+    "DRIVER_WINDOW_R3",
+    "DRIVER_WINDOW_R4",
+    "DRIVER_WINDOW_R5_PENDING",
+    "DRIVER_WINDOW_R5_REVERIFY",
+]
