@@ -219,12 +219,25 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 32,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: split signatures into bands, bucket-join per band.
 
     Returns candidate (id1 < id2) pairs — documents sharing ≥1 identical
     band. Scale: the self-join is per (band, bucket-hash) group; no
     all-pairs product ever forms. Follow with an exact verify.
+
+    ``max_bucket_size`` bounds the known LSH failure mode: a DEGENERATE
+    bucket (constant signature — empty docs, boilerplate) forms a
+    quadratic group inside the bucket join (m members → m²/2 rows per
+    band). Buckets larger than the cap emit a representative STAR
+    instead — (min-id, member) pairs, linear in m — which preserves
+    dedup-cluster connectivity exactly (every member stays reachable
+    from the representative) while bounding join output. Pair-level
+    enumeration inside an oversize bucket is intentionally reduced to
+    the star: all-pairs output there is inherently quadratic, so a
+    consumer that needs exact pair enumeration keeps the default
+    ``None`` (unchanged exact behavior, no size scan).
     """
     n_hashes = len(signatures.select("signature").first()["signature"])
     rows_per_band = n_hashes // num_bands
@@ -244,18 +257,47 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    left = banded.select(
-        F.col(id_col).alias("id1"), F.col("band"), F.col("bucket")
+    if max_bucket_size is None:
+        left = banded.select(
+            F.col(id_col).alias("id1"), F.col("band"), F.col("bucket")
+        )
+        right = banded.select(
+            F.col(id_col).alias("id2"), F.col("band"), F.col("bucket")
+        )
+        return (
+            left.join(right, ["band", "bucket"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+            .distinct()
+        )
+    # Size + representative per (band, bucket) via one window pass — the
+    # window's hash partitioning on the join key is reused by the
+    # small-bucket self-join, so the cap costs no extra exchange.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("band", "bucket")
+    sized = banded.select(
+        F.col(id_col),
+        "band",
+        "bucket",
+        F.count("*").over(w).alias("_n"),
+        F.min(id_col).over(w).alias("_rep"),
     )
-    right = banded.select(
-        F.col(id_col).alias("id2"), F.col("band"), F.col("bucket")
-    )
-    return (
+    small = sized.filter(F.col("_n") <= max_bucket_size)
+    left = small.select(F.col(id_col).alias("id1"), "band", "bucket")
+    right = small.select(F.col(id_col).alias("id2"), "band", "bucket")
+    pairs_small = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
-        .distinct()
     )
+    star = (
+        sized.filter(
+            (F.col("_n") > max_bucket_size) & (F.col(id_col) != F.col("_rep"))
+        )
+        .select(F.col("_rep").alias("id1"), F.col(id_col).alias("id2"))
+    )
+    return pairs_small.unionByName(star).distinct()
 
 
 def cosine_pairs_above(

@@ -176,15 +176,28 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_pairs(spark, sf_dir, threshold=0.8)
 
 
-def lsh_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """EXACT token-Jaccard ≥ threshold pairs via the LSH fast path:
+def lsh_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Token-Jaccard ≥ threshold pairs via the LSH fast path:
     signatures → banding → candidate pairs → exact verify on candidates
     only. Returns (id1, id2, jaccard).
 
-    Identical result set to the all-pairs inverted-index join (the LSH
-    s-curve at 128 hashes / 32 bands sits far below any threshold ≥ 0.8,
-    so candidates provably cover the truth set; asserted in
-    tests/test_near_dup.py) at a fraction of the cost on dense corpora —
+    Matches the all-pairs inverted-index join on the fixture corpora
+    (the LSH s-curve at 128 hashes / 32 bands gives per-pair recall
+    ~1-(1-s^4)^32 ≈ 1-5e-8 at s=0.8 — probabilistic, not a proof;
+    coverage is FIXTURE-ASSERTED in tests/test_near_dup.py at the
+    scale factors the contracts run at) at a fraction of the cost on
+    dense corpora —
+
+    ``max_bucket_size`` (default None = exact) caps degenerate LSH
+    buckets via representative-star candidates — the 100-TB knob for
+    constant-signature corpora; see
+    :func:`~mapreduce_hw05_spark.operators.similarity.lsh_candidate_pairs`.
+    Capping can drop true pairs inside oversize MIXED buckets, so the
+    oracle-checked contracts keep None.
     the inverted-index join emits Σ_token df(token)² rows (~350 M at
     sf0.1 on this 31-token-vocab fixture), the banded join only
     collision groups.
@@ -201,7 +214,9 @@ def lsh_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     shuffle.
     """
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=128)
-    cands = lsh_candidate_pairs(sigs, "doc_id", num_bands=32)
+    cands = lsh_candidate_pairs(
+        sigs, "doc_id", num_bands=32, max_bucket_size=max_bucket_size
+    )
     doc_toks = (
         tokenize(docs, "text", "doc_id")
         .distinct()

@@ -46,6 +46,64 @@ def test_lsh_verified_output_equals_exact(spark):
     assert lsh == exact
 
 
+def test_lsh_bucket_cap_identity_when_no_oversize_buckets(spark):
+    """With the cap above the fixture's largest bucket (312 at sf0.01),
+    the capped plan must return EXACTLY the uncapped candidate set."""
+    docs = load_table(spark, SF_DIR, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=128)
+    uncapped = {
+        (r["id1"], r["id2"])
+        for r in lsh_candidate_pairs(sigs, "doc_id", num_bands=32).collect()
+    }
+    capped = {
+        (r["id1"], r["id2"])
+        for r in lsh_candidate_pairs(
+            sigs, "doc_id", num_bands=32, max_bucket_size=1000
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_lsh_bucket_cap_bounds_degenerate_constant_signature_corpus(spark):
+    """The known LSH failure mode: a constant-signature block (identical
+    docs — empty/boilerplate at 100 TB) forms a quadratic group inside
+    every band's bucket join. The cap must reduce that block to a
+    linear representative star while (a) keeping every member connected
+    to the representative and (b) leaving small-bucket pairs untouched."""
+    n_identical = 400
+    rows = [(i, "boiler plate legal footer text") for i in range(n_identical)]
+    # a true near-dup pair in a small bucket — must survive the cap
+    rows += [
+        (9001, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (9002, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu"),
+    ]
+    # distinct singletons — no pairs either way
+    rows += [(9100 + i, f"unique{i} token{i} word{i} item{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32)
+
+    uncapped = {
+        (r["id1"], r["id2"])
+        for r in lsh_candidate_pairs(sigs, "doc_id", num_bands=8).collect()
+    }
+    capped = {
+        (r["id1"], r["id2"])
+        for r in lsh_candidate_pairs(
+            sigs, "doc_id", num_bands=8, max_bucket_size=100
+        ).collect()
+    }
+    # uncapped: the identical block is quadratic
+    block_pairs = {p for p in uncapped if p[0] < n_identical and p[1] < n_identical}
+    assert len(block_pairs) == n_identical * (n_identical - 1) // 2
+    # capped: the block collapses to the min-id star — linear, connected
+    capped_block = {p for p in capped if p[0] < n_identical and p[1] < n_identical}
+    assert capped_block == {(0, i) for i in range(1, n_identical)}
+    # the small-bucket true pair is untouched by the cap
+    assert (9001, 9002) in capped and (9001, 9002) in uncapped
+    # capped candidates are a subset — the cap never invents pairs
+    assert capped <= uncapped
+
+
 def test_minhash_signatures_deterministic(spark):
     docs = load_table(spark, SF_DIR, "documents").limit(50)
     s1 = {r["doc_id"]: tuple(r["signature"])
