@@ -147,18 +147,19 @@ def theta_sketch_partials(
     )
 
 
-def theta_sketch_by_key(
-    df: DataFrame,
-    key_cols: list[str],
-    value_col: str,
-    k: int = 4096,
+def theta_sketch_merge_partials(
+    partials: DataFrame, key_cols: list[str]
 ) -> DataFrame:
-    """(key..., sketch binary) — one merged theta sketch per key, built
-    from per-partition partials; only O(partitions × keys) blobs of
-    ≤ k hashes shuffle."""
+    """Merge a (key..., sketch) partials table to ONE sketch per key —
+    the distributed half of the rollup: one shuffle on the key, an
+    associative KMV union per group (order-independent: the result is
+    always the k smallest distinct hashes under the min θ), only blobs
+    of ≤ k hashes ever cross the wire. Consumed by
+    :func:`theta_sketch_by_key` and by the streaming sink's
+    distributed-state fallback."""
     from pyspark.sql import types as T
 
-    key_fields = [df.schema[c] for c in key_cols]
+    key_fields = [partials.schema[c] for c in key_cols]
     out_schema = T.StructType(
         list(key_fields) + [T.StructField("sketch", T.BinaryType())]
     )
@@ -171,7 +172,19 @@ def theta_sketch_by_key(
         row = [pdf.iloc[0][c] for c in key_cols] + [merged.serialize()]
         return pd.DataFrame([row], columns=[*key_cols, "sketch"])
 
-    partials = theta_sketch_partials(df, key_cols, value_col, k)
     return partials.groupBy(*key_cols).applyInPandas(
         merge_group, schema=out_schema
     )
+
+
+def theta_sketch_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 4096,
+) -> DataFrame:
+    """(key..., sketch binary) — one merged theta sketch per key, built
+    from per-partition partials; only O(partitions × keys) blobs of
+    ≤ k hashes shuffle."""
+    partials = theta_sketch_partials(df, key_cols, value_col, k)
+    return theta_sketch_merge_partials(partials, key_cols)

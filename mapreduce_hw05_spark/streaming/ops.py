@@ -345,15 +345,30 @@ def stream_sketch_rollup_foreachbatch(
     state_dir: str,
     checkpoint_dir: str,
     k: int = 4096,
+    max_driver_keys: int = 200_000,
 ):
     """Streaming maintenance of mergeable theta sketches: each
     micro-batch is reduced to per-key sketch PARTIALS (bounded blobs,
-    built distributed), union-merged into a tiny persisted state table of
+    built distributed), union-merged into a persisted state table of
     (key, sketch) — the streaming half of the reaggregatable-sketch
     story. Distinct-count state is O(keys × k hashes) forever, never
     O(stream length), and the persisted sketches keep supporting set
     algebra (intersect "did A AND B") that no streaming countDistinct
     could.
+
+    Two state strategies, chosen PER BATCH from the persisted key count
+    (read from parquet footers only — no data scan):
+
+    - ≤ ``max_driver_keys``: the state table is driver-sized, so the
+      merge point is the driver — one Spark job per batch (the partial
+      build), direct pyarrow state IO.
+    - beyond it: the DISTRIBUTED fallback — batch partials union the
+      persisted state table as DataFrames, one keyed applyInPandas
+      merge (associative KMV union, order-independent result), and a
+      Spark parquet write of the new state. Two jobs per batch, state
+      bounded only by cluster storage. Both paths produce bit-identical
+      state (engine-tested), so a stream can cross the threshold
+      mid-flight.
 
     Exactly-once via the same committed-batch manifest + atomic
     directory swap as the additive CDC sink (a replayed foreachBatch id
@@ -366,6 +381,7 @@ def stream_sketch_rollup_foreachbatch(
     from mapreduce_hw05_spark.fsutil import recover_dir, replace_dir
     from mapreduce_hw05_spark.operators.theta_sketch import (
         ThetaSketch,
+        theta_sketch_merge_partials,
         theta_sketch_partials,
     )
 
@@ -384,9 +400,63 @@ def stream_sketch_rollup_foreachbatch(
         T.IntegerType: pa.int32(),
         T.ShortType: pa.int16(),
         T.DoubleType: pa.float64(),
+        T.FloatType: pa.float32(),
         T.BooleanType: pa.bool_(),
         T.DateType: pa.date32(),
+        T.TimestampType: pa.timestamp("us"),
     }
+
+    def _pa_key_type(col: str):
+        dt = state_schema[col].dataType
+        try:
+            return _PA_TYPES[type(dt)]
+        except KeyError:
+            raise TypeError(
+                f"sketch rollup: unsupported key column type {dt} for "
+                f"{col!r} in the driver-side state write — add it to "
+                "_PA_TYPES or route through the distributed state path "
+                "(max_driver_keys=-1)"
+            ) from None
+
+    def _persisted_key_count() -> int:
+        """State row count from parquet FOOTERS only (no data read)."""
+        import pyarrow.parquet as pq
+
+        if not os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            return 0
+        return sum(
+            pq.ParquetFile(os.path.join(state_dir, part)).metadata.num_rows
+            for part in os.listdir(state_dir)
+            if part.endswith(".parquet")
+        )
+
+    def _commit_markers(tmp: str, marker_dir: str, batch_id: int) -> None:
+        new_marker_dir = os.path.join(tmp, "_batches")
+        os.makedirs(new_marker_dir, exist_ok=True)
+        if os.path.isdir(marker_dir):
+            for m in os.listdir(marker_dir):
+                open(os.path.join(new_marker_dir, m), "w").close()
+        open(os.path.join(new_marker_dir, str(batch_id)), "w").close()
+        replace_dir(tmp, state_dir)
+
+    def _apply_batch_distributed(
+        batch_df: DataFrame, batch_id: int, marker_dir: str
+    ) -> None:
+        import shutil
+
+        spark = batch_df.sparkSession
+        parts = theta_sketch_partials(batch_df, key_cols, value_col, k)
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            prev = spark.read.schema(state_schema).parquet(state_dir)
+            parts = parts.unionByName(prev)
+        merged = theta_sketch_merge_partials(parts, key_cols)
+        tmp = state_dir.rstrip("/") + ".next"
+        shutil.rmtree(tmp, ignore_errors=True)
+        # Spark writes the state table (and its own _SUCCESS) before the
+        # swap, so the lazy read of the old state above is fully
+        # consumed by the time replace_dir runs.
+        merged.write.mode("overwrite").parquet(tmp)
+        _commit_markers(tmp, marker_dir, batch_id)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         import shutil
@@ -400,6 +470,9 @@ def stream_sketch_rollup_foreachbatch(
         marker_dir = os.path.join(state_dir, "_batches")
         if os.path.exists(os.path.join(marker_dir, str(batch_id))):
             return
+        if _persisted_key_count() > max_driver_keys:
+            _apply_batch_distributed(batch_df, batch_id, marker_dir)
+            return
         # Collect per-partition PARTIALS and merge here: this loop is
         # already the driver-side merge point (state ∪ batch), so the
         # keyed applyInPandas merge stage theta_sketch_by_key adds would
@@ -407,8 +480,8 @@ def stream_sketch_rollup_foreachbatch(
         # partial build is the ONLY Spark job per batch: the state table
         # is driver-sized by the same argument that lets partials
         # collect, so its read/modify/write is direct parquet IO, not
-        # two more scheduled jobs. (Past driver-sized key sets, switch
-        # to theta_sketch_by_key + a distributed state write.)
+        # two more scheduled jobs. (Past max_driver_keys persisted keys
+        # the routing above switches to the distributed merge + write.)
         partials: dict[tuple, ThetaSketch] = {}
         for row in theta_sketch_partials(
             batch_df, key_cols, value_col, k
@@ -441,19 +514,13 @@ def stream_sketch_rollup_foreachbatch(
                 "sketch": [partials[key].serialize() for key in keys_sorted],
             },
             schema=pa.schema(
-                [(c, _PA_TYPES[type(state_schema[c].dataType)]) for c in key_cols]
+                [(c, _pa_key_type(c)) for c in key_cols]
                 + [("sketch", pa.binary())]
             ),
         )
         pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
-        new_marker_dir = os.path.join(tmp, "_batches")
-        os.makedirs(new_marker_dir, exist_ok=True)
-        if os.path.isdir(marker_dir):
-            for m in os.listdir(marker_dir):
-                open(os.path.join(new_marker_dir, m), "w").close()
-        open(os.path.join(new_marker_dir, str(batch_id)), "w").close()
-        replace_dir(tmp, state_dir)
+        _commit_markers(tmp, marker_dir, batch_id)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
