@@ -49,8 +49,10 @@ BENCH_QUERIES: dict[str, tuple[str, ...]] = {
 }
 
 #: Heavy tail — the expensive iterative/similarity/streaming operators,
-#: timed SINGLE-RUN (they dominate wall-clock; a 3-run protocol would
-#: triple a ~2-minute suite for little signal). Keys are prefixed
+#: timed BEST-OF-2 warm (r3 VERDICT item 6: single-run numbers swung
+#: ±15% round-over-round from protocol noise, masking real regressions
+#: like the replay-partition cliff; a second run costs ~2 min wall and
+#: removes the first-run JIT/pagecache spike). Keys are prefixed
 #: ``h_`` so the driver's round-over-round diff can separate the two
 #: suites; regressions here are exactly the ones PERF.md used to hide.
 HEAVY_QUERIES: dict[str, tuple[str, ...]] = {
@@ -90,10 +92,13 @@ def _run_part(part: str) -> None:
             out[key] = round(min(per_run[1:]), 4)
     else:
         for key, names in HEAVY_QUERIES.items():
-            t0 = time.perf_counter()
-            for name in names:
-                QUERIES[name](spark, sf_dir).collect()
-            out[key] = round(time.perf_counter() - t0, 4)
+            per_run = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for name in names:
+                    QUERIES[name](spark, sf_dir).collect()
+                per_run.append(time.perf_counter() - t0)
+            out[key] = round(min(per_run), 4)
     print(_MARK + json.dumps(out), flush=True)
 
 

@@ -113,6 +113,15 @@ def space_saving_partials(
         ]
     )
 
+    # Integral item columns arrive in pandas as float64 when they carry
+    # nulls — the values must go back to Python ints (the LongType
+    # output schema) and the NaNs back to None (NaN breaks _ord ties
+    # and can't round-trip LongType); ADVICE r3 item 4.
+    int_like = isinstance(
+        df.schema[item_col].dataType,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    )
+
     def build(batches):
         from pyspark import TaskContext
 
@@ -122,11 +131,19 @@ def space_saving_partials(
             if pdf.empty:
                 continue
             seen = True
+            col = pdf[item_col]
+            n_null = int(col.isna().sum())
             # vectorized pre-aggregation: only the batch's DISTINCT
-            # items take the Python offer() path
-            vc = pdf[item_col].value_counts(dropna=False)
-            for item, cnt in vc.items():
+            # items take the Python offer() path; the null group is
+            # offered as None (SQL GROUP BY keeps it)
+            for item, cnt in col.dropna().value_counts().items():
+                if hasattr(item, "item"):  # numpy scalar -> python
+                    item = item.item()
+                if int_like:
+                    item = int(item)
                 sk.offer(item, int(cnt))
+            if n_null:
+                sk.offer(None, n_null)
         if seen:
             # deterministic summary id -> deterministic merge fold order
             pid = TaskContext.get().partitionId()

@@ -73,10 +73,13 @@ def stratified_sample_oracle_where(
     )
 
 
-# 15 hex chars = 60 bits of md5 — comfortably inside a double's exact
-# integer range after the IEEE round, and identical on any engine that
-# parses the same hex.
-_U_DENOM = float(16**15 + 1)
+# 13 hex chars = 52 bits of md5 — v, v+1, and the denominator are all
+# EXACTLY representable as doubles (doubles are exact only to 53 bits),
+# so Spark's double(v) + 1.0 and an oracle's double(v + 1) are
+# bit-identical; at 15 chars (60 bits) they differ by ~1 ulp for ~1/128
+# of ids (ADVICE r3 item 1), a cross-engine flake source at rounding
+# boundaries.
+_U_DENOM = float(16**13 + 1)
 
 
 def hash_uniform(id_col: Column) -> Column:
@@ -84,7 +87,7 @@ def hash_uniform(id_col: Column) -> Column:
     stand-in for rand() everywhere sampling must survive retries,
     repartitioning, and cross-engine checks. Never exactly 0 (the +1)
     so it is safe under log/pow."""
-    v = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10)
+    v = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 13), 16, 10)
     return (v.cast("double") + F.lit(1.0)) / F.lit(_U_DENOM)
 
 

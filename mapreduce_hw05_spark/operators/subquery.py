@@ -8,10 +8,13 @@ contains no NULL, and the key equals no inner value. Hand-rewriting it
 to a bare ``left_anti`` silently changes semantics the moment either
 side contains a NULL — the classic decorrelation bug.
 
-``null_safe_not_in`` implements the production-scale rewrite: one
-bounded probe for an inner NULL (limit-1, short-circuits the whole
-query to empty), then a plain anti equi-join over the non-NULL keys.
-No null-aware nested-loop join, so it stays a hash join at 100 TB.
+``null_safe_not_in`` implements the production-scale rewrite: a plain
+anti equi-join over the non-NULL inner keys, guarded by a 1-row
+aggregate of the inner table (has-NULL / is-empty) broadcast into the
+plan — fully lazy, so the guard and the join always see the same
+snapshot of the inner source and composing the operator costs no
+driver-side job. No null-aware nested-loop join, so it stays a hash
+join at 100 TB.
 """
 
 from __future__ import annotations
@@ -32,17 +35,40 @@ def null_safe_not_in(
     """``outer WHERE key NOT IN (SELECT ikey FROM inner)`` with exact SQL
     three-valued-logic semantics.
 
-    - any NULL in the inner set ⇒ empty result (checked with a bounded
-      limit-1 scan of the NULL slice, not a full aggregate);
-    - NULL outer keys never qualify;
+    - any NULL in the inner set ⇒ empty result;
+    - NULL outer keys never qualify — EXCEPT over an empty inner set,
+      where ``NOT IN`` is vacuously TRUE for every row (no comparison
+      ever happens, so no UNKNOWN can arise);
     - otherwise a plain anti equi-join (hash-joinable, broadcastable —
       never a null-aware nested loop).
+
+    Fully lazy (ADVICE r3 item 5): the inner-NULL / inner-empty facts
+    are a 1-row aggregate of the inner table cross-joined (broadcast)
+    into the plan, so they are evaluated in the same execution as the
+    join — snapshot-consistent for non-static sources, and composing
+    this operator schedules no Spark job.
     """
     inner_keys = inner.select(ikey.alias("__ikey"))
-    if inner_keys.filter(F.col("__ikey").isNull()).limit(1).count() > 0:
-        return outer.filter(F.lit(False))
-    return outer.filter(key.isNotNull()).join(
+    guard = inner_keys.agg(
+        F.coalesce(F.max(F.col("__ikey").isNull()), F.lit(False)).alias(
+            "__inner_has_null"
+        ),
+        F.count(F.lit(1)).alias("__n_inner"),
+    )
+    # The anti join itself keeps NULL-key outer rows (NULL = x is never
+    # TRUE), so the NULL-key policy is applied by the guard filter, not
+    # by a pre-filter — which is what makes the empty-inner case come
+    # out vacuously TRUE.
+    anti = outer.join(
         inner_keys.filter(F.col("__ikey").isNotNull()),
         key == F.col("__ikey"),
         "left_anti",
+    )
+    return (
+        anti.join(F.broadcast(guard), how="cross")
+        .filter(
+            (~F.col("__inner_has_null"))
+            & (key.isNotNull() | (F.col("__n_inner") == 0))
+        )
+        .drop("__inner_has_null", "__n_inner")
     )

@@ -530,8 +530,8 @@ def q_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keyed AS (
         SELECT lang, doc_id, n_chars,
                round(pow(
-                   (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
-                    + 1) / 1152921504606846977.0,
+                   (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+                    + 1) / 4503599627370497.0,
                    1.0 / n_chars), 9) AS sample_key
         FROM documents
     ), topk AS (

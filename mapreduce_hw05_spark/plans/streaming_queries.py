@@ -1138,8 +1138,8 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keyed AS (
         SELECT event_id, value,
                round(CASE WHEN value > 0 THEN pow(
-                   (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::UBIGINT
-                    + 1) / 1152921504606846977.0,
+                   (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))::UBIGINT
+                    + 1) / 4503599627370497.0,
                    1.0 / value) ELSE 0.0 END, 9) AS sample_key
         FROM events
     ), topk AS (

@@ -1226,6 +1226,29 @@ def test_space_saving_partials_keep_null_group(spark):
     assert [it for it, _c, _e in merged.top(8)][:2] == ["a", None]
 
 
+def test_space_saving_partials_nullable_long_column(spark):
+    """A nullable LONG item column reaches pandas as float64 with NaN:
+    the partials builder must offer the nulls as None (not NaN — NaN
+    breaks tie ordering and can't round-trip the LongType output) and
+    hand the integral values back as ints (ADVICE r3 item 4)."""
+    from mapreduce_hw05_spark.operators.heavy_hitters import (
+        merge_summary_rows,
+        space_saving_partials,
+    )
+
+    df = spark.createDataFrame(
+        [(7,), (None,), (7,), (None,), (None,), (15,), (132,)], "k long"
+    )
+    rows = [r.asDict() for r in space_saving_partials(df, "k", k=8).collect()]
+    assert all(r["k"] is None or isinstance(r["k"], int) for r in rows)
+    merged = merge_summary_rows(rows, "k", 8)
+    assert dict((it, c) for it, c, _e in merged.top(8)) == {
+        None: 3, 7: 2, 15: 1, 132: 1
+    }
+    # native-int tie order: 15 before 132 (a str() order would flip them)
+    assert [it for it, _c, _e in merged.top(8)] == [None, 7, 15, 132]
+
+
 def test_weighted_sample_matches_reference_and_partitioning(spark):
     """The hash-seeded Efraimidis–Spirakis sample must equal a NumPy
     reference computing the same keys, and be invariant to input

@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "q_cross_region_pairs",  # intentional all-pairs (bounded dims)
     "q_domain_mix",        # single-row total broadcast
     "q_fuzzy_name_match",  # non-equi similarity condition
+    "q_not_in_null_semantics",  # single-row inner-NULL guard broadcast
     "q_rolling_dau",       # single-row date-bounds broadcast
     "q_scalar_subquery",   # the scalar-subquery contract itself
     "q_theta_join",        # the theta-join contract itself
