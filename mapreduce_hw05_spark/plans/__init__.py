@@ -150,7 +150,10 @@ DRIVER_WINDOW = DRIVER_WINDOW_R4[:50]
 #:
 #: The r5 swap is:
 #: ``DRIVER_WINDOW = (DRIVER_WINDOW_R5_PENDING + DRIVER_WINDOW_R5_REVERIFY)[:50]``
-DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:])
+DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
+    # contracts added during round 4
+    "q_containment_near_dup",
+]
 
 DRIVER_WINDOW_R5_REVERIFY = [
     # relational core (joins first — the highest-churn plan surface)

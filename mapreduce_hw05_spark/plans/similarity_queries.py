@@ -237,6 +237,86 @@ def lsh_jaccard_pairs(
     )
 
 
+@contract(
+    "q_containment_near_dup",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+        SELECT t1.doc_id AS id1, t2.doc_id AS id2, count(*) AS n_common
+        FROM toks t1 JOIN toks t2
+          ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id1, id2,
+               round(CAST(n_common AS DOUBLE) / least(s1.n, s2.n), 6)
+                   AS containment
+        FROM inter
+        JOIN sizes s1 ON id1 = s1.doc_id
+        JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE CAST(n_common AS DOUBLE) / least(s1.n, s2.n) >= 0.9
+    )
+    SELECT count(*) AS n_pairs,
+           CAST(sum(id1) AS BIGINT) AS id1_checksum,
+           CAST(sum(id2) AS BIGINT) AS id2_checksum,
+           round(sum(containment), 2) AS sum_containment,
+           CAST(sum(CASE WHEN containment >= 1.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_subset
+    FROM pairs
+    """,
+)
+def q_containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set CONTAINMENT near-dup: pairs where the smaller doc's
+    token set is ≥ 90% inside the other's — |A∩B| / min(|A|,|B|) —
+    the asymmetric measure that catches a short document quoted or
+    boilerplate-wrapped inside a long one, which Jaccard structurally
+    misses (a 30-token doc inside a 300-token doc has J ≤ 0.1). On this
+    fixture 38 816 of the 67 586 containment-0.9 pairs at sf0.01 sit
+    BELOW Jaccard 0.8 — the coverage gap this operator closes for
+    training-data dedup. Aggregated to checksums (the pair list is
+    fixture-dense); ``n_subset`` counts full subset pairs.
+
+    Scale: the inverted-index join is keyed on token, never all-pairs —
+    exact at contract scale. At 100 TB containment needs an asymmetric
+    candidate filter (MinHash banding targets Jaccard and under-recalls
+    small-in-big pairs): partition candidates by the SMALLER doc's
+    signature with a size-stratified index, or use the exact join with
+    hot-token capping — documented knob, not silently approximated here.
+    """
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    toks = tokenize(docs, "text", "doc_id").distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    t1 = toks.withColumnRenamed("doc_id", "id1")
+    t2 = toks.withColumnRenamed("doc_id", "id2")
+    inter = (
+        t1.join(t2, "token")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.withColumnsRenamed({"doc_id": "id1", "n": "n1"})
+    s2 = sizes.withColumnsRenamed({"doc_id": "id2", "n": "n2"})
+    cont = F.col("n_common").cast("double") / F.least("n1", "n2")
+    pairs = (
+        inter.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .filter(cont >= 0.9)
+        .select("id1", "id2", ratio(cont).alias("containment"))
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        lng(F.sum("id1")).alias("id1_checksum"),
+        lng(F.sum("id2")).alias("id2_checksum"),
+        F.round(F.sum("containment"), 2).alias("sum_containment"),
+        lng(
+            F.sum(F.when(F.col("containment") >= 1.0, 1).otherwise(0))
+        ).alias("n_subset"),
+    )
+
+
 @contract("q_near_dup_lsh", oracle=_JACCARD_ORACLE)
 def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup path: signatures → banding → candidate pairs →

@@ -114,6 +114,52 @@ def test_minhash_signatures_deterministic(spark):
     assert all(len(sig) == 32 for sig in s1.values())
 
 
+def test_containment_catches_subset_pairs_jaccard_misses(spark):
+    """A short doc quoted inside a long one: containment = 1.0 while
+    Jaccard is far below any dedup threshold — the coverage gap the
+    containment contract closes."""
+    quote = "to be or not to be that is the question"
+    rows = [
+        (1, quote),
+        (2, quote + " " + " ".join(f"filler{i}" for i in range(90))),
+        (3, " ".join(f"other{i}" for i in range(10))),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # reuse the contract's plan pieces via a temp view + the registry fn
+    from mapreduce_hw05_spark.operators.text import tokenize
+    from pyspark.sql import functions as F
+
+    toks = tokenize(docs, "text", "doc_id").distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    t1 = toks.withColumnRenamed("doc_id", "id1")
+    t2 = toks.withColumnRenamed("doc_id", "id2")
+    inter = (
+        t1.join(t2, "token")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    joined = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "id1", "n": "n1"}), "id1")
+        .join(sizes.withColumnsRenamed({"doc_id": "id2", "n": "n2"}), "id2")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.least("n1", "n2"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_common")),
+        )
+    )
+    got = {(r["id1"], r["id2"]): (r["containment"], r["jaccard"])
+           for r in joined.collect()}
+    cont, jac = got[(1, 2)]
+    assert cont == 1.0          # full subset
+    assert jac < 0.15           # Jaccard would never flag it
+    assert (1, 3) not in got and (2, 3) not in got
+
+
 # --------------------------------------------------------------------------
 # Semantic dedup (SemDeDup cluster-then-prune)
 # --------------------------------------------------------------------------
