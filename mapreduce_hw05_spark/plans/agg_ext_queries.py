@@ -873,3 +873,58 @@ def q_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_click_exact long, n_purchase_exact long, n_union_exact long, "
         "n_intersect_exact long, n_diff_exact long, sketch_within_5pct boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# agg-18 (ext) — count-min sketch point-frequency rollup
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_count_min",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           TRUE AS cms_equals_exact
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency rollup (operators.count_min):
+    per-event-type occurrence counts estimated from TWO sketches built
+    over disjoint corpus shards (events split by event_id parity) and
+    union-merged by elementwise addition — the cross-shard
+    reaggregation a 100-TB ingest does daily (persist per-shard
+    sketches, answer "how often did X occur" over any shard union
+    without re-reading rows).
+
+    Hashable shape (the space-saving exactness-regime discipline): with
+    5 distinct event types against width 1024, every item is
+    collision-free and the estimates are EXACT, so the contract emits
+    them as the count column hash-checked against plain SQL COUNT(*) —
+    plus an engine-side boolean re-asserting estimate == exact per key.
+    The collision regime's one-sided εN bound (never undercounts,
+    overcounts ≤ e/w of the stream w.h.p.) is engine-tested on crafted
+    Zipf data (tests/test_engine_ops.py).
+    """
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.count_min import count_min_from_df
+
+    ev = load_table(spark, sf_dir, "events")
+    even = ev.filter(F.col("event_id") % 2 == 0)
+    odd = ev.filter(F.col("event_id") % 2 == 1)
+    sk = count_min_from_df(even, "event_type").merge(
+        count_min_from_df(odd, "event_type")
+    )
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    types = np.array([r["event_type"] for r in exact], dtype=object)
+    ests = sk.query_many(types)
+    return spark.createDataFrame(
+        [
+            (r["event_type"], int(e), bool(int(e) == r["n"]))
+            for r, e in zip(exact, ests)
+        ],
+        "event_type string, n_events long, cms_equals_exact boolean",
+    )

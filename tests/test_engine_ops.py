@@ -1300,3 +1300,115 @@ def test_weighted_sample_zero_weight_rows_never_win(spark):
     )
     got = {r["id"] for r in weighted_sample(df, "id", "w", 2).collect()}
     assert got == {3, 4}
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (operators.count_min)
+# --------------------------------------------------------------------------
+
+
+def test_count_min_exact_in_sparse_regime_and_partition_invariant(spark):
+    """Distinct items far below the width: estimates are exact, and
+    identical under any input partitioning (partials merge by sum)."""
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.count_min import count_min_from_df
+    from mapreduce_hw05_spark.operators.text import tokenize
+    from mapreduce_hw05_spark.sources import load_table
+
+    toks = tokenize(load_table(spark, SF_DIR, "documents"), "text")
+    exact = {
+        r["token"]: r["n"]
+        for r in toks.groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+    items = np.array(sorted(exact), dtype=object)
+    for parts in (3, 11):
+        sk = count_min_from_df(toks.repartition(parts), "token", width=2048)
+        got = dict(zip(items, sk.query_many(items)))
+        assert got == exact
+
+
+def test_count_min_one_sided_error_bound_under_collisions():
+    """Vocabulary far beyond the width: estimates NEVER undercount, and
+    overcount by <= e/w of the stream length with margin (the CM
+    guarantee), exercised on a Zipf head + uniform tail."""
+    import math
+    import random
+
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.count_min import CountMinSketch
+
+    rng = random.Random(11)
+    truth: dict = {}
+    stream = []
+    for i in range(200):
+        stream += [f"head{i}"] * (2000 // (i + 1))
+    stream += [f"tail{i}" for i in range(20000)]
+    rng.shuffle(stream)
+    for it in stream:
+        truth[it] = truth.get(it, 0) + 1
+    sk = CountMinSketch(depth=4, width=512)
+    vals, cnts = np.array(list(truth), dtype=object), np.array(
+        list(truth.values()), dtype=np.int64
+    )
+    sk.add_items(vals, cnts)
+    ests = sk.query_many(vals)
+    n = len(stream)
+    eps_n = math.e / 512 * n
+    over = ests - cnts
+    assert (over >= 0).all()          # one-sided: never undercounts
+    # w.p. 1-e^-4 per item; allow the expected tail across 20k items
+    assert (over <= eps_n).mean() > 0.99
+    assert over[cnts > n // 512].max() <= eps_n  # every heavy item in bound
+
+
+def test_count_min_merge_equals_whole_build():
+    """merge(cms(A), cms(B)) must equal cms(A + B) bit-for-bit — the
+    property that lets per-shard sketches roll up arbitrarily."""
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.count_min import CountMinSketch
+
+    a_items = np.array([f"i{j % 50}" for j in range(300)], dtype=object)
+    b_items = np.array([f"i{j % 70}" for j in range(200)], dtype=object)
+
+    def build(arrs):
+        sk = CountMinSketch(depth=4, width=128)
+        for arr in arrs:
+            vals, cnts = np.unique(arr, return_counts=True)
+            sk.add_items(vals.astype(object), cnts.astype(np.int64))
+        return sk
+
+    whole = build([a_items, b_items])
+    merged = build([a_items]).merge(build([b_items]))
+    assert (whole.counts == merged.counts).all()
+
+
+def test_count_min_mismatched_params_refuse_merge():
+    from mapreduce_hw05_spark.operators.count_min import CountMinSketch
+
+    import pytest
+
+    with pytest.raises(ValueError, match="identical"):
+        CountMinSketch(4, 128).merge(CountMinSketch(4, 256))
+
+
+def test_count_min_nullable_long_column(spark):
+    """Nullable long items: nulls count under the sentinel, integral
+    values hash as ints so a query with plain Python ints matches."""
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.count_min import (
+        CountMinSketch,
+        count_min_from_df,
+    )
+
+    df = spark.createDataFrame(
+        [(7,), (None,), (7,), (None,), (15,)], "k long"
+    )
+    sk = count_min_from_df(df, "k", width=64)
+    got = sk.query_many(np.array([7, 15, 999], dtype=np.int64))
+    assert list(got[:2]) == [2, 1]
+    sentinel = sk.query_many(np.array(["\0null"], dtype=object))
+    assert sentinel[0] == 2
