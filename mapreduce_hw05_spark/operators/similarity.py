@@ -215,6 +215,37 @@ def minhash_signatures(
     return docs.select(id_col, sig(F.col(text_col)).alias("signature"))
 
 
+def lsh_band_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 32,
+) -> DataFrame:
+    """Explode signatures into (id, band, bucket) rows — one xxhash64
+    bucket per signature band. The shared banding step of the batch
+    candidate join (:func:`lsh_candidate_pairs`) and the persisted
+    streaming near-dup index (streaming.ops.stream_near_dup_filter):
+    two documents are LSH candidates iff they share a (band, bucket)
+    row, and the rows are storable/joinable state."""
+    n_hashes = len(signatures.select("signature").first()["signature"])
+    rows_per_band = n_hashes // num_bands
+    return signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            F.slice("signature", band * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for band in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -239,24 +270,7 @@ def lsh_candidate_pairs(
     consumer that needs exact pair enumeration keeps the default
     ``None`` (unchanged exact behavior, no size scan).
     """
-    n_hashes = len(signatures.select("signature").first()["signature"])
-    rows_per_band = n_hashes // num_bands
-    banded = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.xxhash64(
-                            F.slice("signature", band * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    )
-                    for band in range(num_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = lsh_band_buckets(signatures, id_col, num_bands)
     if max_bucket_size is None:
         left = banded.select(
             F.col(id_col).alias("id1"), F.col("band"), F.col("bucket")

@@ -154,6 +154,7 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     # contracts added during round 4
     "q_containment_near_dup",
     "q_count_min",
+    "q_stream_near_dup_filter",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -1187,3 +1187,77 @@ def q_stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
           round(sum(r["value"] for r in rows), 2))],
         "n_rows long, id_checksum long, sum_value double",
     )
+
+
+@contract(
+    "q_stream_near_dup_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+        SELECT t1.doc_id AS id1, t2.doc_id AS id2, count(*) AS n_common
+        FROM toks t1 JOIN toks t2
+          ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+        GROUP BY 1, 2
+    ), dropped AS (
+        SELECT DISTINCT id2 AS doc_id
+        FROM inter
+        JOIN sizes s1 ON id1 = s1.doc_id
+        JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.8
+    )
+    SELECT lang,
+           count(*) AS n_admitted,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    GROUP BY lang
+    """,
+)
+def q_stream_near_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online near-dup ADMISSION filter executed BY THE STREAMING
+    ENGINE (20th streaming-executed contract): the documents corpus
+    arrives as a doc_id-ordered file replay; each micro-batch MinHashes
+    its docs, appends their banded buckets and token arrays to a
+    PERSISTED LSH index, bucket-joins the batch against the whole index
+    for candidates, verifies exact Jaccard, and admits only docs with
+    no earlier ≥0.8 near-dup — dedup at ingest time, the incremental
+    form of the batch LSH sweep.
+
+    Because arrival order is id order, the final admitted set must
+    EQUAL the batch answer — every doc whose id never appears as the
+    larger id of a true pair — which the SQL oracle recomputes from the
+    exact pairwise-Jaccard query and the hash check enforces per
+    language (count, id checksum, char sum).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    root = _fresh_scratch("q_sndf_")
+    replay = FileReplay(spark, time_ordered_chunks(docs, "doc_id", 3),
+                        os.path.join(root, "in"))
+    state_root = os.path.join(root, "state")
+    with _replay_state_partitions(spark, replay):
+        query = ops.stream_near_dup_filter_foreachbatch(
+            replay.stream(schema=docs.schema), "doc_id", "text",
+            state_root, os.path.join(root, "ckpt"),
+        ).start()
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    admitted = (
+        spark.read.parquet(os.path.join(state_root, "admitted")).drop("b")
+    )
+    final = admitted.groupBy("lang").agg(
+        F.count("*").alias("n_admitted"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    result = spark.createDataFrame(final.collect(), schema=final.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return result

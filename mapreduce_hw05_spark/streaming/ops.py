@@ -894,3 +894,111 @@ def stream_weighted_reservoir_foreachbatch(
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def stream_near_dup_filter_foreachbatch(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    state_root: str,
+    checkpoint_dir: str,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    threshold: float = 0.8,
+):
+    """Online near-dup ADMISSION filter: documents arrive in id order;
+    a document is admitted iff NO earlier-id document seen so far
+    (admitted or not, this batch included) has token-Jaccard ≥ the
+    threshold with it — the incremental form of the batch LSH dedup,
+    i.e. what an ingest pipeline runs so near-dups never enter the
+    corpus instead of being swept out afterwards.
+
+    Per micro-batch: MinHash signatures → banded (id, band, bucket)
+    rows appended to a PERSISTED LSH index (parquet, partitioned by
+    batch id), candidates = batch ids bucket-joined against the whole
+    index (keyed on (band, bucket), never all-pairs), verified with
+    exact Jaccard over persisted per-doc token arrays, and the
+    surviving batch rows appended to the admitted store. Every write is
+    an idempotent overwrite of this batch's own ``b=<id>`` partition,
+    so an at-least-once foreachBatch replay reconverges to the same
+    state (no manifest needed — the partition IS the marker).
+
+    Because arrival order is id order, "earlier in the stream" and
+    "smaller id" coincide, and the final admitted set equals the batch
+    answer: every doc whose id never appears as the larger id of a true
+    ≥-threshold pair — which is what the contract's SQL oracle
+    recomputes. Scale: state grows with the corpus (it is the corpus
+    index); the bucket join prunes by key, the token-array verify
+    broadcasts at contract scale and falls back to the fan-out join
+    beyond driver-broadcast sizes (same knob as lsh_jaccard_pairs).
+    """
+    import os
+
+    from mapreduce_hw05_spark.operators.similarity import (
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+    from mapreduce_hw05_spark.operators.text import tokenize
+
+    bands_root = os.path.join(state_root, "bands")
+    toks_root = os.path.join(state_root, "toks")
+    admitted_root = os.path.join(state_root, "admitted")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # pin the chunk: three jobs below must see one snapshot of it
+        batch_df = batch_df.localCheckpoint()
+        sigs = minhash_signatures(batch_df, id_col, text_col, num_hashes)
+        bands = lsh_band_buckets(sigs, id_col, num_bands)
+        toks = (
+            tokenize(batch_df, text_col, id_col)
+            .distinct()
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("token")).alias("toks"))
+        )
+        bands.write.mode("overwrite").parquet(
+            os.path.join(bands_root, f"b={batch_id}")
+        )
+        toks.write.mode("overwrite").parquet(
+            os.path.join(toks_root, f"b={batch_id}")
+        )
+        all_bands = spark.read.parquet(bands_root)
+        all_toks = spark.read.parquet(toks_root).drop("b")
+        left = all_bands.select(
+            F.col(id_col).alias("id1"), "band", "bucket"
+        )
+        right = (
+            all_bands.filter(F.col("b") == batch_id)
+            .select(F.col(id_col).alias("id2"), "band", "bucket")
+        )
+        cands = (
+            left.join(right, ["band", "bucket"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+            .distinct()
+        )
+        d1 = all_toks.withColumnsRenamed({id_col: "id1", "toks": "toks1"})
+        d2 = all_toks.withColumnsRenamed({id_col: "id2", "toks": "toks2"})
+        n_common = F.size(F.array_intersect("toks1", "toks2"))
+        jac = n_common.cast("double") / (
+            F.size("toks1") + F.size("toks2") - n_common
+        )
+        dropped = (
+            cands.join(F.broadcast(d1), "id1")
+            .join(F.broadcast(d2), "id2")
+            .filter(jac >= threshold)
+            .select(F.col("id2").alias(id_col))
+            .distinct()
+        )
+        admitted = batch_df.join(dropped, id_col, "left_anti")
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(admitted_root, f"b={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )

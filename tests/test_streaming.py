@@ -522,6 +522,47 @@ def test_sketch_rollup_distributed_replayed_batch_is_noop(spark, tmp_path):
     assert os.listdir(os.path.join(state, "_batches")) == ["0"]
 
 
+def test_stream_near_dup_filter_admission_and_replay(spark, tmp_path):
+    """The online admission filter: a doc is admitted iff no earlier-id
+    doc seen so far is a >=0.8 near-dup — across batches (vs the
+    persisted index) AND within a batch; re-delivering a batch id must
+    reconverge to the same state (idempotent partition overwrites)."""
+    import os
+
+    from mapreduce_hw05_spark.streaming import ops
+
+    state_root = str(tmp_path / "state")
+    apply_batch = _capture_foreach_batch(
+        ops.stream_near_dup_filter_foreachbatch,
+        "doc_id", "text", state_root, str(tmp_path / "ckpt"),
+    )
+    uniq1 = " ".join(f"w{i}" for i in range(20))
+    uniq2 = " ".join(f"x{i}" for i in range(20))
+    uniq3 = " ".join(f"y{i}" for i in range(20))
+    b0 = spark.createDataFrame(
+        [(1, uniq1), (2, uniq2)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(3, uniq1),   # near-dup of doc 1 (earlier batch) -> dropped
+         (4, uniq3),   # admitted
+         (5, uniq3)],  # near-dup of doc 4 (same batch) -> dropped
+        "doc_id long, text string",
+    )
+    apply_batch(b0, 0)
+    apply_batch(b1, 1)
+
+    def admitted():
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(state_root, "admitted"))
+            .collect()
+        }
+
+    assert admitted() == {1, 2, 4}
+    apply_batch(b1, 1)  # at-least-once re-delivery
+    assert admitted() == {1, 2, 4}
+
+
 def test_compacting_sink_replayed_batch_is_noop(spark, tmp_path):
     """foreachBatch is at-least-once: re-delivering a committed batch id
     to the compacting append sink must not duplicate rows (ADVICE r2
