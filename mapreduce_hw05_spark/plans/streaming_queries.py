@@ -1261,3 +1261,58 @@ def q_stream_near_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(final.collect(), schema=final.schema)
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+@contract(
+    "q_stream_count_min",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           TRUE AS cms_equals_exact
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min maintenance executed BY THE STREAMING ENGINE
+    (21st streaming-executed contract): the events replay folds
+    per-batch d×w count-matrix partials into one persisted sketch blob
+    through the manifest-guarded foreachBatch sink — point-frequency
+    state bounded at O(d·w) forever. The sum-merge is exact, so the
+    final sketch equals the batch-built sketch and, in the sparse
+    regime (5 event types vs width 1024), its estimates are EXACT —
+    hash-checked against plain SQL COUNT(*) like the batch
+    q_count_min, plus the engine-side estimate == exact boolean.
+    """
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.count_min import CountMinSketch
+
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_scms_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4),
+                        os.path.join(root, "in"))
+    state = os.path.join(root, "state")
+    with _replay_state_partitions(spark, replay):
+        query = ops.stream_count_min_foreachbatch(
+            replay.stream(), "event_type", state, os.path.join(root, "ckpt"),
+        ).start()
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    blob = spark.read.parquet(state).collect()[0]["sketch"]
+    sk = CountMinSketch.deserialize(bytes(blob))
+    exact = events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    types = np.array([r["event_type"] for r in exact], dtype=object)
+    ests = sk.query_many(types)
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["event_type"], int(e), bool(int(e) == r["n"]))
+            for r, e in zip(exact, ests)
+        ],
+        "event_type string, n_events long, cms_equals_exact boolean",
+    )

@@ -1002,3 +1002,87 @@ def stream_near_dup_filter_foreachbatch(
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def stream_count_min_foreachbatch(
+    stream: DataFrame,
+    item_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 7,
+):
+    """Streaming count-min maintenance: each micro-batch reduces to
+    per-partition d×w count matrices (built distributed, O(d·w) bytes
+    each) that fold by elementwise sum into ONE persisted sketch blob —
+    point-frequency state bounded at O(d·w) forever, never
+    O(stream length) or O(distinct items). The sum-merge is exact, so
+    the final sketch EQUALS the batch-built sketch over the same rows
+    regardless of micro-batch boundaries. Same exactly-once
+    committed-batch manifest + atomic-swap + driver-side pyarrow state
+    IO as the sibling sketch sinks; the partial build is the only
+    Spark job per batch.
+    """
+    import os
+
+    from mapreduce_hw05_spark.fsutil import recover_dir, replace_dir
+    from mapreduce_hw05_spark.operators.count_min import (
+        CountMinSketch,
+        count_min_partials,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        recover_dir(state_dir, state_dir.rstrip("/") + ".next")
+        if batch_df.isEmpty():
+            return
+        marker_dir = os.path.join(state_dir, "_batches")
+        if os.path.exists(os.path.join(marker_dir, str(batch_id))):
+            return
+        merged = CountMinSketch(depth, width, seed)
+        for row in count_min_partials(
+            batch_df, item_col, depth, width, seed
+        ).collect():
+            merged = merged.merge(
+                CountMinSketch.deserialize(bytes(row["sketch"]))
+            )
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            for part in sorted(os.listdir(state_dir)):
+                if not part.endswith(".parquet"):
+                    continue
+                for rec in pq.read_table(
+                    os.path.join(state_dir, part)
+                ).to_pylist():
+                    merged = merged.merge(
+                        CountMinSketch.deserialize(bytes(rec["sketch"]))
+                    )
+        tmp = state_dir.rstrip("/") + ".next"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame({"sketch": [merged.serialize()]}),
+                preserve_index=False,
+            ),
+            os.path.join(tmp, "part-00000.parquet"),
+        )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        new_marker_dir = os.path.join(tmp, "_batches")
+        os.makedirs(new_marker_dir, exist_ok=True)
+        if os.path.isdir(marker_dir):
+            for m in os.listdir(marker_dir):
+                open(os.path.join(new_marker_dir, m), "w").close()
+        open(os.path.join(new_marker_dir, str(batch_id)), "w").close()
+        replace_dir(tmp, state_dir)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )

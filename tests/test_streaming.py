@@ -522,6 +522,36 @@ def test_sketch_rollup_distributed_replayed_batch_is_noop(spark, tmp_path):
     assert os.listdir(os.path.join(state, "_batches")) == ["0"]
 
 
+def test_stream_count_min_sink_exact_and_replay_noop(spark, tmp_path):
+    """The streaming CMS sink folds batch partials into one persisted
+    blob: estimates equal exact counts in the sparse regime, and a
+    re-delivered batch id is absorbed by the manifest (no double-add —
+    CMS is duplicate-SENSITIVE, a replayed merge would inflate)."""
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.count_min import CountMinSketch
+    from mapreduce_hw05_spark.streaming import ops
+
+    state = str(tmp_path / "state")
+    apply_batch = _capture_foreach_batch(
+        ops.stream_count_min_foreachbatch,
+        "k", state, str(tmp_path / "ckpt"),
+    )
+    b0 = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    b1 = spark.createDataFrame([("a",), ("c",), ("c",)], "k string")
+    apply_batch(b0, 0)
+    apply_batch(b1, 1)
+
+    def estimates():
+        blob = spark.read.parquet(state).collect()[0]["sketch"]
+        sk = CountMinSketch.deserialize(bytes(blob))
+        return list(sk.query_many(np.array(["a", "b", "c"], dtype=object)))
+
+    assert estimates() == [3, 1, 2]
+    apply_batch(b1, 1)  # at-least-once re-delivery: must not double-add
+    assert estimates() == [3, 1, 2]
+
+
 def test_stream_near_dup_filter_admission_and_replay(spark, tmp_path):
     """The online admission filter: a doc is admitted iff no earlier-id
     doc seen so far is a >=0.8 near-dup — across batches (vs the
