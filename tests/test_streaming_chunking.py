@@ -254,3 +254,63 @@ def test_session_window_invariant_to_chunking(spark, events, seed):
         )
     )
     assert as_sorted_rows(got) == as_sorted_rows(expect), f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_near_dup_filter_invariant_to_chunking_with_redelivery(
+    spark, seed, tmp_path
+):
+    """The online admission filter's final admitted set must equal the
+    batch answer (docs never the larger id of a true >=0.8 pair) for
+    ANY id-ordered micro-batch chunking, including a re-delivered
+    chunk — cross-batch state (the persisted LSH index), within-batch
+    candidates, and idempotent partition overwrites all exercised."""
+    import os
+
+    from mapreduce_hw05_spark.plans.similarity_queries import lsh_jaccard_pairs
+    from tests.test_streaming import _capture_foreach_batch
+
+    docs = load_table(spark, SF_DIR, "documents")
+    dropped = {r["id2"] for r in lsh_jaccard_pairs(docs, 0.8).collect()}
+    expect = {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    } - dropped
+
+    rng = random.Random(seed)
+    n_rows = docs.count()
+    n_chunks = rng.randint(2, 5)
+    cuts = sorted(rng.sample(range(1, n_rows), n_chunks - 1))
+    bounds = [0, *cuts, n_rows]
+    ordered = docs.withColumn(
+        "_rn", F.row_number().over(W.orderBy("doc_id"))
+    ).localCheckpoint()
+    deliveries = [
+        (
+            i,
+            ordered.filter(
+                (F.col("_rn") > bounds[i]) & (F.col("_rn") <= bounds[i + 1])
+            ).drop("_rn"),
+        )
+        for i in range(len(bounds) - 1)
+    ]
+    dup_at = rng.randrange(len(deliveries))
+    deliveries = (
+        deliveries[: dup_at + 1]
+        + [deliveries[dup_at]]  # same batch id re-delivered
+        + deliveries[dup_at + 1 :]
+    )
+
+    state_root = str(tmp_path / "state")
+    apply_batch = _capture_foreach_batch(
+        ops.stream_near_dup_filter_foreachbatch,
+        "doc_id", "text", state_root, str(tmp_path / "ckpt"),
+    )
+    for batch_id, chunk in deliveries:
+        apply_batch(chunk, batch_id)
+    admitted = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(state_root, "admitted")
+        ).collect()
+    }
+    assert admitted == expect, f"seed={seed}"
