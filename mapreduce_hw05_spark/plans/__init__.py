@@ -156,6 +156,7 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_count_min",
     "q_stream_near_dup_filter",
     "q_stream_count_min",
+    "q_near_dup_shingle_lsh",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -575,6 +575,67 @@ def q_near_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract(
+    "q_near_dup_shingle_lsh",
+    oracle="""
+    WITH shingled AS (
+        SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+            generate_series(1, len(sp) - 1), i -> sp[i] || ' ' || sp[i+1])) AS g
+        FROM shingled
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+    ), inter AS (
+        SELECT g1.doc_id AS id1, g2.doc_id AS id2, count(*) AS n_common
+        FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           round(CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common), 6)
+               AS jaccard
+    FROM inter
+    JOIN sizes s1 ON id1 = s1.doc_id
+    JOIN sizes s2 ON id2 = s2.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.8
+    """,
+)
+def q_near_dup_shingle_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram SHINGLE MinHash + LSH — the scale path for the
+    order-sensitive near-dup measure (q_near_dup_ngram is the exact
+    inverted-index path; this routes the same semantics through
+    signatures → banding → candidates → exact verify, never all-pairs
+    and never a corpus-sized shingle shuffle). Shingle hashes are
+    composed inside the vectorized MinHash kernel — the shingle strings
+    are never materialized. Oracle = the exact pairwise bigram-Jaccard
+    query at ≥ 0.8; verified output ≡ exact output by construction
+    (coverage fixture-asserted like the unigram path).
+    """
+    from mapreduce_hw05_spark.operators.text import word_shingles
+
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=128, shingle=2
+    )
+    cands = lsh_candidate_pairs(sigs, "doc_id", num_bands=32)
+    doc_grams = (
+        word_shingles(docs, 2, "text", "doc_id")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("g"))
+    )
+    d1 = doc_grams.withColumnsRenamed({"doc_id": "id1", "g": "g1"})
+    d2 = doc_grams.withColumnsRenamed({"doc_id": "id2", "g": "g2"})
+    n_common = F.size(F.array_intersect("g1", "g2"))
+    jac = n_common.cast("double") / (F.size("g1") + F.size("g2") - n_common)
+    return (
+        cands.join(F.broadcast(d1), "id1")
+        .join(F.broadcast(d2), "id2")
+        .filter(jac >= 0.8)
+        .select("id1", "id2", ratio(jac).alias("jaccard"))
+    )
+
+
+@contract(
     "q_pca_variance",
     oracle="""
     SELECT CAST(8 AS BIGINT) AS n_components,

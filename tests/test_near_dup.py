@@ -114,6 +114,58 @@ def test_minhash_signatures_deterministic(spark):
     assert all(len(sig) == 32 for sig in s1.values())
 
 
+def test_shingle_minhash_rejects_shuffled_copy(spark):
+    """A token-shuffled copy shares EVERY unigram (unigram MinHash
+    pairs it) but almost no bigram shingle (shingle MinHash must not) —
+    the order-sensitivity the shingle representation exists for."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    shuffled = " ".join(f"tok{i}" for i in reversed(range(40)))
+    rows = [(1, base), (2, shuffled), (3, base)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def cand_pairs(shingle):
+        sigs = minhash_signatures(
+            docs, "doc_id", "text", num_hashes=64, shingle=shingle
+        )
+        return {
+            (r["id1"], r["id2"])
+            for r in lsh_candidate_pairs(sigs, "doc_id", num_bands=16).collect()
+        }
+
+    uni = cand_pairs(1)
+    sh = cand_pairs(2)
+    assert (1, 2) in uni and (1, 3) in uni   # unigram sets identical
+    assert (1, 3) in sh                      # true copy still pairs
+    assert (1, 2) not in sh                  # shuffled copy rejected
+
+
+def test_shingle_minhash_short_doc_sentinel_and_determinism(spark):
+    """Docs with fewer tokens than the shingle width have an empty
+    shingle set: they get the sentinel signature (identical across such
+    docs, never colliding with real ones here), and the kernel is
+    deterministic across runs and partitionings."""
+    rows = [(1, "only two"), (2, "x"), (3, "a b c d e f g h")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    s1 = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in minhash_signatures(
+            docs, num_hashes=16, shingle=3
+        ).collect()
+    }
+    s2 = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in minhash_signatures(
+            docs.repartition(3), num_hashes=16, shingle=3
+        ).collect()
+    }
+    assert s1 == s2
+    from mapreduce_hw05_spark.operators.similarity import _MERSENNE
+
+    assert s1[1] == tuple([_MERSENNE] * 16)  # 2 tokens < shingle 3
+    assert s1[2] == tuple([_MERSENNE] * 16)
+    assert s1[3] != s1[1]
+
+
 def test_containment_catches_subset_pairs_jaccard_misses(spark):
     """A short doc quoted inside a long one: containment = 1.0 while
     Jaccard is far below any dedup threshold — the coverage gap the
