@@ -157,6 +157,7 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_stream_near_dup_filter",
     "q_stream_count_min",
     "q_near_dup_shingle_lsh",
+    "q_ann_pq_topk",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

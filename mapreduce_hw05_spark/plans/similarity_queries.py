@@ -513,6 +513,63 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_summary(spark, top, emb, 0.7, "recall_ge_70pct")
 
 
+@contract(
+    "q_ann_pq_topk",
+    oracle="""
+    SELECT CAST(20 AS BIGINT) AS n_pairs,
+           TRUE AS recall_ge_75pct,
+           TRUE AS sims_within_unit
+    """,
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 similar pairs via IVF-PQ (operators.pq) — the COMPRESSED
+    scale path: route each vector to its 4 nearest coarse centroids,
+    shortlist within buckets by product-quantized SDC estimates (m=32
+    2-dim subspaces × 16 codewords = 32 small ints per vector, 16× the
+    density of raw float64 in shuffle and memory), then EXACT-rerank
+    only the shortlist. This is the standard
+    route → compressed-shortlist → rerank architecture; the corpus
+    crosses the wire as codes, full-precision math touches only
+    O(shortlist) pairs.
+
+    Hashable shape as the sibling ANN contracts (deterministic at fixed
+    seeds): measured recall vs the exact kernel is 20/20 at
+    sf0.001/0.01 and 18/20 at sf0.1 — this fixture's near-orthogonal
+    random vectors are PQ's WORST case (top-pair sims ≈ 0.45 sit barely
+    above the bulk, so quantization noise competes with real margins;
+    m=32 × ksub=16 was chosen by a measured corr/recall sweep in
+    round 4) — so the contract floor is 75%.
+    """
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.ann import route_probes
+    from mapreduce_hw05_spark.operators.clustering import label_seeded_centroids
+    from mapreduce_hw05_spark.operators.pq import (
+        exact_rerank_pairs,
+        pq_encode,
+        pq_sdc_bucket_pairs,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # training is sample-sized by design; the fixture IS the sample here
+    sample = np.stack(
+        [r["embedding"] for r in emb.select("embedding").collect()]
+    ).astype(np.float64)
+    books = train_pq_codebooks(sample, m=32, ksub=16)
+    codes = pq_encode(emb, books)
+    centroids = label_seeded_centroids(emb)
+    bucketed = (
+        route_probes(emb, centroids, nprobe=4)
+        .select("bucket", F.col("probe_id").alias("vec_id"))
+        .join(codes, "vec_id")
+    )
+    shortlist = pq_sdc_bucket_pairs(bucketed, books, top_per_bucket=200)
+    reranked = exact_rerank_pairs(shortlist, emb)
+    top = global_topk_pairs(reranked, k=20)
+    return _ann_recall_summary(spark, top, emb, 0.75, "recall_ge_75pct")
+
+
 # --------------------------------------------------------------------------
 # llm-3b — n-gram (word-bigram) Jaccard near-dup: order-sensitive variant
 # --------------------------------------------------------------------------

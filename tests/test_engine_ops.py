@@ -1412,3 +1412,91 @@ def test_count_min_nullable_long_column(spark):
     assert list(got[:2]) == [2, 1]
     sentinel = sk.query_many(np.array(["\0null"], dtype=object))
     assert sentinel[0] == 2
+
+
+# --------------------------------------------------------------------------
+# Product quantization (operators.pq)
+# --------------------------------------------------------------------------
+
+
+def test_pq_codebooks_deterministic_and_encode_partition_invariant(spark):
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.pq import pq_encode, train_pq_codebooks
+    from mapreduce_hw05_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    sample = np.stack(
+        [r["embedding"] for r in emb.select("embedding").collect()]
+    ).astype(np.float64)
+    b1 = train_pq_codebooks(sample, m=16, ksub=16)
+    b2 = train_pq_codebooks(sample, m=16, ksub=16)
+    assert (b1 == b2).all()
+    c1 = {r["vec_id"]: tuple(r["codes"]) for r in pq_encode(emb, b1).collect()}
+    c2 = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in pq_encode(emb.repartition(7), b1).collect()
+    }
+    assert c1 == c2
+    assert all(len(c) == 16 for c in c1.values())
+    assert all(0 <= v < 16 for c in c1.values() for v in c)
+
+
+def test_pq_sdc_estimate_matches_codeword_reconstruction():
+    """The SDC table gather must equal the dot product of the
+    RECONSTRUCTED (codeword-concatenated) vectors — the identity that
+    defines product quantization."""
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.pq import (
+        pq_estimate_pairs,
+        sdc_tables,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((200, 32))
+    books = train_pq_codebooks(X, m=8, ksub=8, normalize=False)
+    m, ksub, dsub = books.shape
+    codes = rng.integers(0, ksub, size=(50, m))
+    codes_b = rng.integers(0, ksub, size=(50, m))
+    est = pq_estimate_pairs(codes, codes_b, sdc_tables(books))
+    recon_a = np.concatenate(
+        [books[j][codes[:, j]] for j in range(m)], axis=1
+    )
+    recon_b = np.concatenate(
+        [books[j][codes_b[:, j]] for j in range(m)], axis=1
+    )
+    direct = np.einsum("nd,nd->n", recon_a, recon_b)
+    assert np.allclose(est, direct)
+
+
+def test_pq_exact_rerank_matches_bruteforce(spark):
+    """exact_rerank_pairs must return full-precision cosine — identical
+    to the brute-force kernel's values for the same pairs."""
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.pq import exact_rerank_pairs
+    from mapreduce_hw05_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 9), (10, 44)], "id1 long, id2 long"
+    )
+    got = {
+        (r["id1"], r["id2"]): r["sim"]
+        for r in exact_rerank_pairs(pairs, emb).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def cos(a, b):
+        a, b = vecs[a], vecs[b]
+        return float(
+            (a / np.linalg.norm(a)) @ (b / np.linalg.norm(b))
+        )
+
+    for (a, b), s in got.items():
+        assert abs(s - cos(a, b)) < 1e-12
