@@ -928,9 +928,12 @@ def stream_near_dup_filter_foreachbatch(
     answer: every doc whose id never appears as the larger id of a true
     ≥-threshold pair — which is what the contract's SQL oracle
     recomputes. Scale: state grows with the corpus (it is the corpus
-    index); the bucket join prunes by key, the token-array verify
-    broadcasts at contract scale and falls back to the fan-out join
-    beyond driver-broadcast sizes (same knob as lsh_jaccard_pairs).
+    index); the bucket join prunes by key, and the verify side's
+    index-token-array table is SEMI-JOIN-PRUNED to the ids the batch's
+    candidates actually touch before it broadcasts — the broadcast is
+    bounded by the batch's candidate fan-out, not the corpus. Past
+    that bound, the fan-out join replaces the broadcast (same knob as
+    lsh_jaccard_pairs).
     """
     import os
 
@@ -979,7 +982,14 @@ def stream_near_dup_filter_foreachbatch(
             .select("id1", "id2")
             .distinct()
         )
-        d1 = all_toks.withColumnsRenamed({id_col: "id1", "toks": "toks1"})
+        # prune the index-side token table to candidate-touched ids
+        # BEFORE broadcasting: the broadcast is bounded by the batch's
+        # candidate fan-out, never the full corpus index
+        touched = cands.select(F.col("id1").alias(id_col)).distinct()
+        d1 = (
+            all_toks.join(touched, id_col, "left_semi")
+            .withColumnsRenamed({id_col: "id1", "toks": "toks1"})
+        )
         d2 = all_toks.withColumnsRenamed({id_col: "id2", "toks": "toks2"})
         n_common = F.size(F.array_intersect("toks1", "toks2"))
         jac = n_common.cast("double") / (
