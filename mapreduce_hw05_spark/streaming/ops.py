@@ -905,11 +905,14 @@ def stream_near_dup_filter_foreachbatch(
     num_hashes: int = 128,
     num_bands: int = 32,
     threshold: float = 0.8,
+    shingle: int = 1,
 ):
     """Online near-dup ADMISSION filter: documents arrive in id order;
     a document is admitted iff NO earlier-id document seen so far
-    (admitted or not, this batch included) has token-Jaccard ≥ the
-    threshold with it — the incremental form of the batch LSH dedup,
+    (admitted or not, this batch included) has token-set Jaccard ≥ the
+    threshold with it (``shingle >= 2`` switches both the signatures
+    AND the exact verify to word-shingle sets — the order-sensitive
+    measure) — the incremental form of the batch LSH dedup,
     i.e. what an ingest pipeline runs so near-dups never enter the
     corpus instead of being swept out afterwards.
 
@@ -953,13 +956,24 @@ def stream_near_dup_filter_foreachbatch(
         spark = batch_df.sparkSession
         # pin the chunk: three jobs below must see one snapshot of it
         batch_df = batch_df.localCheckpoint()
-        sigs = minhash_signatures(batch_df, id_col, text_col, num_hashes)
+        sigs = minhash_signatures(
+            batch_df, id_col, text_col, num_hashes, shingle=shingle
+        )
         bands = lsh_band_buckets(sigs, id_col, num_bands)
+        if shingle == 1:
+            units = tokenize(batch_df, text_col, id_col).select(
+                id_col, F.col("token").alias("unit")
+            )
+        else:
+            from mapreduce_hw05_spark.operators.text import word_shingles
+
+            units = word_shingles(batch_df, shingle, text_col, id_col).select(
+                id_col, F.col("shingle").alias("unit")
+            )
         toks = (
-            tokenize(batch_df, text_col, id_col)
-            .distinct()
+            units.distinct()
             .groupBy(id_col)
-            .agg(F.sort_array(F.collect_list("token")).alias("toks"))
+            .agg(F.sort_array(F.collect_list("unit")).alias("toks"))
         )
         bands.write.mode("overwrite").parquet(
             os.path.join(bands_root, f"b={batch_id}")

@@ -593,6 +593,37 @@ def test_stream_near_dup_filter_admission_and_replay(spark, tmp_path):
     assert admitted() == {1, 2, 4}
 
 
+def test_stream_near_dup_filter_shingle_mode(spark, tmp_path):
+    """shingle=2 switches both signatures and verify to word-bigram
+    sets: a token-SHUFFLED copy (identical unigram set) must be
+    ADMITTED in shingle mode and DROPPED in unigram mode."""
+    import os
+
+    from mapreduce_hw05_spark.streaming import ops
+
+    base = " ".join(f"t{i}" for i in range(30))
+    shuffled = " ".join(f"t{i}" for i in reversed(range(30)))
+    b0 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    b1 = spark.createDataFrame([(2, shuffled)], "doc_id long, text string")
+
+    def admitted(shingle):
+        root = str(tmp_path / f"s{shingle}")
+        apply_batch = _capture_foreach_batch(
+            ops.stream_near_dup_filter_foreachbatch,
+            "doc_id", "text", root, root + "_ckpt", shingle=shingle,
+        )
+        apply_batch(b0, 0)
+        apply_batch(b1, 1)
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(root, "admitted"))
+            .collect()
+        }
+
+    assert admitted(1) == {1}      # unigram: shuffled copy is a dup
+    assert admitted(2) == {1, 2}   # shingle: order matters, admitted
+
+
 def test_compacting_sink_replayed_batch_is_noop(spark, tmp_path):
     """foreachBatch is at-least-once: re-delivering a committed batch id
     to the compacting append sink must not duplicate rows (ADVICE r2
