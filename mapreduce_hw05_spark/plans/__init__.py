@@ -24,6 +24,7 @@ from mapreduce_hw05_spark.plans import (  # noqa: F401  (import = register)
     pipeline_queries,
     tpch_queries,
     governance_queries,
+    corpus_queries,
 )
 from mapreduce_hw05_spark.plans.registry import ORACLES, QUERIES
 
@@ -158,6 +159,10 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_stream_count_min",
     "q_near_dup_shingle_lsh",
     "q_ann_pq_topk",
+    "q_paragraph_dedup",
+    "q_shard_manifest",
+    "q_token_budget_mix",
+    "q_quality_filter_per_lang",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [
