@@ -1,0 +1,208 @@
+"""Weak-scaling stress bench: drive the corpus/similarity/ANN operators
+at 1x / 10x / 100x the sf0.1 document count on SYNTHETIC corpora with
+realistic structure, and print one JSON line of wall times.
+
+Why this exists: the driver's correctness fixtures top out at sf0.1
+(5 000 docs) and their tiny vocabulary makes pairwise ops
+output-degenerate (2.97 M "near-dup" pairs). This harness generates a
+corpus with a 30 000-word Zipf-ish vocabulary, a controlled 10 %
+near-duplicate rate (each dup = a parent doc plus one appended token),
+and a ~256-doc boilerplate cluster sharing one hot template (the LSH /
+span-dedup hot-bucket case), then runs the REAL contract functions
+against it. Linear-ish growth across the three scales is the evidence
+that the plans survive 100x, which local[32] can't prove on fixtures.
+
+Everything is generated Catalyst-side from xxhash64 — deterministic
+across runs, partitionings, and retries; no rand(), no driver loops.
+
+Usage: python bench_scale.py [scales...]   (default: 1 10 100)
+Corpora are cached under .tmp/scale/x{N}/ and reused.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASE_DOCS = 5_000  # sf0.1 document count = scale 1x
+VOCAB = 30_000
+DIM = 64
+N_CLUSTERS = 64
+HOT_DOCS = 256  # boilerplate-cluster size (absolute, every scale)
+SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp", "scale")
+
+
+def _u(*cols) -> F.Column:
+    """Deterministic uniform [0, 1) from xxhash64 of the argument columns."""
+    return F.pmod(F.xxhash64(*cols), F.lit(1_000_000)) / F.lit(1_000_000.0)
+
+
+def gen_documents(spark: SparkSession, n: int) -> DataFrame:
+    """n docs, 30-149 tokens each, Zipf-ish over a 30k vocabulary;
+    10% of the upper-id half are near-dups (parent text + 1 unique
+    token); ~HOT_DOCS docs share one 40-token template (+ unique tail).
+    """
+    base = spark.range(n).withColumnRenamed("id", "doc_id")
+    length = (F.lit(30) + F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(120))).cast(
+        "int"
+    )
+    # token = 'w<idx>', idx = floor(V * u^4): u^4 piles mass on small
+    # indices, so frequent words exist (real dedup/TF-IDF behavior)
+    toks = F.transform(
+        F.sequence(F.lit(1), length),
+        lambda p: F.concat(
+            F.lit("w"),
+            F.floor(
+                F.lit(VOCAB) * F.pow(_u(F.col("doc_id"), p, F.lit(2)), F.lit(4.0))
+            )
+            .cast("int")
+            .cast("string"),
+        ),
+    )
+    docs = base.withColumn("text", F.array_join(toks, " "))
+
+    # hot boilerplate cluster: identical 40-token template + unique tail
+    template = " ".join(f"tpl{i}" for i in range(40))
+    hot_stride = max(1, n // HOT_DOCS)
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(hot_stride)) == 0,
+            F.concat(F.lit(template + " u"), F.col("doc_id").cast("string")),
+        ).otherwise(F.col("text")),
+    )
+
+    # near-dups: 10% of the upper half copy a lower-half parent + 1 token
+    half = n // 2
+    is_dup = (F.col("doc_id") >= half) & (
+        F.pmod(F.xxhash64("doc_id", F.lit(3)), F.lit(10)) == 0
+    )
+    dups = (
+        docs.filter(is_dup)
+        .select(
+            "doc_id",
+            F.pmod(F.xxhash64("doc_id", F.lit(4)), F.lit(half)).alias("parent_id"),
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("parent_id"), F.col("text").alias("ptext")),
+            "parent_id",
+        )
+        .select(
+            "doc_id",
+            F.concat(F.col("ptext"), F.lit(" dup"), F.col("doc_id").cast("string")).alias(
+                "text"
+            ),
+        )
+    )
+    merged = docs.filter(~is_dup).select("doc_id", "text").unionByName(dups)
+    langs = F.array(*[F.lit(v) for v in ("en", "de", "es", "fr", "zh")])
+    return merged.select(
+        "doc_id",
+        "text",
+        F.element_at(langs, (F.pmod(F.xxhash64("doc_id", F.lit(5)), F.lit(5)) + 1).cast("int")).alias(
+            "lang"
+        ),
+        F.concat(F.lit("src"), F.pmod(F.xxhash64("doc_id", F.lit(6)), F.lit(20)).cast("string")).alias(
+            "source"
+        ),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def gen_embeddings(spark: SparkSession, n: int) -> DataFrame:
+    """n vectors in DIM dims around N_CLUSTERS hash-placed centers with
+    +-0.1 per-component noise; label = center % 32 (for IVF seeding)."""
+    base = spark.range(n).withColumnRenamed("id", "vec_id")
+    c = F.pmod(F.xxhash64("vec_id", F.lit(9)), F.lit(N_CLUSTERS)).cast("int")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda j: (
+            (F.pmod(F.xxhash64(F.col("__c"), j, F.lit(11)), F.lit(2000)) - 1000)
+            / F.lit(1000.0)
+            + (F.pmod(F.xxhash64(F.col("vec_id"), j, F.lit(12)), F.lit(300)) - 150)
+            / F.lit(1500.0)
+        ).cast("float"),
+    )
+    return (
+        base.withColumn("__c", c)
+        .select(
+            "vec_id",
+            vec.alias("embedding"),
+            F.pmod(F.col("__c"), F.lit(32)).cast("int").alias("label"),
+        )
+    )
+
+
+def ensure_corpus(spark: SparkSession, scale: int) -> str:
+    out = os.path.join(SCRATCH, f"x{scale}")
+    n = BASE_DOCS * scale
+    for name, gen in (("documents", gen_documents), ("embeddings", gen_embeddings)):
+        path = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(path):
+            gen(spark, n).repartition(32).write.mode("overwrite").parquet(path)
+    return out
+
+
+def _noop(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_scale(spark: SparkSession, scale: int) -> dict[str, float]:
+    from mapreduce_hw05_spark.operators.ann import ivf_knn_candidates
+    from mapreduce_hw05_spark.operators.clustering import label_seeded_centroids
+    from mapreduce_hw05_spark.plans import QUERIES
+
+    sf_dir = ensure_corpus(spark, scale)
+    times: dict[str, float] = {}
+    contract_ops = [
+        "q_dedup_exact",
+        "q_paragraph_dedup",
+        "q_shard_manifest",
+        "q_token_budget_mix",
+        "q_quality_filter_per_lang",
+        "q_heavy_hitters",
+        "q_tfidf_top_terms",
+        "q_near_dup_shingle_lsh",
+        "q_near_dup_lsh",
+    ]
+    for name in contract_ops:
+        t0 = time.time()
+        _noop(QUERIES[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 2)
+        print(f"SCALE x{scale} {name}: {times[name]}s", file=sys.stderr)
+
+    # ANN at operator level: the contract's recall check is exact-kernel
+    # (quadratic) by design, so at 100x we time routing + per-bucket
+    # search for a 1024-probe sample against the FULL reference instead.
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    probes = emb.filter(F.pmod(F.xxhash64("vec_id", F.lit(21)), F.lit(max(1, (BASE_DOCS * scale) // 1024))) == 0)
+    t0 = time.time()
+    centroids = label_seeded_centroids(emb)
+    cands = ivf_knn_candidates(probes, emb, centroids, k=20, nprobe=4, mode="knn")
+    _noop(cands)
+    times["ann_ivf_1k_probes"] = round(time.time() - t0, 2)
+    print(f"SCALE x{scale} ann_ivf_1k_probes: {times['ann_ivf_1k_probes']}s", file=sys.stderr)
+    return times
+
+
+def main() -> None:
+    scales = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    from mapreduce_hw05_spark.session import get_spark
+
+    spark = get_spark("bench_scale")
+    out = {"metric": "weak_scaling_stress", "unit": "sec", "base_docs": BASE_DOCS,
+           "scales": {}}
+    for scale in scales:
+        out["scales"][f"x{scale}"] = run_scale(spark, scale)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,8 @@ discipline as the other sketches.
 
 from __future__ import annotations
 
+import heapq
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -45,6 +47,15 @@ class SpaceSaving:
         self.k = k
         self.counts: dict = {}
         self.errs: dict = {}
+        # lazy min-heap of (count, is_none, item) snapshots: an entry is
+        # valid iff the item still holds exactly that count. Eviction
+        # pops stale snapshots until a valid one surfaces — the first
+        # valid entry IS min-by-(count, _ord) because counts only grow,
+        # so stale entries always sort below their item's live entry.
+        # Turns the per-eviction O(k) dict scan into amortized O(log k)
+        # (the scan made dense-vocab corpora quadratic: every new item
+        # evicts once the summary is full).
+        self._heap: list = []
 
     def _min_count(self) -> int:
         """Lower bound carried by evicted mass (0 while not full)."""
@@ -52,23 +63,45 @@ class SpaceSaving:
             return 0
         return min(self.counts.values())
 
+    def _push(self, item, count: int) -> None:
+        heapq.heappush(self._heap, (count, item is None, item))
+        if len(self._heap) > 4 * self.k + 64:
+            # compact: rebuild from live counts only
+            self._heap = [(c, i is None, i) for i, c in self.counts.items()]
+            heapq.heapify(self._heap)
+
     def offer(self, item, weight: int = 1) -> None:
         """Add ``weight`` occurrences of ``item`` (weights let callers
         pre-aggregate a batch with value_counts before offering)."""
         if item in self.counts:
-            self.counts[item] += weight
+            c = self.counts[item] + weight
+            self.counts[item] = c
+            self._push(item, c)
             return
         if len(self.counts) < self.k:
             self.counts[item] = weight
             self.errs[item] = 0
+            self._push(item, weight)
             return
         # evict the minimum counter: the newcomer inherits its count as
         # overestimation error (the classic space-saving step)
-        evict = min(self.counts, key=lambda i: (self.counts[i], _ord(i)))
+        while True:
+            if not self._heap:
+                # summaries assembled by direct counts[]= assignment
+                # (merge paths) have no snapshots — build them on demand
+                self._heap = [(c, i is None, i) for i, c in self.counts.items()]
+                heapq.heapify(self._heap)
+            count, _, cand = self._heap[0]
+            if self.counts.get(cand) == count:
+                break
+            heapq.heappop(self._heap)
+        heapq.heappop(self._heap)
+        evict = cand
         floor = self.counts.pop(evict)
         self.errs.pop(evict)
         self.counts[item] = floor + weight
         self.errs[item] = floor
+        self._push(item, floor + weight)
 
     def merge(self, other: "SpaceSaving") -> "SpaceSaving":
         """Mergeable-summaries rule: an item missing from one summary is
