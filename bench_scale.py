@@ -189,6 +189,30 @@ def run_scale(spark: SparkSession, scale: int) -> dict[str, float]:
     _noop(cands)
     times["ann_ivf_1k_probes"] = round(time.time() - t0, 2)
     print(f"SCALE x{scale} ann_ivf_1k_probes: {times['ann_ivf_1k_probes']}s", file=sys.stderr)
+
+    # PQ: the scaling-relevant stages are codebook training on a ~20k
+    # hash sample and the full-corpus encode (the shortlist/rerank load
+    # is probe-count-, not corpus-, shaped — covered by the IVF row)
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.pq import pq_encode, train_pq_codebooks
+
+    t0 = time.time()
+    stride = max(1, (BASE_DOCS * scale) // 20_000)
+    sample = np.stack(
+        [
+            r["embedding"]
+            for r in emb.filter(
+                F.pmod(F.xxhash64("vec_id", F.lit(31)), F.lit(stride)) == 0
+            )
+            .select("embedding")
+            .collect()
+        ]
+    ).astype(np.float64)
+    books = train_pq_codebooks(sample, m=32, ksub=16)
+    _noop(pq_encode(emb, books))
+    times["ann_pq_train_encode"] = round(time.time() - t0, 2)
+    print(f"SCALE x{scale} ann_pq_train_encode: {times['ann_pq_train_encode']}s", file=sys.stderr)
     return times
 
 
