@@ -216,11 +216,67 @@ def run_scale(spark: SparkSession, scale: int) -> dict[str, float]:
     return times
 
 
+def gen_edges(spark: SparkSession, m: int) -> DataFrame:
+    """~m draws of a power-law-ish canonical edge list: endpoint =
+    floor(N * u^2) piles degree on low ids (node 0's expected degree is
+    ~2m/sqrt(N) — a genuine hub, far past triangle_count's 1024
+    hub_threshold), N = m/10 nodes."""
+    n_nodes = max(1_000, m // 10)
+    e = spark.range(m)
+    a = F.floor(F.lit(n_nodes) * F.pow(_u(F.col("id"), F.lit(41)), F.lit(2.0))).cast("long")
+    b = F.floor(F.lit(n_nodes) * F.pow(_u(F.col("id"), F.lit(42)), F.lit(2.0))).cast("long")
+    return (
+        e.select(F.least(a, b).alias("src"), F.greatest(a, b).alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+
+
+def run_graphs(spark: SparkSession, edge_counts: list[int]) -> dict:
+    """Graph-operator stress: 12M edges crosses triangle_count's 8M
+    broadcast-adjacency limit, so the salted path-2 join (never reached
+    by the fixtures) runs at its intended scale; PageRank/CC run in
+    their broadcast-ranks / star regimes."""
+    from mapreduce_hw05_spark.operators.graph import (
+        connected_components,
+        pagerank,
+        triangle_count,
+    )
+
+    times: dict = {}
+    for m in edge_counts:
+        path = os.path.join(SCRATCH, "graphs", f"m{m}.parquet")
+        if not os.path.exists(path):
+            gen_edges(spark, m).repartition(32).write.mode("overwrite").parquet(path)
+        edges = spark.read.parquet(path)
+        n_edges = edges.count()
+        row: dict = {"edges": n_edges}
+        for name, fn in (
+            ("triangle_count", lambda e: triangle_count(e)),
+            ("connected_components", lambda e: connected_components(e)),
+            ("pagerank", lambda e: pagerank(e, iterations=10)),
+        ):
+            t0 = time.time()
+            _noop(fn(edges))
+            row[name] = round(time.time() - t0, 2)
+            print(f"GRAPH m{m} {name}: {row[name]}s", file=sys.stderr)
+        times[f"m{m}"] = row
+    return times
+
+
 def main() -> None:
-    scales = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
     from mapreduce_hw05_spark.session import get_spark
 
     spark = get_spark("bench_scale")
+    if "graphs" in sys.argv[1:]:
+        counts = [int(a) for a in sys.argv[1:] if a.isdigit()] or [
+            1_000_000,
+            12_000_000,
+        ]
+        print(json.dumps({"metric": "graph_scale_stress", "unit": "sec",
+                          "graphs": run_graphs(spark, counts)}))
+        return
+    scales = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
     out = {"metric": "weak_scaling_stress", "unit": "sec", "base_docs": BASE_DOCS,
            "scales": {}}
     for scale in scales:
