@@ -163,6 +163,8 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_shard_manifest",
     "q_token_budget_mix",
     "q_quality_filter_per_lang",
+    "q_tpch_q11_important",
+    "q_tpch_q12_priority",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -930,3 +930,110 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape (adapted) — important stock: per-part value above a global
+# fraction-of-total threshold
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_tpch_q11_important",
+    oracle=f"""
+    WITH value_per_part AS (
+        SELECT l_partkey,
+               round(sum({_REV_SQL}), 2) AS part_value
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey IN (0, 1, 2)
+        GROUP BY l_partkey)
+    SELECT l_partkey, part_value
+    FROM value_per_part
+    WHERE part_value > (SELECT round(sum(part_value) * 0.001, 6)
+                        FROM value_per_part)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q_tpch_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape adapted (no partsupp: discounted lineitem revenue
+    through suppliers of three nations plays ps_supplycost*ps_availqty):
+    parts whose value exceeds 0.1% of the filtered total.
+
+    The defining Q11 pattern is a HAVING threshold that is itself an
+    aggregate over the SAME grouped relation. Computed as a window-total
+    over the already-aggregated per-part values (one fact scan, like
+    q_tpch_q15's argmax) rather than a scalar-subquery re-scan. Per-part
+    values round to cents and the threshold to 6 dp on both engines
+    BEFORE the comparison, so the float cut is cross-engine exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin(0, 1, 2)
+    )
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(money(F.sum(_rev())).alias("part_value"))
+    )
+    from pyspark.sql import Window as W
+
+    flagged = per_part.withColumn(
+        "__thr",
+        F.round(F.sum("part_value").over(W.partitionBy()) * 0.001, 6),
+    )
+    return (
+        flagged.filter(F.col("part_value") > F.col("__thr"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 shape (adapted) — shipping-class priority split: conditional
+# two-way counts over a fact⋈fact join
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_tpch_q12_priority",
+    oracle="""
+    SELECT l_linestatus AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'N'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q_tpch_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted (l_linestatus plays shipmode, the
+    ship-year bracket plays the receipt bracket — the fixture has no
+    shipmode/commitdate/receiptdate): per line-status counts of
+    high- vs low-priority order lines shipped in 1996.
+
+    The defining Q12 pattern: BOTH join sides are fact-scale (orders
+    carries the CASE column, lineitem the filters), so this is the one
+    TPC-H join that genuinely shuffles both inputs — no broadcast hint,
+    and the date/returnflag filters reach the lineitem scan so the
+    shuffled probe side is the pruned one. The two-way split is one
+    conditional aggregate, not two passes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "N")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            lng(F.sum(F.when(high, 1).otherwise(0))).alias("high_line_count"),
+            lng(F.sum(F.when(high, 0).otherwise(1))).alias("low_line_count"),
+        )
+    )
