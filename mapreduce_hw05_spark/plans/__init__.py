@@ -165,6 +165,8 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_quality_filter_per_lang",
     "q_tpch_q11_important",
     "q_tpch_q12_priority",
+    "q_frame_sample",
+    "q_resize_images",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

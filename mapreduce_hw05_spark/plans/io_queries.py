@@ -501,3 +501,93 @@ def q_permissive_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("_corrupt_record").cast("int").alias("n_bad"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm-8 (cont.) — multimodal frame sampling and image resize, hex-oracled
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_frame_sample",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, repeat(sha256(text), 4) AS hx
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           substring(hx, CAST(i AS BIGINT) * 32 + 1, 32) AS frame_hex
+    FROM m, UNNEST([0, 2, 4, 6]) AS t(i)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample the video payloads (every 2nd of 8 fixed-size frames)
+    and emit each kept frame as its own row, hex-encoded.
+
+    Drives the ``sample_frames`` mapInPandas explode end-to-end: binary
+    payload + metadata struct in, one row per kept frame out, no shuffle
+    until the final presentation sort. The oracle re-derives every frame's
+    exact bytes at the hex-string level (frame i = hex chars
+    [32·i, 32·i+32) of the repeated sha256), so the Python slicing kernel
+    is value-checked byte-for-byte, not just row-counted.
+    """
+    from mapreduce_hw05_spark.operators.multimodal import (
+        attach_fake_media,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_fake_media(docs), every=2)
+    return (
+        frames.select(
+            "doc_id",
+            "frame_idx",
+            F.lower(F.hex("frame")).alias("frame_hex"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@contract(
+    "q_resize_images",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, repeat(sha256(text), 4) AS hx
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id,
+           CAST(128 AS BIGINT) AS orig_bytes,
+           CAST(64 AS BIGINT) AS resized_bytes,
+           regexp_replace(hx, '(..)(..)', '\\1', 'g') AS resized_hex
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def q_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the image payloads 2× (strided-subsample stand-in for
+    interpolation) and emit the resized bytes hex-encoded.
+
+    Drives the ``resize_images`` kernel: metadata-pruned scan (only
+    image rows reach Python), Arrow-batched decode → stride → re-encode.
+    The oracle computes the same stride in SQL — keep the first byte of
+    every 2-byte group, i.e. drop the second hex pair of every 4 — so
+    the resized payload is compared exactly.
+    """
+    from mapreduce_hw05_spark.operators.multimodal import (
+        attach_fake_media,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(attach_fake_media(docs), factor=2)
+    return (
+        resized.select(
+            "doc_id",
+            "orig_bytes",
+            "resized_bytes",
+            F.lower(F.hex("resized")).alias("resized_hex"),
+        )
+        .orderBy("doc_id")
+    )
