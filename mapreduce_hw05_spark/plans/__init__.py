@@ -167,6 +167,8 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_tpch_q12_priority",
     "q_frame_sample",
     "q_resize_images",
+    "q_band_join_balances",
+    "q_interval_overlap_join",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

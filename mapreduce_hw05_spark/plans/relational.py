@@ -815,3 +815,109 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+# --------------------------------------------------------------------------
+# j-8 (scale path) — bucketized range joins with NO equi key
+# (operators.ranges: band join + interval-overlap join)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_band_join_balances",
+    oracle="""
+    SELECT s_suppkey, c_custkey,
+           round(abs(s_acctbal - c_acctbal), 2) AS bal_gap
+    FROM supplier JOIN customer ON abs(s_acctbal - c_acctbal) <= 0.5
+    ORDER BY s_suppkey, c_custkey
+    """,
+)
+def q_band_join_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier/customer pairs with near-equal account balances
+    (|Δ| ≤ 0.5) — a band join with NO equi key to carry it.
+
+    The naive predicate join plans as BroadcastNestedLoopJoin
+    (O(n·m) compares, mandatory broadcast); this goes through
+    ``operators.ranges.band_join``: both sides bucketize on
+    floor(balance / band), equi-join on the bucket id (an ordinary
+    AQE-visible hash exchange), and the exact |Δ| ≤ band residual
+    filters in codegen. Provably exact and duplicate-free — the build
+    row owns one bucket, so no distinct pass. The plan audit asserts
+    the nested-loop is gone (tests/test_ranges.py).
+    """
+    from mapreduce_hw05_spark.operators.ranges import band_join
+
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = band_join(supp, cust, "s_acctbal", "c_acctbal", 0.5)
+    return (
+        joined.select(
+            "s_suppkey",
+            "c_custkey",
+            money(F.abs(F.col("s_acctbal") - F.col("c_acctbal"))).alias(
+                "bal_gap"
+            ),
+        )
+        .orderBy("s_suppkey", "c_custkey")
+    )
+
+
+@contract(
+    "q_interval_overlap_join",
+    oracle="""
+    SELECT strftime(qs, '%Y-%m-%d') AS quarter_start,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                        TIMESTAMP '2001-10-01',
+                                        INTERVAL 3 MONTH)) AS qs) q
+      ON o.o_orderdate < qs + INTERVAL 3 MONTH
+     AND qs < o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY qs
+    ORDER BY quarter_start
+    """,
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per calendar quarter, how many 7-day order-fulfilment windows
+    touch it — an interval-overlap join between two interval sets with
+    no equi key.
+
+    Goes through ``operators.ranges.interval_overlap_join`` on epoch
+    seconds with 7-day buckets: each order window explodes into ≤ 2
+    buckets, each ~91-day quarter into ~14; the join is an equi hash
+    join on the bucket id and each overlapping pair is kept exactly
+    once (first-shared-bucket rule), so the quarterly counts need no
+    dedup. The 100-TB shape for time-range correlation when neither
+    side shares a key — e.g. outage windows × request spans.
+    """
+    from mapreduce_hw05_spark.operators.ranges import interval_overlap_join
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .withColumn("os_sec", F.col("o_orderdate").cast("long"))
+        .withColumn("oe_sec", F.col("os_sec") + 7 * 86400)
+    )
+    quarters = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("1995-01-01").cast("timestamp"),
+                    F.lit("2001-10-01").cast("timestamp"),
+                    F.expr("INTERVAL 3 MONTHS"),
+                )
+            ).alias("qs")
+        )
+        .withColumn("qe", F.expr("qs + INTERVAL 3 MONTHS"))
+        .withColumn("qs_sec", F.col("qs").cast("long"))
+        .withColumn("qe_sec", F.col("qe").cast("long"))
+    )
+    joined = interval_overlap_join(
+        orders, quarters, "os_sec", "oe_sec", "qs_sec", "qe_sec", 7 * 86400
+    )
+    return (
+        joined.groupBy(F.date_format("qs", "yyyy-MM-dd").alias("quarter_start"))
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("quarter_start")
+    )
