@@ -169,6 +169,7 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_resize_images",
     "q_band_join_balances",
     "q_interval_overlap_join",
+    "q_bm25_topk",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -249,3 +249,76 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(it, int(c)) for it, c, _err in merged.top(20)],
         "token string, n_occurrences long",
     )
+
+
+# --------------------------------------------------------------------------
+# llm-1 (ext) — BM25 ranked retrieval over the inverted index
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_bm25_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), doc_len AS (
+        SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avg_dl FROM doc_len
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM toks WHERE token IN ('dup', 'join', 'scan')
+        GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, count(*) AS df FROM tf GROUP BY token
+    )
+    SELECT tf.doc_id,
+           round(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2
+               / (tf + 1.2 * (0.25 + 0.75 * dl / avg_dl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df USING (token)
+    JOIN doc_len USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 (Lucene idf variant, k1=1.2, b=0.75) for
+    the fixed query {dup, join, scan} — ranked retrieval over the same
+    token model as q_inverted_index / q_tfidf_top_terms.
+
+    Scale shape: postings for the query terms only (the term filter
+    reaches the token explode), one doc-keyed join against the doc-length
+    table, per-doc sum over ≤ |query| terms, and a TakeOrdered top-20.
+    The per-term df table and the two corpus scalars (n_docs, avg_dl —
+    one aggregate job, inlined as literals) broadcast trivially. Scores
+    round to 6 dp on both engines before the cut; doc_id breaks ties.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id")
+    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs, avg_dl = doc_len.agg(
+        F.count("*").cast("double"), F.avg("dl")
+    ).collect()[0]
+    tf = (
+        toks.filter(F.col("token").isin("dup", "join", "scan"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(avg_dl))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(doc_len, "doc_id")
+        .groupBy("doc_id")
+        .agg(ratio(F.sum(idf * F.col("tf") * 2.2 / denom)).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
