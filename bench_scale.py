@@ -264,10 +264,64 @@ def run_graphs(spark: SparkSession, edge_counts: list[int]) -> dict:
     return times
 
 
+def run_ranges(spark, row_counts: list[int]) -> dict:
+    """Key-less range joins at sizes where the nested-loop plan Catalyst
+    would otherwise pick is O(n·m)-infeasible (PERF.md: 1 M × 1 M is
+    ~10¹² compares). Deterministic congruential values; output volume
+    scales linearly with input, wall-clock should stay flat-to-linear."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_hw05_spark.operators.ranges import (
+        band_join,
+        interval_overlap_join,
+    )
+
+    times: dict = {}
+    for n in row_counts:
+        left = spark.range(n).select(
+            F.col("id").alias("lid"),
+            ((F.col("id") * 2654435761) % n).cast("double").alias("lv"),
+        )
+        right = spark.range(n).select(
+            F.col("id").alias("rid"),
+            ((F.col("id") * 2246822519) % n).cast("double").alias("rv"),
+        )
+        t0 = time.time()
+        pairs = band_join(left, right, "lv", "rv", 1.0).count()
+        band_s = round(time.time() - t0, 2)
+
+        ileft = spark.range(n).select(
+            F.col("id").alias("lid"), ((F.col("id") * 2654435761) % n).alias("ls")
+        ).withColumn("le", F.col("ls") + 60)
+        iright = spark.range(n // 100).select(
+            F.col("id").alias("rid"), ((F.col("id") * 97) % n).alias("rs")
+        ).withColumn("re", F.col("rs") + 3600)
+        t0 = time.time()
+        ipairs = interval_overlap_join(
+            ileft, iright, "ls", "le", "rs", "re", 3600
+        ).count()
+        interval_s = round(time.time() - t0, 2)
+        times[f"n{n}"] = {
+            "band_pairs": pairs, "band_sec": band_s,
+            "interval_pairs": ipairs, "interval_sec": interval_s,
+        }
+        print(f"RANGES n{n}: band {band_s}s ({pairs} pairs), "
+              f"interval {interval_s}s ({ipairs} pairs)", file=sys.stderr)
+    return times
+
+
 def main() -> None:
     from mapreduce_hw05_spark.session import get_spark
 
     spark = get_spark("bench_scale")
+    if "ranges" in sys.argv[1:]:
+        counts = [int(a) for a in sys.argv[1:] if a.isdigit()] or [
+            100_000,
+            1_000_000,
+        ]
+        print(json.dumps({"metric": "range_join_scale_stress", "unit": "sec",
+                          "ranges": run_ranges(spark, counts)}))
+        return
     if "graphs" in sys.argv[1:]:
         counts = [int(a) for a in sys.argv[1:] if a.isdigit()] or [
             1_000_000,

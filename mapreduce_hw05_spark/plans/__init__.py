@@ -170,6 +170,7 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_band_join_balances",
     "q_interval_overlap_join",
     "q_bm25_topk",
+    "q_stream_band_join",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

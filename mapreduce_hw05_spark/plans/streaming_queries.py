@@ -1316,3 +1316,68 @@ def q_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "event_type string, n_events long, cms_equals_exact boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# st-8 (ext) — stream-stream KEY-LESS band join (bucketized range join,
+# streaming form of operators.ranges.band_join)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_stream_band_join",
+    oracle="""
+    WITH c AS (
+        SELECT ts, event_id, value FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT ts, event_id, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(c.ts) AS click_ts_us,
+           round(abs(p.value - c.value), 6) AS value_gap
+    FROM p JOIN c
+      ON abs(p.value - c.value) <= 2.0
+     AND c.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts
+    """,
+)
+def q_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases matched to clicks of near-equal value (|Δ| ≤ 2.0) in
+    the trailing two hours, executed BY THE STREAMING ENGINE over a
+    3-chunk replay — with NO shared key to carry the join.
+
+    Spark rejects a stream-stream join without an equality predicate
+    (the symmetric hash join needs a state key), so the bucketized
+    range-join rewrite is mandatory here, not just faster: click state
+    keys on floor(value/band), each purchase probes its ≤ 3 reachable
+    buckets via a stateless explode, and the exact band + event-time
+    residual filters matches. Hash-checked against the batch inequality
+    join oracle — the unified-semantics guarantee, duplicate-free
+    because a pair meets only in the click's home bucket.
+    """
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_sbj_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 3), root)
+    name = "sbj_" + uuid.uuid4().hex[:8]
+    with _replay_state_partitions(spark, replay):
+        query = (
+            ops.band_join_clicks_purchases(replay.stream())
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    result = spark.createDataFrame(
+        spark.table(name).collect(), schema=spark.table(name).schema
+    )
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(root, ignore_errors=True)
+    return result

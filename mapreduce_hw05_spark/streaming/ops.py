@@ -135,6 +135,71 @@ def interval_join_clicks_purchases(
     )
 
 
+def band_join_clicks_purchases(
+    events: DataFrame,
+    band: float = 2.0,
+    bucket_width: float | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream KEY-LESS band join: each purchase matched to clicks
+    of near-equal value (|Δvalue| ≤ band) in the preceding two hours —
+    no shared key carries the join.
+
+    Spark refuses a stream-stream join with no equality predicate (the
+    symmetric hash join needs a state key), so this is the streaming
+    form of ``operators.ranges.band_join``: the click side keeps its
+    single home bucket ``floor(value / w)``, the purchase side explodes
+    into the ≤ 3 buckets its band can reach (a stateless projection),
+    the join keys state on the bucket id, and the exact |Δ| ≤ band
+    residual plus the event-time bound filter the matches. A qualifying
+    pair meets only in the click's home bucket, so no dedup is needed.
+    Click state is evicted once the watermark passes c_ts + 2 h + delay,
+    exactly like the keyed interval join.
+    """
+    w = float(bucket_width if bucket_width is not None else band)
+    wm = events.withWatermark("ts", watermark)
+    clicks = wm.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("c_value"),
+        F.floor(F.col("value") / w).cast("long").alias("c_bucket"),
+    )
+    purchases = (
+        wm.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("p_value"),
+        )
+        .withColumn(
+            "p_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("p_value") - band) / w).cast("long"),
+                    F.floor((F.col("p_value") + band) / w).cast("long"),
+                )
+            ),
+        )
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"p_bucket = c_bucket AND "
+            f"abs(p_value - c_value) <= {band} AND "
+            f"c_ts BETWEEN p_ts - INTERVAL 2 HOURS AND p_ts"
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+        F.round(F.abs(F.col("p_value") - F.col("c_value")), 6).alias(
+            "value_gap"
+        ),
+    )
+
+
 # ------------------------------------------------------------------- st-7
 
 
