@@ -314,3 +314,43 @@ def test_near_dup_filter_invariant_to_chunking_with_redelivery(
         ).collect()
     }
     assert admitted == expect, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_stream_band_join_invariant_to_chunking(spark, events, seed):
+    """Key-less stream-stream band join: every (purchase, near-value
+    click in the trailing 2 h) match exactly once regardless of batch
+    boundaries. On top of the interval-join retention property, this
+    checks the bucket-explode probe side — a purchase probing 3 buckets
+    must not double-emit a pair even when its probe rows land in the
+    same micro-batch as the click's state insert."""
+    got = replay_through(
+        spark,
+        random_chunks(events, "ts", seed),
+        ops.band_join_clicks_purchases,
+        "append",
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("c_value"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("p_value"),
+    )
+    expect = purchases.join(
+        clicks,
+        F.expr(
+            "abs(p_value - c_value) <= 2.0 "
+            "AND c_ts BETWEEN p_ts - INTERVAL 2 HOURS AND p_ts"
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+        F.round(F.abs(F.col("p_value") - F.col("c_value")), 6).alias("value_gap"),
+    )
+    assert as_sorted_rows(got) == as_sorted_rows(expect), f"seed={seed}"
