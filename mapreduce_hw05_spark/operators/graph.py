@@ -483,3 +483,110 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
         prev_sum = new_sum
     sym.unpersist()
     return labels
+
+
+def cooccurrence_edges_support(lineitem: DataFrame, min_orders: int = 2) -> DataFrame:
+    """Support-thresholded co-purchase edges WITH their support count:
+    ``(src, dst, n_shared)``, canonical src < dst. Same keyed self-join as
+    :func:`cooccurrence_edges_min_support`; callers derive edge weights
+    from ``n_shared`` (e.g. cheap-for-strong-ties travel costs)."""
+    a = lineitem.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = lineitem.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_orders)
+    )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label propagation (community detection) → (node, label).
+
+    Labels start as node ids; each round every node adopts the most
+    frequent label among its in-neighbors, ties broken by the MINIMUM
+    label — fully deterministic, so a fixed round count is a cross-engine
+    contract surface (asynchronous/randomized LPA variants are not).
+    ``edges`` is directed (src, dst); pass :func:`undirected` first for the
+    usual symmetric semantics. Nodes with no in-edges keep their label.
+
+    Scale: the moving state is NODE-sized; per round the label table joins
+    edges on src (broadcast under the node limit shared with PageRank) and
+    the (dst, label) frequency count is a partial-aggregate-friendly
+    shuffle bounded by the edge count. The argmax is max(struct(count,
+    -label)) — a two-level aggregate, never a window sort over the edge
+    list.
+    """
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    bcast = nodes.count() <= _PAGERANK_BROADCAST_NODE_LIMIT
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    for _ in range(rounds):
+        moving = F.broadcast(labels) if bcast else labels
+        best = (
+            edges.join(moving, edges.src == moving["node"])
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("c"))
+            .groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select(F.col("dst").alias("node"), (-F.col("m.nl")).alias("label"))
+        )
+        labels = (
+            labels.select("node", F.col("label").alias("__old"))
+            .join(F.broadcast(best) if bcast else best, "node", "left")
+            .select("node", F.coalesce("label", "__old").alias("label"))
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    return labels
+
+
+def sssp(edges: DataFrame, seeds: DataFrame, rounds: int = 6) -> DataFrame:
+    """Bellman–Ford single/multi-source shortest paths → (node, dist).
+
+    ``edges`` is directed weighted ``(src, dst, w)`` (integer weights keep
+    the contract engine-exact); ``seeds`` is a one-column ``node`` frame
+    at distance 0. Each round relaxes every edge out of the currently
+    reached set and keeps the per-node MIN — after k rounds distances are
+    exact for all shortest paths of ≤ k edges, so a fixed round count is
+    deterministic (the classic Pregel SSSP; contrast with
+    :func:`bfs_hops`, which counts hops and never revisits a node).
+
+    Scale: the distance table is node-sized and broadcast under the
+    shared node limit; each round shuffles only the relaxed candidates
+    (edge-bounded) into a partial-aggregated min.
+    """
+    edges = edges.persist()
+    bcast = (
+        edges.select(F.col("dst").alias("node")).distinct().count()
+        <= _PAGERANK_BROADCAST_NODE_LIMIT
+    )
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        moving = F.broadcast(dist) if bcast else dist
+        relaxed = edges.join(moving, edges.src == moving["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    return dist

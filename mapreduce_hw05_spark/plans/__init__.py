@@ -171,6 +171,8 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_interval_overlap_join",
     "q_bm25_topk",
     "q_stream_band_join",
+    "q_label_propagation",
+    "q_sssp_cheapest",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -317,3 +317,164 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     degrees = endpoints.groupBy("node").agg(F.count("*").alias("degree"))
     return degrees.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+# --------------------------------------------------------------------------
+# g-7 (ext) — label propagation communities (synchronous, deterministic)
+# --------------------------------------------------------------------------
+
+
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """Unroll synchronous LPA as one CTE per round.
+
+    Per round: count neighbor labels per node, keep the max-frequency
+    label(s), take the minimum — exactly the engine's deterministic
+    tie-break, expressed as window-filter + min instead of max(struct).
+    """
+    parts = [
+        """
+    WITH pairs AS (
+        SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), edges AS (
+        SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ), l0 AS (
+        SELECT DISTINCT src AS node, src AS label FROM edges
+    )"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""", l{i + 1} AS (
+        SELECT dst AS node, min(label) AS label FROM (
+            SELECT e.dst, l.label, count(*) AS c,
+                   max(count(*)) OVER (PARTITION BY e.dst) AS mc
+            FROM edges e JOIN l{i} l ON e.src = l.node
+            GROUP BY e.dst, l.label
+        ) WHERE c = mc GROUP BY dst
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(label AS BIGINT) AS community,
+           count(*) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS node_checksum
+    FROM l{rounds} GROUP BY label
+    """
+    )
+    return "".join(parts)
+
+
+@contract("q_label_propagation", oracle=_lpa_oracle_sql())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities after 4 synchronous LPA rounds on the support-≥2
+    co-purchase graph (most-frequent neighbor label, min-label ties).
+
+    Synchronous + min-tie-break makes LPA — normally a randomized
+    heuristic — a deterministic cross-engine surface. The engine argmaxes
+    with a two-level aggregate (max over (count, -label) structs, partial
+    aggregation map-side); the oracle unrolls the identical recurrence as
+    window-filtered CTEs. Different argmax mechanics, same fixpoint
+    prefix.
+    """
+    from mapreduce_hw05_spark.operators.graph import (
+        cooccurrence_edges_min_support,
+        label_propagation,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    labels = label_propagation(
+        undirected(cooccurrence_edges_min_support(li, 2)), rounds=4
+    )
+    return labels.groupBy(lng(F.col("label")).alias("community")).agg(
+        F.count("*").alias("n_nodes"),
+        lng(F.sum("node")).alias("node_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# g-8 (ext) — weighted shortest paths (Bellman–Ford relaxation rounds)
+# --------------------------------------------------------------------------
+
+
+def _sssp_oracle_sql(rounds: int = 6) -> str:
+    """Unroll Bellman–Ford as one min-merge CTE per relaxation round.
+
+    Integer travel costs (11 − min(support, 10): strong co-purchase ties
+    are cheap) keep every distance exact on both engines.
+    """
+    parts = [
+        """
+    WITH pairs AS (
+        SELECT l1.l_partkey AS src, l2.l_partkey AS dst, count(*) AS ns
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), edges AS (
+        SELECT src, dst, 11 - least(ns, 10) AS w FROM pairs
+        UNION ALL
+        SELECT dst, src, 11 - least(ns, 10) FROM pairs
+    ), d0 AS (
+        SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+        FROM edges WHERE src % 97 = 0
+    )"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""", d{i + 1} AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d{i}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + e.w AS dist
+            FROM d{i} d JOIN edges e ON e.src = d.node
+        ) GROUP BY node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(dist AS BIGINT) AS dist,
+           count(*) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS node_checksum
+    FROM d{rounds} GROUP BY dist
+    """
+    )
+    return "".join(parts)
+
+
+@contract("q_sssp_cheapest", oracle=_sssp_oracle_sql())
+def q_sssp_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest-path distances from the partkey%97 seed set after 6
+    Bellman–Ford rounds over integer-weighted co-purchase edges, grouped
+    into a (dist → node count, checksum) profile.
+
+    Complements q_khop_reach (hop-counting frontier BFS that never
+    revisits): relaxation CAN improve an already-reached node through a
+    cheaper longer path, which the fixture exercises (weights 1–9 vs hop
+    count). Fixed rounds ⇒ exact for all ≤6-edge shortest paths on both
+    engines.
+    """
+    from mapreduce_hw05_spark.operators.graph import (
+        cooccurrence_edges_support,
+        sssp,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ew = cooccurrence_edges_support(li, 2).withColumn(
+        "w", F.lit(11) - F.least(F.col("n_shared"), F.lit(10))
+    )
+    sym = ew.select("src", "dst", "w").union(
+        ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    seeds = (
+        sym.select(F.col("src").alias("node"))
+        .filter(F.col("node") % 97 == 0)
+        .distinct()
+    )
+    dist = sssp(sym, seeds, rounds=6)
+    return dist.groupBy(lng(F.col("dist")).alias("dist")).agg(
+        F.count("*").alias("n_nodes"),
+        lng(F.sum("node")).alias("node_checksum"),
+    )

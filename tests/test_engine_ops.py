@@ -1500,3 +1500,74 @@ def test_pq_exact_rerank_matches_bruteforce(spark):
 
     for (a, b), s in got.items():
         assert abs(s - cos(a, b)) < 1e-12
+
+
+# --------------------------------------------------------- g-7/g-8 lpa/sssp
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Two 5-cliques joined by one bridge edge settle into exactly two
+    communities (each clique's min id) under synchronous min-tie LPA —
+    and the bridge must not merge them."""
+    from mapreduce_hw05_spark.operators.graph import (
+        label_propagation,
+        undirected,
+    )
+
+    clique = lambda lo: [  # noqa: E731
+        (lo + i, lo + j) for i in range(5) for j in range(i + 1, 5)
+    ]
+    edges = spark.createDataFrame(
+        clique(0) + clique(5) + [(4, 5)], "src long, dst long"
+    )
+    labels = {
+        r["node"]: r["label"]
+        for r in label_propagation(undirected(edges), rounds=4).collect()
+    }
+    assert {n: labels[n] for n in range(5)} == {n: 0 for n in range(5)}
+    assert {n: labels[n] for n in range(5, 10)} == {n: 5 for n in range(5, 10)}
+
+
+def test_label_propagation_no_in_edges_keeps_own_label(spark):
+    """On the directed edge 1→2, node 1 has no in-neighbors and must keep
+    its own label while 2 adopts 1's."""
+    from mapreduce_hw05_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    labels = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    assert labels == {1: 1, 2: 1}
+
+
+def test_sssp_prefers_cheaper_longer_path(spark):
+    """Relaxation must route around an expensive direct edge: A→B costs
+    10 direct but 3 via A→C→D→B, and SSSP (unlike hop-BFS, which freezes
+    a node at first visit) must report 3."""
+    from mapreduce_hw05_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [(0, 9, 10), (0, 1, 1), (1, 2, 1), (2, 9, 1)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    dist = {r["node"]: r["dist"] for r in sssp(edges, seeds, rounds=6).collect()}
+    assert dist == {0: 0, 1: 1, 2: 2, 9: 3}
+
+
+def test_sssp_round_cap_bounds_path_length(spark):
+    """After k rounds only ≤k-edge shortest paths are final: with
+    rounds=1 the direct cost-10 edge wins; unreachable nodes never
+    appear."""
+    from mapreduce_hw05_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [(0, 9, 10), (0, 1, 1), (1, 2, 1), (2, 9, 1), (50, 51, 1)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    one = {r["node"]: r["dist"] for r in sssp(edges, seeds, rounds=1).collect()}
+    assert one == {0: 0, 1: 1, 9: 10}
+    full = {r["node"]: r["dist"] for r in sssp(edges, seeds, rounds=6).collect()}
+    assert 51 not in full and 50 not in full
