@@ -173,6 +173,8 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_stream_band_join",
     "q_label_propagation",
     "q_sssp_cheapest",
+    "q_nb_classify",
+    "q_ewma_hourly",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -508,3 +508,105 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# Naive Bayes language classifier — train on 4/5 of the corpus, score the
+# held-out fifth, report the actual×predicted confusion matrix
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_nb_classify",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), train AS (
+        SELECT * FROM toks WHERE doc_id % 5 <> 0
+    ), vocab AS (
+        SELECT DISTINCT token FROM train
+    ), vsize AS (
+        SELECT count(*) AS v FROM vocab
+    ), class_docs AS (
+        SELECT lang, count(DISTINCT doc_id) AS nd FROM train GROUP BY lang
+    ), ndocs AS (
+        SELECT sum(nd) AS n FROM class_docs
+    ), tok_counts AS (
+        SELECT lang, token, count(*) AS c FROM train GROUP BY lang, token
+    ), class_tokens AS (
+        SELECT lang, sum(c) AS nt FROM tok_counts GROUP BY lang
+    ), priors AS (
+        SELECT cd.lang,
+               ln(cd.nd * 1.0 / (SELECT n FROM ndocs)) AS log_prior,
+               ln(1.0 / (ct.nt + (SELECT v FROM vsize))) AS default_ll
+        FROM class_docs cd JOIN class_tokens ct ON cd.lang = ct.lang
+    ), lik AS (
+        SELECT tc.lang, tc.token,
+               ln((tc.c + 1.0) / (ct.nt + (SELECT v FROM vsize))) AS ll
+        FROM tok_counts tc JOIN class_tokens ct ON tc.lang = ct.lang
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS f
+        FROM toks WHERE doc_id % 5 = 0
+        GROUP BY doc_id, token
+    ), tf_known AS (
+        SELECT * FROM tf WHERE token IN (SELECT token FROM vocab)
+    ), scores AS (
+        SELECT t.doc_id, p.lang,
+               p.log_prior + sum(t.f * coalesce(l.ll, p.default_ll)) AS score
+        FROM tf_known t
+        CROSS JOIN priors p
+        LEFT JOIN lik l ON l.lang = p.lang AND l.token = t.token
+        GROUP BY t.doc_id, p.lang, p.log_prior
+    ), pred AS (
+        SELECT doc_id, lang AS pred
+        FROM scores
+        QUALIFY row_number()
+            OVER (PARTITION BY doc_id ORDER BY round(score, 6) DESC, lang) = 1
+    )
+    SELECT d.lang, p.pred, count(*) AS n_docs,
+           CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
+    FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY d.lang, p.pred
+    """,
+)
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language ID: fit on docs with
+    doc_id %5 ≠ 0 (Laplace α=1), score the held-out fifth, emit the
+    actual×predicted confusion matrix with an exact id checksum.
+
+    The fastText-shaped classify stage of a pretraining pipeline run as
+    two token-stream aggregates plus a broadcast model join
+    (operators.naive_bayes). Per-class scores are argmaxed on
+    round(score, 6) with the class label as tiebreak — the same
+    round-before-order discipline as q_pagerank — so the emitted matrix
+    is integers only. Documents whose tokens are all out-of-vocabulary
+    drop out identically on both engines.
+    """
+    from pyspark.sql import Window
+
+    from mapreduce_hw05_spark.operators.naive_bayes import nb_fit, nb_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = tokenize(
+        docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id", "lang"
+    ).select("doc_id", F.col("lang").alias("label"), "token")
+    priors, lik = nb_fit(train)
+    test = tokenize(docs.filter(F.col("doc_id") % 5 == 0), "text", "doc_id")
+    scores = nb_score(test, priors, lik)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("label")
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("label").alias("pred"))
+    )
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            lng(F.sum("doc_id")).alias("id_checksum"),
+        )
+    )

@@ -1571,3 +1571,42 @@ def test_sssp_round_cap_bounds_path_length(spark):
     assert one == {0: 0, 1: 1, 9: 10}
     full = {r["node"]: r["dist"] for r in sssp(edges, seeds, rounds=6).collect()}
     assert 51 not in full and 50 not in full
+
+
+# ------------------------------------------------------------- naive bayes
+
+
+def test_naive_bayes_learns_smooths_and_drops_oov(spark):
+    """Hand-checkable NB: class 'a' is x-heavy, 'b' is z-heavy; a doc of
+    x's must score 'a', z's must score 'b', a never-seen-in-class token
+    must go through the default (smoothed) likelihood rather than -inf,
+    and an all-OOV doc must be absent from the scores."""
+    import math
+
+    from mapreduce_hw05_spark.operators.naive_bayes import nb_fit, nb_score
+
+    train = spark.createDataFrame(
+        [(1, "a", t) for t in ["x", "x", "y"]]
+        + [(2, "b", t) for t in ["z", "z", "y"]],
+        "doc_id long, label string, token string",
+    )
+    priors, lik = nb_fit(train)
+    probe = spark.createDataFrame(
+        [(10, "x"), (10, "x"), (11, "z"), (12, "q")],
+        "doc_id long, token string",
+    )
+    scores = {
+        (r["doc_id"], r["label"]): r["score"]
+        for r in nb_score(probe, priors, lik).collect()
+    }
+    assert scores[(10, "a")] > scores[(10, "b")]
+    assert scores[(11, "b")] > scores[(11, "a")]
+    assert 12 not in {d for d, _ in scores}  # all-OOV doc dropped
+    # V=3, class a: x count 2 of nt=3 → ll = ln(3/6); prior = ln(1/2)
+    assert math.isclose(
+        scores[(10, "a")], math.log(0.5) + 2 * math.log(3 / 6), rel_tol=1e-12
+    )
+    # class b never saw x → default ll = ln(1/6) per occurrence
+    assert math.isclose(
+        scores[(10, "b")], math.log(0.5) + 2 * math.log(1 / 6), rel_tol=1e-12
+    )
