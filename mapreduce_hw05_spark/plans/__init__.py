@@ -175,6 +175,8 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_sssp_cheapest",
     "q_nb_classify",
     "q_ewma_hourly",
+    "q_ab_test_stats",
+    "q_anomaly_hours",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

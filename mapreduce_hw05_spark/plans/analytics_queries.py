@@ -568,3 +568,203 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         ratio(F.col("rev") / F.lag("rev").over(w) - 1).alias("mom_growth"),
     )
+
+
+# --------------------------------------------------------------------------
+# an-13 (ext) — A/B experiment readout (two-proportion z-test, bit-exact)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_ab_test_stats",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS variant,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) >= 10
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ), arms AS (
+        SELECT variant,
+               count(*) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted
+        FROM per_user GROUP BY variant
+    ), wide AS (
+        SELECT
+            max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+            max(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+            max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+            max(CASE WHEN variant = 1 THEN n_converted END) AS c1
+        FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           CAST(c0 AS DOUBLE) / n0 AS p0,
+           CAST(c1 AS DOUBLE) / n1 AS p1,
+           CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+               (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+               / sqrt(
+                   (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                   * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                   * (1.0 / n0 + 1.0 / n1)
+               )
+           END AS z
+    FROM wide
+    """,
+)
+def q_ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test readout of a hash-split experiment
+    (variant = user_id % 2, conversion = ≥10 purchase events — the
+    fixture's any-purchase rate saturates at 100 %, which would zero the
+    pooled variance) — the standard A/B decision statistic, emitted
+    bit-exactly; z is NULL when the pooled rate is degenerate (0 or 1).
+
+    Exactness: the arms reduce to four exact integers; every double after
+    that is a single-op chain (divide / subtract / multiply / sqrt) on
+    identical inputs, and IEEE arithmetic incl. sqrt is correctly rounded
+    on both engines — so even the z statistic needs no rounding. One
+    groupBy(user) + one 2-row aggregate + a 1-row pivot; at 100 TB the
+    user aggregate is the only real shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 10
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    arms = per_user.groupBy(
+        (F.col("user_id") % 2).cast("long").alias("variant")
+    ).agg(
+        F.count("*").alias("n_users"),
+        lng(F.sum("converted")).alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pool = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    conv = F.col("c0") + F.col("c1")
+    total = F.col("n0") + F.col("n1")
+    z = F.when(
+        (conv > 0) & (conv < total),
+        (p1 - p0)
+        / F.sqrt(
+            pool
+            * (F.lit(1.0) - pool)
+            * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+        ),
+    )
+    return wide.select(
+        "n0", "c0", "n1", "c1", p0.alias("p0"), p1.alias("p1"), z.alias("z")
+    )
+
+
+# --------------------------------------------------------------------------
+# an-14 (ext) — trailing-baseline anomaly detection on the hourly series
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_anomaly_hours",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT)
+                   AS hour_epoch,
+               CAST(sum(floor(value * 1000)) AS BIGINT) AS s,
+               CAST(sum(floor(value * 1000) * floor(value * 1000))
+                    AS BIGINT) AS s2,
+               count(*) AS n
+        FROM events GROUP BY event_type, hour_epoch
+    ), base AS (
+        SELECT event_type, hour_epoch, s, s2, n,
+               CAST(sum(s)  OVER w AS DOUBLE) AS bs,
+               CAST(sum(s2) OVER w AS DOUBLE) AS bs2,
+               CAST(sum(n)  OVER w AS DOUBLE) AS bn,
+               CAST(count(*) OVER w AS BIGINT) AS bh
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ), scored AS (
+        SELECT event_type, hour_epoch,
+               CASE WHEN
+                   (CAST(s AS DOUBLE) / n - bs / bn)
+                   * (CAST(s AS DOUBLE) / n - bs / bn) * n
+                   > 9 * ((bs2 - bs * bs / bn) / bn)
+               THEN 1 ELSE 0 END AS flagged
+        FROM base WHERE bh >= 8
+    )
+    SELECT event_type,
+           count(*) AS n_scored,
+           CAST(sum(flagged) AS BIGINT) AS n_anomalies,
+           CAST(sum(CASE WHEN flagged = 1 THEN hour_epoch END) AS BIGINT)
+               AS anomaly_checksum
+    FROM scored GROUP BY event_type
+    """,
+)
+def q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose mean event value z-scores past ±3 against a trailing
+    24-hour pooled baseline (≥8 baseline hours required) — the on-call
+    metrics-anomaly sweep, emitted as exact per-type counts.
+
+    Bit-exact discipline as q_ewma_hourly: per-hour Σv and Σv² over
+    millisecond-quantized values are order-free BIGINTs, the trailing
+    window sums integers, and the z² comparison n·(m−μ)² > 9σ² is a
+    single-op double chain on identical inputs — no sqrt, no division by
+    a possibly-zero σ, no rounding. The Σv² BIGINT is exact to ~3e18;
+    at larger per-window volumes drop the quantization to centiunits or
+    widen to DECIMAL(38) on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v_ms = F.floor(F.col("value") * 1000)
+    hourly = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+    ).agg(
+        F.sum(v_ms).cast("long").alias("s"),
+        F.sum(v_ms * v_ms).cast("long").alias("s2"),
+        F.count("*").alias("n"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(-24, -1)
+    )
+    base = hourly.select(
+        "event_type",
+        "hour_epoch",
+        "s",
+        "s2",
+        "n",
+        F.sum("s").over(w).cast("double").alias("bs"),
+        F.sum("s2").over(w).cast("double").alias("bs2"),
+        F.sum("n").over(w).cast("double").alias("bn"),
+        F.count("*").over(w).cast("long").alias("bh"),
+    ).filter(F.col("bh") >= 8)
+    m = F.col("s").cast("double") / F.col("n")
+    mu = F.col("bs") / F.col("bn")
+    var = (F.col("bs2") - F.col("bs") * F.col("bs") / F.col("bn")) / F.col(
+        "bn"
+    )
+    scored = base.select(
+        "event_type",
+        "hour_epoch",
+        ((m - mu) * (m - mu) * F.col("n") > F.lit(9.0) * var)
+        .cast("int")
+        .alias("flagged"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_scored"),
+        lng(F.sum("flagged")).alias("n_anomalies"),
+        lng(F.sum(F.when(F.col("flagged") == 1, F.col("hour_epoch")))).alias(
+            "anomaly_checksum"
+        ),
+    )

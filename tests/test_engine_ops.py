@@ -1610,3 +1610,37 @@ def test_naive_bayes_learns_smooths_and_drops_oov(spark):
     assert math.isclose(
         scores[(10, "b")], math.log(0.5) + 2 * math.log(1 / 6), rel_tol=1e-12
     )
+
+
+# --------------------------------------------------------- anomaly detector
+
+
+def test_anomaly_hours_flags_injected_spike(spark, tmp_path):
+    """A flat 40-hour series with one 10x spike hour must flag exactly
+    that hour — and a fully flat series must flag nothing (zero variance
+    never divides or fires)."""
+    import datetime as dt
+
+    from mapreduce_hw05_spark.plans import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(40):
+        v = 500.0 if h == 30 else 50.0
+        for i in range(10):
+            rows.append(
+                (h * 10 + i, base + dt.timedelta(hours=h, minutes=i), 1, "click", v, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["q_anomaly_hours"](spark, str(tmp_path)).collect()
+    }
+    spike_epoch = int((base + dt.timedelta(hours=30)).replace(
+        tzinfo=dt.timezone.utc).timestamp())
+    assert out["click"]["n_anomalies"] == 1
+    assert out["click"]["anomaly_checksum"] == spike_epoch
