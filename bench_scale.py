@@ -239,9 +239,21 @@ def run_graphs(spark: SparkSession, edge_counts: list[int]) -> dict:
     their broadcast-ranks / star regimes."""
     from mapreduce_hw05_spark.operators.graph import (
         connected_components,
+        label_propagation,
         pagerank,
+        sssp,
         triangle_count,
+        undirected,
     )
+
+    def _sssp(e: DataFrame) -> DataFrame:
+        sym = undirected(e).withColumn("w", F.lit(1) + F.col("dst") % 9)
+        seeds = (
+            sym.select(F.col("src").alias("node"))
+            .filter(F.col("node") % 97 == 0)
+            .distinct()
+        )
+        return sssp(sym, seeds, rounds=6)
 
     times: dict = {}
     for m in edge_counts:
@@ -255,6 +267,8 @@ def run_graphs(spark: SparkSession, edge_counts: list[int]) -> dict:
             ("triangle_count", lambda e: triangle_count(e)),
             ("connected_components", lambda e: connected_components(e)),
             ("pagerank", lambda e: pagerank(e, iterations=10)),
+            ("label_propagation", lambda e: label_propagation(undirected(e), rounds=4)),
+            ("sssp", _sssp),
         ):
             t0 = time.time()
             _noop(fn(edges))

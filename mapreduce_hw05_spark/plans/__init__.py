@@ -177,6 +177,7 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_ewma_hourly",
     "q_ab_test_stats",
     "q_anomaly_hours",
+    "q_resample_audio",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

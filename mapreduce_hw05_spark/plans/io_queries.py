@@ -591,3 +591,64 @@ def q_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@contract(
+    "q_resample_audio",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, repeat(sha256(text), 4) AS hx
+        FROM documents WHERE doc_id % 3 = 1
+    ), pos AS (
+        SELECT doc_id, hx, unnest(generate_series(0, 63)) AS i FROM m
+    ), outb AS (
+        SELECT doc_id, i,
+               ((strpos('0123456789abcdef', substring(hx, i * 4 + 1, 1)) - 1)
+                    * 16
+                + strpos('0123456789abcdef', substring(hx, i * 4 + 2, 1)) - 1
+                + (strpos('0123456789abcdef', substring(hx, i * 4 + 3, 1)) - 1)
+                    * 16
+                + strpos('0123456789abcdef', substring(hx, i * 4 + 4, 1)) - 1
+               ) // 2 AS v
+        FROM pos
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS new_rate,
+           CAST(64 AS BIGINT) AS n_samples,
+           string_agg(
+               substring('0123456789abcdef', v // 16 + 1, 1)
+               || substring('0123456789abcdef', v % 16 + 1, 1),
+               '' ORDER BY i
+           ) AS resampled_hex,
+           CAST(sum(v * v) AS BIGINT) AS energy
+    FROM outb GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_resample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimate the audio payloads 2× (integer boxcar mean per window)
+    and emit the resampled bytes hex-encoded with their exact energy.
+
+    Completes the multimodal kernel family (features / frame-sample /
+    resize / resample): metadata-pruned scan, Arrow-batched NumPy window
+    mean, output compared byte-for-byte — the oracle re-derives every
+    output sample as ⌊(b₂ᵢ+b₂ᵢ₊₁)/2⌋ straight from the sha256 hex and
+    re-assembles the hex string in sample order.
+    """
+    from mapreduce_hw05_spark.operators.multimodal import (
+        attach_fake_media,
+        resample_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = resample_audio(attach_fake_media(docs), factor=2)
+    return (
+        out.select(
+            "doc_id",
+            "new_rate",
+            "n_samples",
+            F.lower(F.hex("resampled")).alias("resampled_hex"),
+            "energy",
+        )
+        .orderBy("doc_id")
+    )
