@@ -178,6 +178,7 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_ab_test_stats",
     "q_anomaly_hours",
     "q_resample_audio",
+    "q_item_item_cosine",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -478,3 +478,77 @@ def q_sssp_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nodes"),
         lng(F.sum("node")).alias("node_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# g-9 (ext) — item-item cosine similarity (co-purchase recommendation)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_item_item_cosine",
+    oracle="""
+    WITH po AS (
+        SELECT DISTINCT l_partkey AS part, l_orderkey AS ord FROM lineitem
+    ), deg AS (
+        SELECT part, count(*) AS d FROM po GROUP BY part
+    ), co AS (
+        SELECT a.part AS src, b.part AS dst, count(*) AS co
+        FROM po a JOIN po b ON a.ord = b.ord AND a.part < b.part
+        GROUP BY a.part, b.part
+        HAVING count(*) >= 2
+    )
+    SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+           CAST(co AS BIGINT) AS co,
+           co / sqrt(CAST(da.d AS DOUBLE) * db.d) AS cosine
+    FROM co
+    JOIN deg da ON da.part = src
+    JOIN deg db ON db.part = dst
+    ORDER BY cosine DESC, src, dst
+    LIMIT 20
+    """,
+)
+def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar part pairs by co-purchase cosine
+    co(i,j)/√(deg i · deg j) over distinct (part, order) incidence —
+    the classic item-item collaborative-filtering batch job.
+
+    The co-counts and degrees are exact integers off one keyed self-join
+    (pair blowup bounded per order, never all-pairs) plus a part-keyed
+    aggregate; the cosine is a single-op double chain on those integers,
+    so it is emitted UNROUNDED and the (cosine, src, dst) ordering is
+    engine-stable. Degrees join broadcast (part-dimension-sized).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(
+        F.col("l_partkey").alias("part"), F.col("l_orderkey").alias("ord")
+    ).distinct()
+    deg = po.groupBy("part").agg(F.count("*").alias("d"))
+    a = po.select(F.col("part").alias("src"), "ord")
+    b = po.select(F.col("part").alias("dst"), "ord")
+    co = (
+        a.join(b, "ord")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    da = F.broadcast(deg.select(F.col("part"), F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("part"), F.col("d").alias("db")))
+    return (
+        co.join(da, co.src == da.part)
+        .drop("part")
+        .join(db, co.dst == db.part)
+        .drop("part")
+        .select(
+            lng(F.col("src")).alias("src"),
+            lng(F.col("dst")).alias("dst"),
+            lng(F.col("co")).alias("co"),
+            (
+                F.col("co")
+                / F.sqrt(F.col("da").cast("double") * F.col("db"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "src", "dst")
+        .limit(20)
+    )
