@@ -171,6 +171,7 @@ def run_scale(spark: SparkSession, scale: int) -> dict[str, float]:
         "q_tfidf_top_terms",
         "q_near_dup_shingle_lsh",
         "q_near_dup_lsh",
+        "q_nb_classify",
     ]
     for name in contract_ops:
         t0 = time.time()

@@ -49,15 +49,22 @@ def nb_fit(
         F.col(label_col).alias("label"),
         F.col(token_col).alias("token"),
     )
-    vocab_size = tokens.select("token").distinct().count()
+    # Two corpus-sized passes total: the (label, token) count and the
+    # (doc, label) distinct. Everything else (vocabulary size, doc total,
+    # class token totals) derives from those model-sized aggregates so the
+    # raw token stream is never re-scanned for a scalar.
+    tok_counts = tokens.groupBy("label", "token").agg(
+        F.count("*").alias("c")
+    ).persist()
+    vocab_size = tok_counts.select("token").distinct().count()
     class_docs = (
         tokens.select("doc_id", "label")
         .distinct()
         .groupBy("label")
         .agg(F.count("*").alias("nd"))
+        .persist()  # C rows; caching skips a rescan for the doc total
     )
-    n_docs = tokens.select("doc_id").distinct().count()
-    tok_counts = tokens.groupBy("label", "token").agg(F.count("*").alias("c"))
+    n_docs = class_docs.agg(F.sum("nd")).first()[0]
     class_tokens = tok_counts.groupBy("label").agg(F.sum("c").alias("nt"))
     denom = F.col("nt") + F.lit(float(alpha) * vocab_size)
     priors = (

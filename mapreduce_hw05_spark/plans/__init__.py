@@ -179,6 +179,7 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_anomaly_hours",
     "q_resample_audio",
     "q_item_item_cosine",
+    "q_decision_stump",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

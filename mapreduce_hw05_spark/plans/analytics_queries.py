@@ -768,3 +768,97 @@ def q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anomaly_checksum"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# an-15 (ext) — decision-stump training (histogram-based exact split search)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_decision_stump",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty,
+               CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_c,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ), pairs AS (
+        SELECT 'qty' AS feature, qty AS value, y FROM base
+        UNION ALL
+        SELECT 'tax_c', tax_c, y FROM base
+    ), hist AS (
+        SELECT feature, value, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+        FROM pairs GROUP BY feature, value
+    ), tot AS (
+        SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS pos FROM base
+    ), cand AS (
+        SELECT feature, value AS threshold,
+               CAST(sum(n) OVER w AS BIGINT) AS n_left,
+               CAST(sum(pos) OVER w AS BIGINT) AS pos_left
+        FROM hist
+        WINDOW w AS (PARTITION BY feature ORDER BY value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        QUALIFY n_left < (SELECT n FROM tot)
+    )
+    SELECT feature, threshold, n_left, pos_left,
+           (SELECT n FROM tot) - n_left AS n_right,
+           (SELECT pos FROM tot) - pos_left AS pos_right,
+           (1.0 - ((SELECT pos FROM tot) / (SELECT n FROM tot))
+                * ((SELECT pos FROM tot) / (SELECT n FROM tot))
+                - (((SELECT n FROM tot) - (SELECT pos FROM tot))
+                       / (SELECT n FROM tot))
+                * (((SELECT n FROM tot) - (SELECT pos FROM tot))
+                       / (SELECT n FROM tot)))
+           - (n_left / (SELECT n FROM tot))
+             * (1.0 - (pos_left / n_left) * (pos_left / n_left)
+                    - ((n_left - pos_left) / n_left)
+                    * ((n_left - pos_left) / n_left))
+           - (((SELECT n FROM tot) - n_left) / (SELECT n FROM tot))
+             * (1.0
+                - (((SELECT pos FROM tot) - pos_left)
+                       / ((SELECT n FROM tot) - n_left))
+                * (((SELECT pos FROM tot) - pos_left)
+                       / ((SELECT n FROM tot) - n_left))
+                - ((((SELECT n FROM tot) - n_left)
+                        - ((SELECT pos FROM tot) - pos_left))
+                       / ((SELECT n FROM tot) - n_left))
+                * ((((SELECT n FROM tot) - n_left)
+                        - ((SELECT pos FROM tot) - pos_left))
+                       / ((SELECT n FROM tot) - n_left)))
+               AS gain
+    FROM cand
+    ORDER BY gain DESC, feature, threshold
+    LIMIT 1
+    """,
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a decision stump predicting returned lineitems
+    (l_returnflag = 'R') over integer features qty and tax-cents — the
+    histogram-based exact greedy split search at the core of distributed
+    gradient-boosted-tree learners, as one explode + groupBy histogram,
+    one histogram-sized window cumsum, and a Gini-gain argmax.
+
+    Every aggregation-boundary value is an exact integer; the gain is a
+    fixed-shape single-op double chain on those integers, so both engines
+    produce bit-identical gains and the (gain DESC, feature, threshold)
+    argmax is engine-stable with no rounding.
+    """
+    from mapreduce_hw05_spark.operators.trees import best_split
+
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_tax") * 100 + 0.5).cast("long").alias("tax_c"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    best = best_split(feats, ["qty", "tax_c"], "y")
+    return best.select(
+        "feature",
+        lng(F.col("threshold")).alias("threshold"),
+        lng(F.col("n_left")).alias("n_left"),
+        lng(F.col("pos_left")).alias("pos_left"),
+        lng(F.col("n_right")).alias("n_right"),
+        lng(F.col("pos_right")).alias("pos_right"),
+        "gain",
+    )

@@ -1644,3 +1644,30 @@ def test_anomaly_hours_flags_injected_spike(spark, tmp_path):
         tzinfo=dt.timezone.utc).timestamp())
     assert out["click"]["n_anomalies"] == 1
     assert out["click"]["anomaly_checksum"] == spike_epoch
+
+
+# ----------------------------------------------------------- decision stump
+
+
+def test_best_split_finds_separating_threshold(spark):
+    """A feature that cleanly separates the label at x<=2 must win with
+    gain = parent Gini (children pure), against a noise feature."""
+    from mapreduce_hw05_spark.operators.trees import best_split
+
+    rows = [(x, x * 7 % 5, 1 if x <= 2 else 0) for x in range(1, 7)] * 10
+    df = spark.createDataFrame(rows, "f1 long, noise long, y int")
+
+    r = best_split(df, ["f1", "noise"], "y").first()
+    assert r["feature"] == "f1" and r["threshold"] == 2
+    assert r["pos_left"] == r["n_left"] and r["pos_right"] == 0
+    # parent gini = 1 - (1/3)^2 - (2/3)^2 = 4/9; children pure → gain = 4/9
+    assert abs(r["gain"] - 4 / 9) < 1e-12
+
+
+def test_best_split_excludes_empty_right_child(spark):
+    """The histogram's max value is not a candidate: with one feature
+    value there is no legal split and the result is empty."""
+    from mapreduce_hw05_spark.operators.trees import best_split
+
+    df = spark.createDataFrame([(1, 1), (1, 0)], "f1 long, y int")
+    assert best_split(df, ["f1"], "y").count() == 0
