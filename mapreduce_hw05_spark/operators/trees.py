@@ -97,3 +97,49 @@ def best_split(
         .orderBy(F.col("gain").desc(), "feature", "threshold")
         .limit(1)
     )
+
+
+_TREE_SCHEMA = (
+    "node string, feature string, threshold long, n_left long, "
+    "pos_left long, n_right long, pos_right long, gain double"
+)
+
+
+def grow_tree_depth2(
+    df: DataFrame, feature_cols: list[str], label_col: str
+) -> DataFrame:
+    """Grow a depth-2 tree: root split, then the best split inside each
+    child — the driver-chained greedy loop every distributed GBT runs
+    (one row collected per node; the per-node work stays cluster-side
+    histogram aggregation). Children that admit no legal split (pure or
+    single-valued) simply contribute no row.
+    """
+    spark = df.sparkSession
+    rows = []
+    root = best_split(df, feature_cols, label_col).first()
+    if root is not None:
+        rows.append(("root", root))
+        f, t = root["feature"], root["threshold"]
+        for node, part in (
+            ("left", df.filter(F.col(f) <= t)),
+            ("right", df.filter(F.col(f) > t)),
+        ):
+            r = best_split(part, feature_cols, label_col).first()
+            if r is not None:
+                rows.append((node, r))
+    return spark.createDataFrame(
+        [
+            (
+                node,
+                r["feature"],
+                r["threshold"],
+                r["n_left"],
+                r["pos_left"],
+                r["n_right"],
+                r["pos_right"],
+                r["gain"],
+            )
+            for node, r in rows
+        ],
+        _TREE_SCHEMA,
+    )

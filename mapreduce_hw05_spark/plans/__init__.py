@@ -180,6 +180,8 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_resample_audio",
     "q_item_item_cosine",
     "q_decision_stump",
+    "q_drift_psi",
+    "q_tree_depth2",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

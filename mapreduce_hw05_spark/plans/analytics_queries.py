@@ -862,3 +862,171 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         lng(F.col("pos_right")).alias("pos_right"),
         "gain",
     )
+
+
+# --------------------------------------------------------------------------
+# an-16 (ext) — population-stability drift between two event populations
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_drift_psi",
+    oracle="""
+    WITH b AS (
+        SELECT least(CAST(floor(value / 5) AS BIGINT), 19) AS bucket,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM events GROUP BY bucket
+    ), tot AS (
+        SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+               CAST(sum(n_b) AS BIGINT) AS tb FROM b
+    )
+    SELECT bucket, n_a, n_b,
+           round(
+               ((n_a + 1.0) / (ta + 20) - (n_b + 1.0) / (tb + 20))
+               * ln(((n_a + 1.0) / (ta + 20)) / ((n_b + 1.0) / (tb + 20))),
+               9
+           ) AS psi_term
+    FROM b CROSS JOIN tot
+    ORDER BY bucket
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index terms comparing the event-value
+    distribution of the two user_id-parity populations over 20
+    fixed-width buckets (Laplace-smoothed so empty buckets never divide
+    by zero) — the standard drift monitor between a reference and a live
+    window.
+
+    Counts are exact integers off one aggregate; each PSI term is a
+    fixed-shape chain on them, rounded at 9 decimals only because ln()
+    is not guaranteed correctly rounded across engines (~1 ulp — the
+    q_pagerank rounding discipline). The caller sums the 20 terms for
+    the headline PSI.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.least(F.floor(F.col("value") / 5), F.lit(19))
+        .cast("long")
+        .alias("bucket")
+    ).agg(
+        lng(F.sum((F.col("user_id") % 2 == 0).cast("int"))).alias("n_a"),
+        lng(F.sum((F.col("user_id") % 2 == 1).cast("int"))).alias("n_b"),
+    )
+    tot = b.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    ).first()
+    ta, tb = int(tot["ta"]), int(tot["tb"])
+    pa = (F.col("n_a") + 1.0) / F.lit(float(ta + 20))
+    pb = (F.col("n_b") + 1.0) / F.lit(float(tb + 20))
+    return b.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * F.log(pa / pb), 9).alias("psi_term"),
+    ).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# an-17 (ext) — depth-2 greedy tree (driver-chained recursive split search)
+# --------------------------------------------------------------------------
+
+
+def _tree_oracle_sql() -> str:
+    """Generate the depth-2 tree oracle: the stump argmax block is
+    stamped once per node, children conditioned on the ROOT's own
+    SQL-computed split via scalar subqueries (no hard-coded answer)."""
+
+    def gini(pos: str, n: str) -> str:
+        return (
+            f"(1.0 - ({pos} / {n}) * ({pos} / {n})"
+            f" - (({n} - {pos}) / {n}) * (({n} - {pos}) / {n}))"
+        )
+
+    def block(s: str, flt: str) -> str:
+        gain = (
+            gini("t.pos", "t.n")
+            + f" - (c.n_left / t.n) * "
+            + gini("c.pos_left", "c.n_left")
+            + f" - ((t.n - c.n_left) / t.n) * "
+            + gini("(t.pos - c.pos_left)", "(t.n - c.n_left)")
+        )
+        return f"""
+    , base_{s} AS (
+        SELECT * FROM base WHERE {flt}
+    ), pairs_{s} AS (
+        SELECT 'qty' AS feature, qty AS value, y FROM base_{s}
+        UNION ALL
+        SELECT 'tax_c', tax_c, y FROM base_{s}
+    ), hist_{s} AS (
+        SELECT feature, value, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+        FROM pairs_{s} GROUP BY feature, value
+    ), tot_{s} AS (
+        SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS pos FROM base_{s}
+    ), cand_{s} AS (
+        SELECT feature, value AS threshold,
+               CAST(sum(n) OVER w AS BIGINT) AS n_left,
+               CAST(sum(pos) OVER w AS BIGINT) AS pos_left
+        FROM hist_{s}
+        WINDOW w AS (PARTITION BY feature ORDER BY value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        QUALIFY n_left < (SELECT n FROM tot_{s})
+    ), best_{s} AS (
+        SELECT '{s}' AS node, c.feature, c.threshold, c.n_left, c.pos_left,
+               (t.n - c.n_left) AS n_right,
+               (t.pos - c.pos_left) AS pos_right,
+               {gain} AS gain
+        FROM cand_{s} c CROSS JOIN tot_{s} t
+        ORDER BY gain DESC, c.feature, c.threshold
+        LIMIT 1
+    )"""
+
+    root_feat = "(SELECT feature FROM best_root)"
+    root_thr = "(SELECT threshold FROM best_root)"
+    child = (
+        f"(CASE WHEN {root_feat} = 'qty' THEN qty ELSE tax_c END)"
+    )
+    return (
+        """
+    WITH base AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty,
+               CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_c,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    )"""
+        + block("root", "TRUE")
+        + block("left", f"{child} <= {root_thr}")
+        + block("right", f"{child} > {root_thr}")
+        + """
+    SELECT * FROM best_root
+    UNION ALL SELECT * FROM best_left
+    UNION ALL SELECT * FROM best_right
+    """
+    )
+
+
+@contract("q_tree_depth2", oracle=_tree_oracle_sql())
+def q_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 greedy Gini tree on the stump's features: the root split,
+    then the best split recomputed INSIDE each child population — the
+    driver-chained grow loop of a distributed GBT (per-node work is
+    cluster-side histogram aggregation; only one best-split row is
+    collected per node).
+
+    The oracle re-derives the whole tree blind: the stump argmax block
+    is stamped per node and the child populations are conditioned on the
+    root's own SQL-computed (feature, threshold) through scalar
+    subqueries, so a wrong root choice cascades into mismatched child
+    rows. Same bit-exactness argument as q_decision_stump.
+    """
+    from mapreduce_hw05_spark.operators.trees import grow_tree_depth2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_tax") * 100 + 0.5).cast("long").alias("tax_c"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    return grow_tree_depth2(feats, ["qty", "tax_c"], "y")

@@ -1671,3 +1671,26 @@ def test_best_split_excludes_empty_right_child(spark):
 
     df = spark.createDataFrame([(1, 1), (1, 0)], "f1 long, y int")
     assert best_split(df, ["f1"], "y").count() == 0
+
+
+def test_tree_depth2_recurses_into_children(spark):
+    """y = (f1<=2 AND f2<=5) on a 4x10 grid: the root takes f1@2 (tied
+    gain with f2@5, feature-name tiebreak), the left child must then
+    discover f2@5 with pure children (gain = its parent gini = 0.5),
+    and the pure right child reports zero gain."""
+    from mapreduce_hw05_spark.operators.trees import grow_tree_depth2
+
+    rows = [
+        (a, b, 1 if a <= 2 and b <= 5 else 0)
+        for a in range(1, 5)
+        for b in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "f1 long, f2 long, y int")
+    tree = {
+        r["node"]: r for r in grow_tree_depth2(df, ["f1", "f2"], "y").collect()
+    }
+    assert (tree["root"]["feature"], tree["root"]["threshold"]) == ("f1", 2)
+    assert (tree["left"]["feature"], tree["left"]["threshold"]) == ("f2", 5)
+    assert abs(tree["left"]["gain"] - 0.5) < 1e-12
+    assert tree["left"]["pos_left"] == tree["left"]["n_left"]
+    assert tree["right"]["gain"] == 0.0
