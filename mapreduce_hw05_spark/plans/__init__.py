@@ -182,6 +182,7 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_decision_stump",
     "q_drift_psi",
     "q_tree_depth2",
+    "q_nb_auc",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -610,3 +610,125 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             lng(F.sum("doc_id")).alias("id_checksum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# NB evaluation — exact Mann–Whitney AUC of the 'en' one-vs-rest score
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_nb_auc",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), train AS (
+        SELECT * FROM toks WHERE doc_id % 5 <> 0
+    ), vocab AS (
+        SELECT DISTINCT token FROM train
+    ), vsize AS (
+        SELECT count(*) AS v FROM vocab
+    ), class_docs AS (
+        SELECT lang, count(DISTINCT doc_id) AS nd FROM train GROUP BY lang
+    ), ndocs AS (
+        SELECT sum(nd) AS n FROM class_docs
+    ), tok_counts AS (
+        SELECT lang, token, count(*) AS c FROM train GROUP BY lang, token
+    ), class_tokens AS (
+        SELECT lang, sum(c) AS nt FROM tok_counts GROUP BY lang
+    ), priors AS (
+        SELECT cd.lang,
+               ln(cd.nd * 1.0 / (SELECT n FROM ndocs)) AS log_prior,
+               ln(1.0 / (ct.nt + (SELECT v FROM vsize))) AS default_ll
+        FROM class_docs cd JOIN class_tokens ct ON cd.lang = ct.lang
+    ), lik AS (
+        SELECT tc.lang, tc.token,
+               ln((tc.c + 1.0) / (ct.nt + (SELECT v FROM vsize))) AS ll
+        FROM tok_counts tc JOIN class_tokens ct ON tc.lang = ct.lang
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS f
+        FROM toks WHERE doc_id % 5 = 0
+        GROUP BY doc_id, token
+    ), tf_known AS (
+        SELECT * FROM tf WHERE token IN (SELECT token FROM vocab)
+    ), scores AS (
+        SELECT t.doc_id, p.lang,
+               round(p.log_prior
+                     + sum(t.f * coalesce(l.ll, p.default_ll)), 6) AS s
+        FROM tf_known t
+        CROSS JOIN priors p
+        LEFT JOIN lik l ON l.lang = p.lang AND l.token = t.token
+        WHERE p.lang = 'en'
+        GROUP BY t.doc_id, p.lang, p.log_prior
+    ), labeled AS (
+        SELECT sc.s,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM scores sc JOIN documents d ON sc.doc_id = d.doc_id
+    ), ranked AS (
+        SELECT y,
+               rank() OVER (ORDER BY s)
+               + (count(*) OVER (PARTITION BY s) - 1) / 2.0 AS midrank
+        FROM labeled
+    )
+    SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(1 - y) AS BIGINT) AS n_neg,
+           (sum(CASE WHEN y = 1 THEN midrank ELSE 0 END)
+            - sum(y) * (sum(y) + 1.0) / 2)
+           / (sum(y) * CAST(sum(1 - y) AS DOUBLE)) AS auc
+    FROM ranked
+    """,
+)
+def q_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann–Whitney AUC of the Naive Bayes 'en' one-vs-rest score
+    on the held-out fifth — the ranking-quality evaluation a classifier
+    pipeline runs after q_nb_classify's argmax accuracy.
+
+    Scores are rounded to 6 decimals FIRST (the engine-stability
+    boundary), after which everything is exact: midranks are
+    half-integers, their sums stay on the 0.5 grid well inside 2⁵³ (so
+    the double sum is order-independent), and the U-statistic
+    normalization is a single-op chain — AUC is emitted unrounded.
+
+    Scale note: the unpartitioned rank window is a single-partition
+    sort over the EVALUATION set, which is sample-sized by definition;
+    ranking a corpus-sized score column instead would use
+    repartitionByRange + per-partition offsets (the q_global_sort
+    machinery), not a global window.
+    """
+    from pyspark.sql import Window
+
+    from mapreduce_hw05_spark.operators.naive_bayes import nb_fit, nb_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = tokenize(
+        docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id", "lang"
+    ).select("doc_id", F.col("lang").alias("label"), "token")
+    priors, lik = nb_fit(train)
+    test = tokenize(docs.filter(F.col("doc_id") % 5 == 0), "text", "doc_id")
+    scores = (
+        nb_score(test, priors, lik)
+        .filter(F.col("label") == "en")
+        .select("doc_id", F.round("score", 6).alias("s"))
+    )
+    labeled = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "s", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    midrank = (
+        F.rank().over(Window.orderBy("s"))
+        + (F.count("*").over(Window.partitionBy("s")) - 1) / 2.0
+    )
+    ranked = labeled.select("y", midrank.alias("midrank"))
+    n_pos = F.sum("y")
+    n_neg = F.sum(1 - F.col("y"))
+    return ranked.agg(
+        lng(n_pos).alias("n_pos"),
+        lng(n_neg).alias("n_neg"),
+        (
+            (
+                F.sum(F.when(F.col("y") == 1, F.col("midrank")).otherwise(0.0))
+                - n_pos * (n_pos + 1.0) / 2
+            )
+            / (n_pos * n_neg.cast("double"))
+        ).alias("auc"),
+    )
