@@ -183,6 +183,7 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_drift_psi",
     "q_tree_depth2",
     "q_nb_auc",
+    "q_hard_negatives",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

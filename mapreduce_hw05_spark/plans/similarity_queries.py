@@ -962,3 +962,79 @@ def q_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(result.collect(), schema=result.schema)
     finally:
         emb.unpersist()
+
+
+# --------------------------------------------------------------------------
+# llm-7b (ext) — hard-negative mining for contrastive training pairs
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH sims AS (
+        SELECT a.vec_id AS id1, a.label AS label1,
+               b.vec_id AS id2, b.label AS label2,
+               round({_COS.format(a='a.embedding', b='b.embedding')}, 6)
+                   AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label <> b.label
+        WHERE a.vec_id % 7 = 0
+    )
+    SELECT id1, CAST(label1 AS BIGINT) AS label1,
+           id2, CAST(label2 AS BIGINT) AS label2, cos_sim
+    FROM sims
+    QUALIFY row_number()
+        OVER (PARTITION BY id1 ORDER BY cos_sim DESC, id2) = 1
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for every anchor (vec_id % 7 = 0), the
+    single most-cosine-similar vector with a DIFFERENT label — the pair
+    construction step of contrastive embedding training.
+
+    The engine loops the (label-count-sized) label set driver-side and
+    runs the broadcast BLAS top-1 kernel per label with the
+    opposite-label reference — per anchor the negative pool is exact,
+    never a filter-after-top-k that could miss when an anchor's
+    neighborhood is same-label. At reference sizes past the broadcast
+    gate each per-label search routes through IVF, same as kNN. The
+    oracle is the quadratic different-label argmax.
+    """
+    from mapreduce_hw05_spark.operators.similarity import (
+        cosine_pairs_topk_per_row,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 7 == 0)
+    labels = [r["label"] for r in emb.select("label").distinct().collect()]
+    per_label = [
+        cosine_pairs_topk_per_row(
+            anchors.filter(F.col("label") == lab),
+            emb.filter(F.col("label") != lab),
+            "vec_id",
+            "embedding",
+            k=1,
+            mode="knn",
+        )
+        for lab in sorted(labels)
+    ]
+    mined = per_label[0]
+    for p in per_label[1:]:
+        mined = mined.union(p)
+    lbl = emb.select("vec_id", "label")
+    return (
+        mined.join(
+            F.broadcast(lbl.withColumnRenamed("vec_id", "id1")
+                        .withColumnRenamed("label", "label1")), "id1")
+        .join(
+            F.broadcast(lbl.withColumnRenamed("vec_id", "id2")
+                        .withColumnRenamed("label", "label2")), "id2")
+        .select(
+            "id1",
+            lng(F.col("label1")).alias("label1"),
+            "id2",
+            lng(F.col("label2")).alias("label2"),
+            ratio(F.col("sim")).alias("cos_sim"),
+        )
+    )
