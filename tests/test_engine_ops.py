@@ -1694,3 +1694,133 @@ def test_tree_depth2_recurses_into_children(spark):
     assert abs(tree["left"]["gain"] - 0.5) < 1e-12
     assert tree["left"]["pos_left"] == tree["left"]["n_left"]
     assert tree["right"]["gain"] == 0.0
+
+
+# ------------------------------------------- property differentials (new ops)
+
+
+def _bruteforce_best_split(rows, feats):
+    """Pure-Python reference for best_split: same float formula shape,
+    same (gain desc, feature, threshold) tiebreak."""
+    n = len(rows)
+    pos = sum(r[-1] for r in rows)
+
+    def gini(p, m):
+        a = p / m
+        b = (m - p) / m
+        return 1.0 - a * a - b * b
+
+    best = None
+    for fi, fname in enumerate(feats):
+        values = sorted({r[fi] for r in rows})
+        for t in values[:-1]:
+            nl = sum(1 for r in rows if r[fi] <= t)
+            pl = sum(r[-1] for r in rows if r[fi] <= t)
+            gain = (
+                gini(float(pos), float(n))
+                - (nl / n) * gini(pl, nl)
+                - ((n - nl) / n) * gini(pos - pl, n - nl)
+            )
+            key = (-gain, fname, t)
+            if best is None or key < best[0]:
+                best = (key, (fname, t, nl, pl, n - nl, pos - pl, gain))
+    return None if best is None else best[1]
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_best_split_matches_bruteforce(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    n = rng.randint(4, 50)
+    rows = [
+        (
+            rng.randint(1, 5),
+            rng.randint(1, 4),
+            1 if rng.random() < 0.4 else 0,
+        )
+        for _ in range(n)
+    ]
+    from mapreduce_hw05_spark.operators.trees import best_split
+
+    df = spark.createDataFrame(rows, "f1 long, f2 long, y int")
+    got = best_split(df, ["f1", "f2"], "y").first()
+    want = _bruteforce_best_split(rows, ["f1", "f2"])
+    if want is None:
+        assert got is None
+        return
+    assert (
+        got["feature"], got["threshold"], got["n_left"], got["pos_left"],
+        got["n_right"], got["pos_right"],
+    ) == want[:6]
+    assert got["gain"] == want[6]  # identical IEEE op chain → exact
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_label_propagation_matches_python(spark, seed):
+    import random
+
+    rng = random.Random(1000 + seed)
+    n = rng.randint(3, 14)
+    edges = [
+        (a, b)
+        for a in range(n)
+        for b in range(n)
+        if a != b and rng.random() < 0.3
+    ]
+    if not edges:
+        edges = [(0, 1)]
+    from collections import Counter
+
+    from mapreduce_hw05_spark.operators.graph import label_propagation
+
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    labels = {v: v for v in nodes}
+    for _ in range(3):
+        nxt = {}
+        for v in nodes:
+            nbr = [labels[a] for a, b in edges if b == v]
+            if not nbr:
+                nxt[v] = labels[v]
+                continue
+            cnt = Counter(nbr)
+            top = max(cnt.values())
+            nxt[v] = min(l for l, c in cnt.items() if c == top)
+        labels = nxt
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, rounds=3).collect()
+    }
+    assert got == labels
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_sssp_matches_python_bellman_ford(spark, seed):
+    import random
+
+    rng = random.Random(2000 + seed)
+    n = rng.randint(3, 12)
+    edges = [
+        (a, b, rng.randint(1, 9))
+        for a in range(n)
+        for b in range(n)
+        if a != b and rng.random() < 0.35
+    ]
+    if not edges:
+        edges = [(0, 1, 1)]
+    seeds = sorted({a for a, _, _ in edges})[:2]
+    rounds = 4
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for a, b, w in edges:
+            if a in dist and dist[a] + w < nxt.get(b, 1 << 60):
+                nxt[b] = dist[a] + w
+        dist = nxt
+    from mapreduce_hw05_spark.operators.graph import sssp
+
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r["node"]: r["dist"] for r in sssp(df, sdf, rounds=rounds).collect()}
+    assert got == dist
