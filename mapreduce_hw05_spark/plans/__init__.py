@@ -184,6 +184,7 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_tree_depth2",
     "q_nb_auc",
     "q_hard_negatives",
+    "q_phrase_search",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -322,3 +322,86 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Phrase search — corpus-argmax trigram, matched back positionally
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_phrase_search",
+    oracle="""
+    WITH arr AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), tri AS (
+        SELECT doc_id,
+               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 2)) AS i
+              FROM arr WHERE len(t) >= 3)
+    ), top AS (
+        SELECT g, count(*) AS c FROM tri GROUP BY g
+        ORDER BY c DESC, g LIMIT 1
+    ), hits AS (
+        SELECT doc_id, count(*) AS n_occ FROM tri
+        WHERE g = (SELECT g FROM top) GROUP BY doc_id
+    )
+    SELECT (SELECT g FROM top) AS phrase,
+           CAST((SELECT c FROM top) AS BIGINT) AS n_occurrences,
+           count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM hits
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find the corpus's most frequent word trigram (min-phrase tiebreak),
+    then phrase-match it back positionally: occurrence total, matching
+    docs, and their id checksum — exact phrase retrieval without a LIKE
+    scan, the positional-index complement to q_bm25_topk's bag-of-words
+    ranking.
+
+    One windowed lead-pass builds trigrams (a single doc-keyed shuffle —
+    never a positions self-join); the argmax phrase is a driver scalar
+    (top-1 row), and the match reuses the same trigram stream. Both
+    sides are exact strings/integers end to end.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "w", F.lead("w", 1).over(w), F.lead("w", 2).over(w)
+            ).alias("g"),
+            F.lead("w", 2).over(w).isNotNull().alias("full"),
+        )
+        .filter(F.col("full"))
+        .drop("full")
+    )
+    # materialize the trigram stream once: the argmax action and the
+    # returned (lazy) match plan both read the checkpoint instead of
+    # re-deriving the window pass
+    tri = tri.localCheckpoint()
+    top = (
+        tri.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "g")
+        .limit(1)
+        .first()
+    )
+    phrase, n_occ = top["g"], int(top["c"])
+    hits = tri.filter(F.col("g") == phrase).groupBy("doc_id").agg(
+        F.count("*").alias("n_occ")
+    )
+    return hits.agg(
+        F.lit(phrase).alias("phrase"),
+        F.lit(n_occ).cast("long").alias("n_occurrences"),
+        F.count("*").alias("n_docs"),
+        lng(F.sum("doc_id")).alias("id_checksum"),
+    )
