@@ -185,6 +185,7 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_nb_auc",
     "q_hard_negatives",
     "q_phrase_search",
+    "q_stream_ewma",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -559,59 +559,24 @@ def q_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@contract(
-    "q_ewma_hourly",
-    oracle="""
-    WITH hourly AS (
-        SELECT event_type,
-               CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT)
-                   AS hour_epoch,
-               CAST(sum(floor(value * 1000)) AS BIGINT) AS s,
-               count(*) AS n
-        FROM events GROUP BY event_type, hour_epoch
-    ), seq AS (
-        SELECT event_type, hour_epoch, s / (1000.0 * n) AS x FROM hourly
-    ), framed AS (
-        SELECT event_type, hour_epoch, x,
-               list(x) OVER (PARTITION BY event_type ORDER BY hour_epoch
-                             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS arr
-        FROM seq
-    )
-    SELECT event_type, hour_epoch,
-           CAST(len(arr) AS BIGINT) AS n_window,
-           x,
-           list_reduce(
-               list_transform(arr, (v, i) -> v * power(0.75, len(arr) - i)),
-               (a, b) -> a + b
-           ) / ((1 - power(0.75, len(arr))) / 0.25) AS ewma
-    FROM framed
-    """,
-)
-def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially-weighted moving average (α=0.25) of the hourly mean
-    event value per type, truncated to the 24 most recent observations —
-    BIT-exact across engines, no rounding anywhere.
-
-    Exactness argument: the hourly mean is a ratio of exact integers
-    (per-row floor(value·1000) — single IEEE ops are engine-identical;
-    the BIGINT sum is order-free), so the series is bit-identical before
-    smoothing. Weights (1−α)^k are exact dyadics for k ≤ 24, the
-    normalizer is the closed form (1−0.75ⁿ)/0.25, and BOTH engines fold
-    the weighted terms oldest→newest (Spark ``aggregate`` HOF over a
-    ROWS-frame collect_list; DuckDB ``list_reduce`` over the same framed
-    list) — identical operations on identical doubles in the identical
-    order. A per-row round() here would actually be LESS stable (Spark
-    HALF_UP vs DuckDB multiply-round diverge on exact-tie inputs, which
-    the integer-ratio series can produce).
-    """
-    ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
+def hourly_value_stats(ev: DataFrame) -> DataFrame:
+    """(event_type, hour_epoch) → exact integer (s, n) with
+    s = Σ floor(value·1000): the order-free additive hourly rollup the
+    EWMA contracts smooth. Additive in both columns, so a streaming
+    sink can merge per-batch deltas and land on the identical table."""
+    return ev.groupBy(
         "event_type",
         F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
     ).agg(
         F.sum(F.floor(F.col("value") * 1000)).cast("long").alias("s"),
         F.count("*").alias("n"),
     )
+
+
+def ewma_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Finish the EWMA plan from the exact hourly (s, n) table — shared
+    verbatim by the batch and streaming contracts so their outputs are
+    bit-identical by construction."""
     seq = hourly.select(
         "event_type",
         "hour_epoch",
@@ -637,3 +602,53 @@ def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         (num / den).alias("ewma"),
     )
+
+
+#: Shared oracle text for the batch and streaming EWMA contracts.
+EWMA_ORACLE_SQL = """
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT)
+                   AS hour_epoch,
+               CAST(sum(floor(value * 1000)) AS BIGINT) AS s,
+               count(*) AS n
+        FROM events GROUP BY event_type, hour_epoch
+    ), seq AS (
+        SELECT event_type, hour_epoch, s / (1000.0 * n) AS x FROM hourly
+    ), framed AS (
+        SELECT event_type, hour_epoch, x,
+               list(x) OVER (PARTITION BY event_type ORDER BY hour_epoch
+                             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS arr
+        FROM seq
+    )
+    SELECT event_type, hour_epoch,
+           CAST(len(arr) AS BIGINT) AS n_window,
+           x,
+           list_reduce(
+               list_transform(arr, (v, i) -> v * power(0.75, len(arr) - i)),
+               (a, b) -> a + b
+           ) / ((1 - power(0.75, len(arr))) / 0.25) AS ewma
+    FROM framed
+    """
+
+
+@contract("q_ewma_hourly", oracle=EWMA_ORACLE_SQL)
+def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.25) of the hourly mean
+    event value per type, truncated to the 24 most recent observations —
+    BIT-exact across engines, no rounding anywhere.
+
+    Exactness argument: the hourly mean is a ratio of exact integers
+    (per-row floor(value·1000) — single IEEE ops are engine-identical;
+    the BIGINT sum is order-free), so the series is bit-identical before
+    smoothing. Weights (1−α)^k are exact dyadics for k ≤ 24, the
+    normalizer is the closed form (1−0.75ⁿ)/0.25, and BOTH engines fold
+    the weighted terms oldest→newest (Spark ``aggregate`` HOF over a
+    ROWS-frame collect_list; DuckDB ``list_reduce`` over the same framed
+    list) — identical operations on identical doubles in the identical
+    order. A per-row round() here would actually be LESS stable (Spark
+    HALF_UP vs DuckDB multiply-round diverge on exact-tie inputs, which
+    the integer-ratio series can produce).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_from_hourly(hourly_value_stats(ev))

@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_hw05_spark.plans.common import money
+from mapreduce_hw05_spark.plans.events_queries import (
+    EWMA_ORACLE_SQL as _EWMA_ORACLE_SQL_REF,
+)
 from mapreduce_hw05_spark.plans.registry import contract
 from mapreduce_hw05_spark.sources import load_table
 from mapreduce_hw05_spark.streaming import ops
@@ -1381,3 +1384,54 @@ def q_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+# --------------------------------------------------------------------------
+# st-9 (ext) — streaming-maintained hourly rollup powering the EWMA
+# --------------------------------------------------------------------------
+
+
+@contract("q_stream_ewma", oracle=_EWMA_ORACLE_SQL_REF)
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EWMA time-series contract executed BY THE STREAMING ENGINE
+    (23rd streaming-executed contract): the events replay folds each
+    micro-batch's exact hourly (Σ⌊value·1000⌋, count) deltas into a
+    persisted rollup through the manifest-guarded additive sink, and the
+    shared EWMA finisher runs over the final state.
+
+    Because the hourly stats are integer-additive and the sink is
+    exactly-once, the streaming state equals the batch hourly table
+    bit-for-bit regardless of chunking — so the smoothed output matches
+    the SAME DuckDB oracle as q_ewma_hourly with no tolerance. The
+    state table is (types × hours)-sized, never event-sized.
+    """
+    from mapreduce_hw05_spark.plans.events_queries import (
+        ewma_from_hourly,
+        hourly_value_stats,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_sewma_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4),
+                        os.path.join(root, "in"))
+    state = os.path.join(root, "state")
+    with _replay_state_partitions(spark, replay):
+        query = ops.stream_additive_rollup_foreachbatch(
+            replay.stream(), state, os.path.join(root, "ckpt"),
+            ["event_type", "hour_epoch"], hourly_value_stats,
+        ).start()
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    result = ewma_from_hourly(
+        spark.read.parquet(state).select("event_type", "hour_epoch", "s", "n")
+    ).collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        result,
+        "event_type string, hour_epoch long, n_window long, "
+        "x double, ewma double",
+    )

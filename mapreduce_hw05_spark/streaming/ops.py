@@ -1175,3 +1175,64 @@ def stream_count_min_foreachbatch(
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def stream_additive_rollup_foreachbatch(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    delta_fn,
+):
+    """Generic exactly-once ADDITIVE keyed rollup into a parquet state
+    table: ``delta_fn(batch_df)`` produces a keyed delta whose non-key
+    columns are all SUM-mergeable (integer counts/sums), and each batch's
+    delta is folded into the state by a per-alias re-sum.
+
+    Same duplicate-sensitivity and recovery contract as
+    :func:`stream_exactly_once_agg_foreachbatch`: foreachBatch is only
+    at-least-once, so a committed-batch manifest rides inside the state
+    directory and the state + manifest swap in one atomic rename-aside —
+    a re-delivered batch id is a no-op. The additive merge means the
+    final state is EXACTLY the batch aggregate of the union of all
+    chunks, which is what lets a downstream plan (e.g. the EWMA finisher)
+    be bit-identical to its batch twin.
+    """
+    import os
+
+    from mapreduce_hw05_spark.fsutil import recover_dir, replace_dir
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        recover_dir(state_dir, state_dir.rstrip("/") + ".next")
+        if batch_df.isEmpty():
+            return
+        marker_dir = os.path.join(state_dir, "_batches")
+        if os.path.exists(os.path.join(marker_dir, str(batch_id))):
+            return  # replayed batch already committed — exactly-once guard
+        spark = batch_df.sparkSession
+        delta = delta_fn(batch_df)
+        val_cols = [c for c in delta.columns if c not in key_cols]
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            base = spark.read.parquet(state_dir).select(*delta.columns)
+            merged = (
+                base.unionByName(delta)
+                .groupBy(*key_cols)
+                .agg(*[F.sum(c).alias(c) for c in val_cols])
+            )
+        else:
+            merged = delta
+        tmp = state_dir.rstrip("/") + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        new_marker_dir = os.path.join(tmp, "_batches")
+        os.makedirs(new_marker_dir, exist_ok=True)
+        if os.path.isdir(marker_dir):
+            for m in os.listdir(marker_dir):
+                open(os.path.join(new_marker_dir, m), "w").close()
+        open(os.path.join(new_marker_dir, str(batch_id)), "w").close()
+        replace_dir(tmp, state_dir)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )

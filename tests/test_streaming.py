@@ -777,3 +777,64 @@ def test_weighted_reservoir_sink_survives_crash_mid_swap(spark, tmp_path):
     apply_batch(b1, 1)  # replay: roll forward; marker makes it a no-op
     assert reservoir() == post
     assert sorted(os.listdir(os.path.join(state, "_batches"))) == ["0", "1"]
+
+
+def test_additive_rollup_sink_manifest_guard_and_merge(spark, tmp_path):
+    """The generic additive rollup sink: per-batch deltas fold by
+    per-alias re-sum, a re-delivered batch id is a no-op, and the final
+    state equals the batch aggregate of the union of all chunks."""
+    import datetime as dt
+
+    from mapreduce_hw05_spark.plans.events_queries import hourly_value_stats
+    from mapreduce_hw05_spark.streaming.ops import (
+        stream_additive_rollup_foreachbatch,
+    )
+
+    state = str(tmp_path / "state")
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "ts timestamp, event_type string, value double"
+    )
+    b0 = mk([(base, "click", 1.5), (base, "click", 2.5)])
+    b1 = mk([(base, "click", 4.0), (base + dt.timedelta(hours=1), "view", 8.0)])
+
+    captured = {}
+
+    class _CaptureWriter:
+        def foreachBatch(self, fn):
+            captured["fn"] = fn
+            return self
+
+        def outputMode(self, *_):
+            return self
+
+        def option(self, *_):
+            return self
+
+    class _FakeStream:
+        writeStream = _CaptureWriter()
+
+    stream_additive_rollup_foreachbatch(
+        _FakeStream(), state, str(tmp_path / "ckpt"),
+        ["event_type", "hour_epoch"], hourly_value_stats,
+    )
+    apply_batch = captured["fn"]
+
+    def snapshot():
+        return {
+            (r["event_type"], r["hour_epoch"]): (r["s"], r["n"])
+            for r in spark.read.parquet(state).collect()
+        }
+
+    apply_batch(b0, 0)
+    epoch0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert snapshot() == {("click", epoch0): (4000, 2)}
+
+    apply_batch(b0, 0)  # re-delivery -> no-op
+    assert snapshot() == {("click", epoch0): (4000, 2)}
+
+    apply_batch(b1, 1)
+    assert snapshot() == {
+        ("click", epoch0): (8000, 3),
+        ("view", epoch0 + 3600): (8000, 1),
+    }
