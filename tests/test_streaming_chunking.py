@@ -354,3 +354,43 @@ def test_stream_band_join_invariant_to_chunking(spark, events, seed):
         F.round(F.abs(F.col("p_value") - F.col("c_value")), 6).alias("value_gap"),
     )
     assert as_sorted_rows(got) == as_sorted_rows(expect), f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_additive_rollup_invariant_to_chunking_with_redelivery(
+    spark, events, seed, tmp_path
+):
+    """The additive hourly rollup must land on EXACTLY the batch hourly
+    table for any chunking, even when one batch id is re-delivered (the
+    manifest guard absorbs it). This is the state q_stream_ewma smooths,
+    so its equality with the batch EWMA follows from this test plus a
+    shared finisher plan."""
+    import os
+
+    from mapreduce_hw05_spark.plans.events_queries import hourly_value_stats
+    from tests.test_streaming import _capture_foreach_batch
+
+    chunks = random_chunks(events, "ts", seed, duplicate_one=True)
+    # re-deliver with the SAME batch id for the duplicated chunk, as a
+    # recovered foreachBatch would
+    seen, deliveries, next_id = set(), [], 0
+    for c in chunks:
+        key = id(c)
+        if key in seen:
+            deliveries.append((deliveries[-1][0], c))
+            continue
+        seen.add(key)
+        deliveries.append((next_id, c))
+        next_id += 1
+
+    state = str(tmp_path / "state")
+    apply_batch = _capture_foreach_batch(
+        ops.stream_additive_rollup_foreachbatch,
+        state, str(tmp_path / "ckpt"),
+        ["event_type", "hour_epoch"], hourly_value_stats,
+    )
+    for batch_id, chunk in deliveries:
+        apply_batch(chunk, batch_id)
+    got = spark.read.parquet(state).select("event_type", "hour_epoch", "s", "n")
+    expect = hourly_value_stats(events)
+    assert as_sorted_rows(got) == as_sorted_rows(expect), f"seed={seed}"
