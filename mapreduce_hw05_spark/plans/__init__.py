@@ -186,6 +186,7 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_hard_negatives",
     "q_phrase_search",
     "q_stream_ewma",
+    "q_bigram_lm_score",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

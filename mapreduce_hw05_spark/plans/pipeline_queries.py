@@ -636,3 +636,95 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors.unpersist()
     qual.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# Bigram LM scoring — the sequence-model upgrade of q_lm_score's unigram
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_bigram_lm_score",
+    oracle="""
+    WITH arr AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM arr WHERE len(t) >= 2)
+    ), c2 AS (
+        SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, sum(c) AS n FROM c2 GROUP BY w1
+    ), vs AS (
+        SELECT count(DISTINCT token) AS v
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    ), per_doc AS (
+        SELECT b.doc_id,
+               round(avg(-ln((m.c + 1.0) / (c1.n + (SELECT v FROM vs)))), 6)
+                   AS nll
+        FROM bg b
+        JOIN c2 m ON m.w1 = b.w1 AND m.w2 = b.w2
+        JOIN c1 ON c1.w1 = b.w1
+        GROUP BY b.doc_id
+    )
+    SELECT d.lang,
+           count(*) AS n_docs,
+           round(avg(p.nll), 4) AS avg_nll,
+           round(min(p.nll), 6) AS min_nll,
+           round(max(p.nll), 6) AS max_nll
+    FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY d.lang
+    """,
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NLL under the corpus's own Laplace-smoothed BIGRAM
+    LM, aggregated per language — the sequence-sensitive perplexity
+    filter (KenLM-style) one order above q_lm_score's unigram: a
+    token-shuffled document scores differently here even though its
+    unigram NLL is unchanged.
+
+    One windowed lead pass emits bigrams (a single doc-keyed shuffle);
+    the model is the (w1,w2)-count table with context totals derived
+    from it (never a rescan), broadcast to the scoring join — vocabulary
+    and bigram tables are Heaps'-bounded at corpus scale, with the usual
+    shuffle-join fallback past the broadcast gate. Self-scoring means
+    every bigram is in-model (count ≥ 1), so the plan needs no
+    default-likelihood branch; per-doc NLL rounds at 6 before the
+    per-language aggregates, the q_lm_score discipline.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select("doc_id", "w1", F.lead("w1", 1).over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    ).localCheckpoint()
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c1 = c2.groupBy("w1").agg(F.sum("c").alias("n"))
+    v = toks.select("w1").distinct().count()
+    per_doc = (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(-F.log((F.col("c") + 1.0) / (F.col("n") + F.lit(v)))), 6
+            ).alias("nll")
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+            ratio(F.min("nll")).alias("min_nll"),
+            ratio(F.max("nll")).alias("max_nll"),
+        )
+    )
