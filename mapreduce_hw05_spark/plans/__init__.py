@@ -187,6 +187,7 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_phrase_search",
     "q_stream_ewma",
     "q_bigram_lm_score",
+    "q_ks_test",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

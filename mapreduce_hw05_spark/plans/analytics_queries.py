@@ -1030,3 +1030,82 @@ def q_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_returnflag") == "R").cast("int").alias("y"),
     )
     return grow_tree_depth2(feats, ["qty", "tax_c"], "y")
+
+
+# --------------------------------------------------------------------------
+# an-18 (ext) — two-sample Kolmogorov–Smirnov drift statistic (bit-exact)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_ks_test",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(floor(value * 1000) AS BIGINT) AS v,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b
+        FROM events GROUP BY v
+    ), tot AS (
+        SELECT CAST(sum(a) AS BIGINT) AS na,
+               CAST(sum(b) AS BIGINT) AS nb FROM pts
+    ), ecdf AS (
+        SELECT v,
+               abs(CAST(sum(a) OVER w AS BIGINT) / CAST(t.na AS DOUBLE)
+                   - CAST(sum(b) OVER w AS BIGINT) / CAST(t.nb AS DOUBLE))
+                   AS gap
+        FROM pts CROSS JOIN tot t
+        WINDOW w AS (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT (SELECT na FROM tot) AS n_a,
+           (SELECT nb FROM tot) AS n_b,
+           max(gap) AS ks_d,
+           CAST(min(CASE WHEN gap = (SELECT max(gap) FROM ecdf) THEN v END)
+                AS BIGINT) AS argmax_v
+    FROM ecdf
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the user-parity
+    event-value populations (millisecond-quantized values, the PSI
+    contract's split) — the distribution-free drift test next to
+    q_drift_psi's binned one.
+
+    Bit-exact: ECDF steps are ratios of exact cumulative integers, the
+    gap is a two-division-one-subtract chain, and max() needs no order —
+    D and its argmax location are emitted unrounded. The cumulative
+    window runs over the DISTINCT-value table (quantized-value-sized,
+    not event-sized); a corpus-scale exact KS would range-partition the
+    cumsum (q_global_sort machinery) instead of a single-partition
+    window.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.groupBy(
+        F.floor(F.col("value") * 1000).cast("long").alias("v")
+    ).agg(
+        lng(F.sum((F.col("user_id") % 2 == 0).cast("int"))).alias("a"),
+        lng(F.sum((F.col("user_id") % 2 == 1).cast("int"))).alias("b"),
+    )
+    tot = pts.agg(F.sum("a").alias("na"), F.sum("b").alias("nb")).first()
+    na, nb = int(tot["na"]), int(tot["nb"])
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = pts.select(
+        "v",
+        F.abs(
+            F.sum("a").over(w).cast("long") / F.lit(float(na))
+            - F.sum("b").over(w).cast("long") / F.lit(float(nb))
+        ).alias("gap"),
+    ).localCheckpoint()
+    dmax = ecdf.agg(F.max("gap")).first()[0]
+    return ecdf.agg(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        F.max("gap").alias("ks_d"),
+        lng(
+            F.min(F.when(F.col("gap") == F.lit(dmax), F.col("v")))
+        ).alias("argmax_v"),
+    )
