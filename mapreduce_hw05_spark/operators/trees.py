@@ -48,12 +48,18 @@ def best_split(
         ).alias("fv"),
         F.col(label_col).cast("long").alias("y"),
     )
+    # ONE corpus-sized pass: the histogram. Totals are any single
+    # feature's histogram re-summed (each row contributes exactly once
+    # per feature), so the totals action materializes the persisted
+    # histogram instead of rescanning the corpus.
     hist = pairs.groupBy(
         F.col("fv.feature").alias("feature"), F.col("fv.value").alias("value")
-    ).agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
-    totals = df.agg(
-        F.count("*").alias("n"), F.sum(F.col(label_col).cast("long")).alias("pos")
-    ).first()
+    ).agg(F.count("*").alias("n"), F.sum("y").alias("pos")).persist()
+    totals = (
+        hist.filter(F.col("feature") == feature_cols[0])
+        .agg(F.sum("n").alias("n"), F.sum("pos").alias("pos"))
+        .first()
+    )
     n_tot, pos_tot = int(totals["n"]), int(totals["pos"])
 
     w = (
