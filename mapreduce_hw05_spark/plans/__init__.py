@@ -188,6 +188,10 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_stream_ewma",
     "q_bigram_lm_score",
     "q_ks_test",
+    "q_acf_lags",
+    "q_holt_linear",
+    "q_cusum_changepoint",
+    "q_gini_concentration",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -1109,3 +1109,387 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("gap") == F.lit(dmax), F.col("v")))
         ).alias("argmax_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# an-18 (ext) — autocorrelation function of the hourly traffic series
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_acf_lags",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT)
+                   AS hour_epoch,
+               count(*) AS x
+        FROM events GROUP BY hour_epoch
+    ), idx AS (
+        SELECT row_number() OVER (ORDER BY hour_epoch) AS rn, x FROM hourly
+    ), totals AS (
+        SELECT count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS q,
+               CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) / count(*) AS xbar
+        FROM idx
+    ), lags AS (
+        SELECT unnest([1, 2, 3, 4, 5, 6]) AS lag
+    ), perlag AS (
+        SELECT l.lag AS lag,
+               count(*) AS n_pairs,
+               CAST(sum(a.x * b.x) AS BIGINT) AS c,
+               CAST(sum(a.x) AS BIGINT) AS sh,
+               CAST(sum(b.x) AS BIGINT) AS st
+        FROM lags l
+        JOIN idx a ON TRUE
+        JOIN idx b ON b.rn = a.rn + l.lag
+        GROUP BY l.lag
+    )
+    SELECT CAST(p.lag AS BIGINT) AS lag,
+           p.n_pairs,
+           (CAST(p.c AS DOUBLE) - t.xbar * CAST(p.sh + p.st AS DOUBLE)
+                + CAST(p.n_pairs AS DOUBLE) * t.xbar * t.xbar)
+           / (CAST(t.q AS DOUBLE) - CAST(t.s AS DOUBLE) * t.xbar) AS acf
+    FROM perlag p CROSS JOIN totals t
+    """,
+)
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the hourly event-count series at lags
+    1–6 — the seasonality/burstiness detector run before picking a
+    forecasting model.
+
+    Bit-exact: the series is exact BIGINT counts, every per-lag moment
+    (Σx_t·x_{t+k}, head/tail sums) and the global moments (n, Σx, Σx²)
+    are order-free integer aggregates, and the final r_k is one shared
+    expression tree of IEEE ops on those exact integers — identical on
+    both engines with no rounding. The six lag columns come out of ONE
+    window pass (series-sized single partition: the hourly rollup is
+    hours-count-sized, not event-sized; at 100 TB the rollup shuffle is
+    the only data-sized exchange and the series stays tiny). Integer
+    moments are exact while hourly counts stay below ~2²⁶ per hour;
+    past that, widen to DECIMAL(38) on both engines.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
+    ).agg(F.count("*").alias("x"))
+    totals = hourly.agg(
+        F.count("*").alias("n"),
+        lng(F.sum("x")).alias("s"),
+        lng(F.sum(F.col("x") * F.col("x"))).alias("q"),
+    ).select(
+        "n", "s", "q",
+        (F.col("s").cast("double") / F.col("n")).alias("xbar"),
+    )
+    w = Window.orderBy("hour_epoch")
+    lagged = hourly.select(
+        F.col("x"),
+        *[F.lag("x", k).over(w).alias(f"l{k}") for k in range(1, 7)],
+    )
+    pairs = lagged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.col(f"l{k}").alias("xh"),
+                        F.col("x").alias("xt"),
+                    )
+                    for k in range(1, 7)
+                ]
+            )
+        ).alias("p")
+    ).select("p.*").filter(F.col("xh").isNotNull())
+    perlag = pairs.groupBy("lag").agg(
+        F.count("*").alias("n_pairs"),
+        lng(F.sum(F.col("xh") * F.col("xt"))).alias("c"),
+        lng(F.sum("xh")).alias("sh"),
+        lng(F.sum("xt")).alias("st"),
+    )
+    joined = perlag.crossJoin(F.broadcast(totals))
+    acf = (
+        F.col("c").cast("double")
+        - F.col("xbar") * (F.col("sh") + F.col("st")).cast("double")
+        + F.col("n_pairs").cast("double") * F.col("xbar") * F.col("xbar")
+    ) / (F.col("q").cast("double") - F.col("s").cast("double") * F.col("xbar"))
+    return joined.select("lag", "n_pairs", acf.alias("acf"))
+
+
+# --------------------------------------------------------------------------
+# an-19 (ext) — Holt linear-trend smoothing of the hourly mean-value series
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_holt_linear",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT)
+                   AS hour_epoch,
+               CAST(sum(floor(value * 1000)) AS BIGINT) AS s,
+               count(*) AS n
+        FROM events GROUP BY event_type, hour_epoch
+    ), seq AS (
+        SELECT event_type, hour_epoch, s / (1000.0 * n) AS x FROM hourly
+    ), series AS (
+        SELECT event_type, list(x ORDER BY hour_epoch) AS xs
+        FROM seq GROUP BY event_type
+    ), folded AS (
+        SELECT event_type,
+               CAST(len(xs) AS BIGINT) AS n_hours,
+               list_reduce(
+                   list_transform(xs, v -> [v, 0.0]),
+                   (acc, e) -> [
+                       0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                       0.25 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2]))
+                               - acc[1]) + 0.75 * acc[2]
+                   ]
+               ) AS lb
+        FROM series
+    )
+    SELECT event_type, n_hours,
+           lb[1] AS level,
+           lb[2] AS trend,
+           lb[1] + 3.0 * lb[2] AS forecast_3
+    FROM folded
+    """,
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level α=1/2, trend β=1/4) of
+    the hourly mean event value per type, with the 3-hour-ahead linear
+    forecast — the trend-aware upgrade of q_ewma_hourly.
+
+    Bit-exact by the EWMA recipe: the series is exact integer ratios,
+    the smoothing constants are dyadic, and BOTH engines run the SAME
+    oldest→newest fold (Spark ``aggregate`` HOF; DuckDB ``list_reduce``
+    over 2-element level/trend accumulators seeded from the first
+    observation) — identical IEEE ops in identical order, so level,
+    trend, and forecast need no rounding. The collect_list is per-type
+    hours-count-sized (series-sized, never event-sized); the hourly
+    rollup is the only data-sized shuffle at 100 TB.
+    """
+    from mapreduce_hw05_spark.plans.events_queries import hourly_value_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = hourly_value_stats(ev).select(
+        "event_type",
+        "hour_epoch",
+        (F.col("s") / (1000.0 * F.col("n"))).alias("x"),
+    )
+    series = seq.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("hour_epoch", "x"))),
+            lambda t: t["x"],
+        ).alias("xs")
+    )
+
+    def _step(acc, x):
+        level = 0.5 * x + 0.5 * (acc[0] + acc[1])
+        trend = (
+            0.25 * ((0.5 * x + 0.5 * (acc[0] + acc[1])) - acc[0])
+            + 0.75 * acc[1]
+        )
+        return F.array(level, trend)
+
+    folded = series.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_hours"),
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            F.array(F.element_at("xs", 1), F.lit(0.0)),
+            _step,
+        ).alias("lb"),
+    )
+    return folded.select(
+        "event_type",
+        "n_hours",
+        F.element_at("lb", 1).alias("level"),
+        F.element_at("lb", 2).alias("trend"),
+        (F.element_at("lb", 1) + 3.0 * F.element_at("lb", 2)).alias(
+            "forecast_3"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# an-20 (ext) — CUSUM change-point detection on the daily revenue series
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('day', ts)) // 1000000 AS BIGINT)
+                   AS day_epoch,
+               CAST(sum(floor(value * 1000)) AS BIGINT) AS s
+        FROM events GROUP BY event_type, day_epoch
+    ), dev AS (
+        SELECT event_type, day_epoch,
+               count(*) OVER (PARTITION BY event_type) AS n_days,
+               abs(
+                   count(*) OVER (PARTITION BY event_type)
+                   * CAST(sum(s) OVER (PARTITION BY event_type
+                                       ORDER BY day_epoch
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+                   - row_number() OVER (PARTITION BY event_type
+                                        ORDER BY day_epoch)
+                   * CAST(sum(s) OVER (PARTITION BY event_type) AS BIGINT)
+               ) AS abs_dev
+        FROM daily
+    ), ranked AS (
+        SELECT event_type, n_days, day_epoch, abs_dev,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs_dev DESC, day_epoch)
+                   AS pick
+        FROM dev
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           day_epoch AS cp_day_epoch,
+           abs_dev AS max_abs_dev
+    FROM ranked WHERE pick = 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point sweep over the daily revenue series per event
+    type: the day maximizing |n·cumsum_t − t·total| — the classic
+    mean-shift detector, scale-free in integers.
+
+    Bit-exact with ZERO floating point: daily sums of ⌊value·1000⌋ are
+    order-free BIGINTs, the running cumsum is integer window arithmetic
+    (DuckDB's segment-tree window order cannot perturb integer sums),
+    and the argmax tiebreaks on the earliest day. Windows partition by
+    event_type over a days-count-sized rollup — never event-sized. The
+    products n·cum and t·total stay below ~2⁶⁰ while per-type total
+    quantized revenue × days < 2⁶⁰; widen to DECIMAL(38) past that.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_epoch"),
+    ).agg(lng(F.sum(F.floor(F.col("value") * 1000))).alias("s"))
+    part = Window.partitionBy("event_type")
+    run = part.orderBy("day_epoch").rowsBetween(Window.unboundedPreceding, 0)
+    dev = daily.select(
+        "event_type",
+        "day_epoch",
+        F.count("*").over(part).alias("n_days"),
+        F.abs(
+            F.count("*").over(part) * F.sum("s").over(run).cast("long")
+            - F.row_number().over(part.orderBy("day_epoch"))
+            * F.sum("s").over(part).cast("long")
+        ).alias("abs_dev"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("abs_dev").desc(), "day_epoch"
+    )
+    return (
+        dev.withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("day_epoch").alias("cp_day_epoch"),
+            F.col("abs_dev").alias("max_abs_dev"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# an-21 (ext) — Gini concentration of customer revenue per nation
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_gini_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey AS nk, o.o_custkey AS cust,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT nk, cents,
+               row_number() OVER (PARTITION BY nk ORDER BY cents, cust)
+                   AS i
+        FROM rev
+    ), pernation AS (
+        SELECT nk, count(*) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(i * cents) AS BIGINT) AS w
+        FROM ranked GROUP BY nk
+    )
+    SELECT n.n_name AS n_name, p.n_customers, p.total_cents,
+           CAST(2 * p.w - (p.n_customers + 1) * p.total_cents AS DOUBLE)
+           / CAST(p.n_customers * p.total_cents AS DOUBLE) AS gini
+    FROM pernation p JOIN nation n ON p.nk = n.n_nationkey
+    """,
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order revenue within each nation
+    — the inequality/concentration readout (is revenue spread evenly or
+    whale-dominated?) via the exact sorted-rank formula
+    G = (2Σi·xᵢ − (n+1)Σx) / (nΣx).
+
+    Bit-exact: revenue is cent-quantized BIGINT, ranks come from a
+    per-nation window with a custkey tiebreak, both moments are
+    order-free integer sums, and the single final division of exact
+    integers is engine-identical. Customers with no orders don't enter
+    (inner join). The rank window partitions by nation over the
+    customer-sized rollup; at 100 TB the only data-sized shuffle is the
+    per-customer aggregate, and Σi·x stays below 2⁶³ while
+    customers/nation × total cents < 2⁶³ — widen to DECIMAL(38) past
+    that.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("o_custkey").alias("cust"),
+        )
+        .agg(
+            lng(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                )
+            ).alias("cents")
+        )
+    )
+    ranked = rev.withColumn(
+        "i",
+        F.row_number().over(
+            Window.partitionBy("nk").orderBy("cents", "cust")
+        ),
+    )
+    pernation = ranked.groupBy("nk").agg(
+        F.count("*").alias("n_customers"),
+        lng(F.sum("cents")).alias("total_cents"),
+        lng(F.sum(F.col("i") * F.col("cents"))).alias("w"),
+    )
+    gini = (
+        2 * F.col("w") - (F.col("n_customers") + 1) * F.col("total_cents")
+    ).cast("double") / (F.col("n_customers") * F.col("total_cents")).cast(
+        "double"
+    )
+    return pernation.join(
+        F.broadcast(nation), pernation.nk == nation.n_nationkey
+    ).select(
+        F.col("n_name").alias("n_name"),
+        "n_customers",
+        "total_cents",
+        gini.alias("gini"),
+    )

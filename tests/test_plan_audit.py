@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "q_scalar_subquery",   # the scalar-subquery contract itself
     "q_theta_join",        # the theta-join contract itself
     "q_tpch_q22",          # scalar avg-balance subquery
+    "q_acf_lags",          # 1-row global-moments build side (scalar subquery)
 }
 
 _BATCH_QUERIES = sorted(
