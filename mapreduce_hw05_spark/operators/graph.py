@@ -590,3 +590,47 @@ def sssp(edges: DataFrame, seeds: DataFrame, rounds: int = 6) -> DataFrame:
         )
     edges.unpersist()
     return dist
+
+
+def link_prediction_common_neighbors(edges: DataFrame) -> DataFrame:
+    """Common-neighbor link prediction over a canonical (src < dst) edge
+    list: for every NON-adjacent pair at distance 2, the number of shared
+    neighbors ``cn`` and the neighborhood Jaccard
+    ``cn / (deg(a) + deg(b) − cn)`` → ``(src, dst, cn, jaccard)``.
+
+    Scale shape: candidates come from the path-2 self-join through each
+    middle node (the triangle-count wedge join — per-middle fan-out is
+    deg², never all-pairs), existing edges leave via one anti-join, and
+    degrees broadcast-join back in. Feed a support-thresholded edge list
+    (e.g. ``cooccurrence_edges_min_support``) so hub wedges stay bounded;
+    past that, the triangle count's hub-salting applies identically.
+    """
+    und = undirected(edges)
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    a = und.select(F.col("src").alias("m"), F.col("dst").alias("a"))
+    b = und.select(F.col("src").alias("m"), F.col("dst").alias("b"))
+    cand = (
+        a.join(b, "m")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("cn"))
+        .join(
+            edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            ["a", "b"],
+            "left_anti",
+        )
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    scored = cand.join(da, "a").join(db, "b")
+    jaccard = F.col("cn").cast("double") / (
+        F.col("da") + F.col("db") - F.col("cn")
+    ).cast("double")
+    return scored.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        "cn",
+        jaccard.alias("jaccard"),
+    )

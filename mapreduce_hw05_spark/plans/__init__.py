@@ -192,6 +192,10 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_holt_linear",
     "q_cusum_changepoint",
     "q_gini_concentration",
+    "q_link_prediction",
+    "q_rrf_fusion",
+    "q_keyword_tagging",
+    "q_nb_confusion",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

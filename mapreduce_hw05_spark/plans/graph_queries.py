@@ -552,3 +552,64 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "src", "dst")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# g-9 (ext) — common-neighbor link prediction (who should be connected?)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_link_prediction",
+    oracle="""
+    WITH pairs AS (
+        SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), edges AS (
+        SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ), deg AS (
+        SELECT src AS node, count(*) AS deg FROM edges GROUP BY src
+    ), cand AS (
+        SELECT a.dst AS a, b.dst AS b, count(*) AS cn
+        FROM edges a JOIN edges b ON a.src = b.src AND a.dst < b.dst
+        GROUP BY 1, 2
+    ), novel AS (
+        SELECT c.a, c.b, CAST(c.cn AS BIGINT) AS cn
+        FROM cand c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pairs p WHERE p.src = c.a AND p.dst = c.b
+        )
+    )
+    SELECT n.a AS src, n.b AS dst, n.cn,
+           CAST(n.cn AS DOUBLE) / CAST(da.deg + db.deg - n.cn AS DOUBLE)
+               AS jaccard
+    FROM novel n
+    JOIN deg da ON n.a = da.node
+    JOIN deg db ON n.b = db.node
+    ORDER BY n.cn DESC, n.a, n.b
+    LIMIT 20
+    """,
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links in the support-≥2 co-purchase graph:
+    non-adjacent part pairs ranked by shared-neighbor count, with the
+    neighborhood-Jaccard score — the classic recommender/link-prediction
+    batch job over the same graph as the CC and k-hop contracts.
+
+    The wedge self-join is the triangle-count path-2 shape (per-middle
+    deg² fan-out on the thresholded graph, never all-pairs); the Jaccard
+    is a single exact-integer division, so no rounding is needed.
+    """
+    from mapreduce_hw05_spark.operators.graph import (
+        cooccurrence_edges_min_support,
+        link_prediction_common_neighbors,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    scores = link_prediction_common_neighbors(
+        cooccurrence_edges_min_support(li, 2)
+    )
+    return scores.orderBy(F.col("cn").desc(), "src", "dst").limit(20)

@@ -732,3 +732,232 @@ def q_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n_pos * n_neg.cast("double"))
         ).alias("auc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Taxonomy keyword tagging — broadcast dimension join over the token stream
+# --------------------------------------------------------------------------
+
+#: keyword → topic taxonomy; the oracle VALUES list is generated from this
+#: dict so the two engines can never drift.
+KEYWORD_TOPICS: dict[str, str] = {
+    "join": "joins",
+    "merge": "joins",
+    "hash": "joins",
+    "scan": "scans",
+    "filter": "scans",
+    "table": "scans",
+    "window": "streaming",
+    "stream": "streaming",
+    "batch": "streaming",
+    "vector": "ml",
+    "data": "ml",
+}
+
+
+def _keyword_values_sql() -> str:
+    return ", ".join(f"('{k}', '{v}')" for k, v in KEYWORD_TOPICS.items())
+
+
+@contract(
+    "q_keyword_tagging",
+    oracle=f"""
+    WITH taxonomy (keyword, topic) AS (
+        VALUES {_keyword_values_sql()}
+    ), toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), hits AS (
+        SELECT DISTINCT t.doc_id, x.topic
+        FROM toks t JOIN taxonomy x ON t.token = x.keyword
+    )
+    SELECT doc_id,
+           string_agg(topic, ',' ORDER BY topic) AS topics,
+           count(*) AS n_topics
+    FROM hits GROUP BY doc_id
+    """,
+)
+def q_keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-label taxonomy tagging: each document is tagged with the
+    sorted distinct topics of the taxonomy keywords it contains — the
+    broadcast-dimension classify stage every corpus router runs (domain
+    routing, topic mixing, safety keyword screens).
+
+    The taxonomy is a literal broadcast side (both engines read the SAME
+    Python dict, so keyword/topic sets cannot drift); the token stream
+    joins it map-side, the DISTINCT collapses repeat hits before the
+    per-doc aggregate, and topics emit as a sorted comma-joined string —
+    deterministic and hash-comparable. At 100 TB this is scan throughput
+    + one doc-keyed exchange of (doc, topic) hits, never token-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    taxonomy = spark.createDataFrame(
+        list(KEYWORD_TOPICS.items()), "keyword string, topic string"
+    )
+    hits = (
+        tokenize(docs, "text", "doc_id")
+        .join(F.broadcast(taxonomy), F.col("token") == F.col("keyword"))
+        .select("doc_id", "topic")
+        .distinct()
+    )
+    return hits.groupBy("doc_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("topic"))).alias(
+            "topics"
+        ),
+        F.count("*").alias("n_topics"),
+    )
+
+
+# --------------------------------------------------------------------------
+# NB evaluation — per-class precision / recall / F1 from the held-out fifth
+# --------------------------------------------------------------------------
+
+#: The NB train/predict CTE chain shared by q_nb_classify / q_nb_auc,
+#: ending in pred(doc_id, pred) over the held-out fifth.
+_NB_PRED_SQL = """
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), train AS (
+        SELECT * FROM toks WHERE doc_id % 5 <> 0
+    ), vocab AS (
+        SELECT DISTINCT token FROM train
+    ), vsize AS (
+        SELECT count(*) AS v FROM vocab
+    ), class_docs AS (
+        SELECT lang, count(DISTINCT doc_id) AS nd FROM train GROUP BY lang
+    ), ndocs AS (
+        SELECT sum(nd) AS n FROM class_docs
+    ), tok_counts AS (
+        SELECT lang, token, count(*) AS c FROM train GROUP BY lang, token
+    ), class_tokens AS (
+        SELECT lang, sum(c) AS nt FROM tok_counts GROUP BY lang
+    ), priors AS (
+        SELECT cd.lang,
+               ln(cd.nd * 1.0 / (SELECT n FROM ndocs)) AS log_prior,
+               ln(1.0 / (ct.nt + (SELECT v FROM vsize))) AS default_ll
+        FROM class_docs cd JOIN class_tokens ct ON cd.lang = ct.lang
+    ), lik AS (
+        SELECT tc.lang, tc.token,
+               ln((tc.c + 1.0) / (ct.nt + (SELECT v FROM vsize))) AS ll
+        FROM tok_counts tc JOIN class_tokens ct ON tc.lang = ct.lang
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS f
+        FROM toks WHERE doc_id % 5 = 0
+        GROUP BY doc_id, token
+    ), tf_known AS (
+        SELECT * FROM tf WHERE token IN (SELECT token FROM vocab)
+    ), scores AS (
+        SELECT t.doc_id, p.lang,
+               p.log_prior + sum(t.f * coalesce(l.ll, p.default_ll)) AS score
+        FROM tf_known t
+        CROSS JOIN priors p
+        LEFT JOIN lik l ON l.lang = p.lang AND l.token = t.token
+        GROUP BY t.doc_id, p.lang, p.log_prior
+    ), pred AS (
+        SELECT doc_id, lang AS pred
+        FROM scores
+        QUALIFY row_number()
+            OVER (PARTITION BY doc_id ORDER BY round(score, 6) DESC, lang) = 1
+    )
+"""
+
+
+@contract(
+    "q_nb_confusion",
+    oracle=_NB_PRED_SQL
+    + """
+    , base AS (
+        SELECT p.pred, d.lang
+        FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+    ), per_true AS (
+        SELECT lang, count(*) AS n_true,
+               CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tp
+        FROM base GROUP BY lang
+    ), per_pred AS (
+        SELECT pred AS lang, count(*) AS n_pred FROM base GROUP BY pred
+    ), m AS (
+        SELECT coalesce(t.lang, p.lang) AS lang,
+               CAST(coalesce(t.n_true, 0) AS BIGINT) AS n_true,
+               CAST(coalesce(p.n_pred, 0) AS BIGINT) AS n_pred,
+               CAST(coalesce(t.tp, 0) AS BIGINT) AS tp
+        FROM per_true t FULL OUTER JOIN per_pred p ON t.lang = p.lang
+    )
+    SELECT lang, n_true, n_pred, tp,
+           CASE WHEN n_pred > 0
+                THEN CAST(tp AS DOUBLE) / n_pred END AS precision,
+           CASE WHEN n_true > 0
+                THEN CAST(tp AS DOUBLE) / n_true END AS recall,
+           CASE WHEN tp > 0
+                THEN 2.0 * (CAST(tp AS DOUBLE) / n_pred)
+                     * (CAST(tp AS DOUBLE) / n_true)
+                     / ((CAST(tp AS DOUBLE) / n_pred)
+                        + (CAST(tp AS DOUBLE) / n_true))
+                ELSE 0.0 END AS f1
+    FROM m
+    """,
+)
+def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the Naive Bayes language
+    classifier on the held-out fifth — the evaluation readout that turns
+    q_nb_classify's confusion matrix into the numbers a model card
+    reports.
+
+    The prediction pipeline is the SAME broadcast-model scorer
+    (operators.naive_bayes, round-6 argmax with label tiebreak); the
+    metrics reduce to three exact integers per class, and each metric is
+    a guarded single-division (F1: a fixed IEEE expression tree on those
+    divisions) — bit-identical cross-engine, NULL where undefined.
+    """
+    from pyspark.sql import Window
+
+    from mapreduce_hw05_spark.operators.naive_bayes import nb_fit, nb_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = tokenize(
+        docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id", "lang"
+    ).select("doc_id", F.col("lang").alias("label"), "token")
+    priors, lik = nb_fit(train)
+    test = tokenize(docs.filter(F.col("doc_id") % 5 == 0), "text", "doc_id")
+    scores = nb_score(test, priors, lik)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("label")
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("label").alias("pred"))
+    )
+    base = pred.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "pred", "lang"
+    )
+    per_true = base.groupBy("lang").agg(
+        F.count("*").alias("n_true"),
+        lng(F.sum((F.col("pred") == F.col("lang")).cast("int"))).alias("tp"),
+    )
+    per_pred = base.groupBy(F.col("pred").alias("lang")).agg(
+        F.count("*").alias("n_pred")
+    )
+    m = (
+        per_true.join(per_pred, "lang", "full")
+        .select(
+            "lang",
+            F.coalesce(F.col("n_true"), F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    p = F.col("tp").cast("double") / F.col("n_pred")
+    r = F.col("tp").cast("double") / F.col("n_true")
+    return m.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.when(F.col("n_pred") > 0, p).alias("precision"),
+        F.when(F.col("n_true") > 0, r).alias("recall"),
+        F.when(F.col("tp") > 0, 2.0 * p * r / (p + r))
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
+    )

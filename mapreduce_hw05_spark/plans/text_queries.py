@@ -405,3 +405,131 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         lng(F.sum("doc_id")).alias("id_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm-1b (ext) — reciprocal-rank fusion of two retrieval rankings
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_rrf_fusion",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), doc_len AS (
+        SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avg_dl FROM doc_len
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM toks WHERE token IN ('dup', 'join', 'scan')
+        GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), bm25 AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * 2.2
+                   / (tf + 1.2 * (0.25 + 0.75 * dl / avg_dl))
+               ), 6) AS bm25
+        FROM tf
+        JOIN df USING (token)
+        JOIN doc_len USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 50
+    ), la AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+        FROM bm25
+    ), lenlist AS (
+        SELECT doc_id, dl FROM doc_len ORDER BY dl DESC, doc_id LIMIT 50
+    ), lb AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY dl DESC, doc_id) AS rb
+        FROM lenlist
+    ), fused AS (
+        SELECT coalesce(la.doc_id, lb.doc_id) AS doc_id,
+               CAST(coalesce(la.ra, 0) AS BIGINT) AS rank_bm25,
+               CAST(coalesce(lb.rb, 0) AS BIGINT) AS rank_len,
+               (CASE WHEN la.ra IS NOT NULL
+                     THEN 1.0 / (60 + la.ra) ELSE 0.0 END)
+               + (CASE WHEN lb.rb IS NOT NULL
+                       THEN 1.0 / (60 + lb.rb) ELSE 0.0 END) AS rrf
+        FROM la FULL OUTER JOIN lb ON la.doc_id = lb.doc_id
+    )
+    SELECT doc_id, rank_bm25, rank_len, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two top-50 retrieval lists —
+    BM25 for the fixed query {dup, join, scan} and a document-length
+    prior — the standard hybrid-search combiner run before reranking.
+
+    Each list is a distributed TakeOrdered top-50 with a doc_id
+    tiebreak; ranks are assigned by a 50-row window AFTER the cut, the
+    RRF contribution 1/(60+r) is one exact division per list, and the
+    fused score is a single IEEE add — bit-identical cross-engine with
+    no rounding. Absent-from-list ranks emit as 0 so every column stays
+    integer-kinded. At 100 TB each retriever's top-k is the only
+    full-corpus pass; the fusion joins two 50-row sides.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id")
+    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs, avg_dl = doc_len.agg(
+        F.count("*").cast("double"), F.avg("dl")
+    ).collect()[0]
+    tf = (
+        toks.filter(F.col("token").isin("dup", "join", "scan"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(avg_dl))
+    bm25 = (
+        tf.join(F.broadcast(df), "token")
+        .join(doc_len, "doc_id")
+        .groupBy("doc_id")
+        .agg(ratio(F.sum(idf * F.col("tf") * 2.2 / denom)).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(50)
+    )
+    la = bm25.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("ra"),
+    )
+    lb = (
+        doc_len.orderBy(F.col("dl").desc(), "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("dl").desc(), "doc_id"))
+            .alias("rb"),
+        )
+    )
+    fused = la.join(lb, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce(F.col("ra"), F.lit(0)).cast("long").alias("rank_bm25"),
+        F.coalesce(F.col("rb"), F.lit(0)).cast("long").alias("rank_len"),
+        (
+            F.when(
+                F.col("ra").isNotNull(), F.lit(1.0) / (60 + F.col("ra"))
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("rb").isNotNull(), F.lit(1.0) / (60 + F.col("rb"))
+            ).otherwise(F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
