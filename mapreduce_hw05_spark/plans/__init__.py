@@ -196,6 +196,8 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_rrf_fusion",
     "q_keyword_tagging",
     "q_nb_confusion",
+    "q_stream_anomaly",
+    "q_als_user_step",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

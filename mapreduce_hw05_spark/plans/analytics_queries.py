@@ -672,9 +672,10 @@ def q_ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@contract(
-    "q_anomaly_hours",
-    oracle="""
+#: shared verbatim by the batch and streaming anomaly contracts — the
+#: streaming rollup lands on the identical hourly table, so both match
+#: this oracle bit-for-bit.
+ANOMALY_ORACLE_SQL = """
     WITH hourly AS (
         SELECT event_type,
                CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT)
@@ -708,31 +709,29 @@ def q_ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN flagged = 1 THEN hour_epoch END) AS BIGINT)
                AS anomaly_checksum
     FROM scored GROUP BY event_type
-    """,
-)
-def q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hours whose mean event value z-scores past ±3 against a trailing
-    24-hour pooled baseline (≥8 baseline hours required) — the on-call
-    metrics-anomaly sweep, emitted as exact per-type counts.
-
-    Bit-exact discipline as q_ewma_hourly: per-hour Σv and Σv² over
-    millisecond-quantized values are order-free BIGINTs, the trailing
-    window sums integers, and the z² comparison n·(m−μ)² > 9σ² is a
-    single-op double chain on identical inputs — no sqrt, no division by
-    a possibly-zero σ, no rounding. The Σv² BIGINT is exact to ~3e18;
-    at larger per-window volumes drop the quantization to centiunits or
-    widen to DECIMAL(38) on both engines.
     """
-    ev = load_table(spark, sf_dir, "events")
+
+
+def hourly_anomaly_stats(ev: DataFrame) -> DataFrame:
+    """(event_type, hour_epoch) → exact integer (s, s2, n) with
+    s = Σ⌊value·1000⌋ and s2 = Σ⌊value·1000⌋² — order-free and additive
+    in all three columns, so a streaming sink can fold per-batch deltas
+    and land on the identical hourly table."""
     v_ms = F.floor(F.col("value") * 1000)
-    hourly = ev.groupBy(
+    return ev.groupBy(
         "event_type",
         F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
     ).agg(
         F.sum(v_ms).cast("long").alias("s"),
         F.sum(v_ms * v_ms).cast("long").alias("s2"),
-        F.count("*").alias("n"),
+        F.count("*").cast("long").alias("n"),
     )
+
+
+def anomaly_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Finish the trailing-baseline anomaly sweep from the exact hourly
+    (s, s2, n) table — shared verbatim by the batch and streaming
+    contracts so their outputs are bit-identical by construction."""
     w = (
         W.partitionBy("event_type")
         .orderBy("hour_epoch")
@@ -768,6 +767,24 @@ def q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anomaly_checksum"
         ),
     )
+
+
+@contract("q_anomaly_hours", oracle=ANOMALY_ORACLE_SQL)
+def q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose mean event value z-scores past ±3 against a trailing
+    24-hour pooled baseline (≥8 baseline hours required) — the on-call
+    metrics-anomaly sweep, emitted as exact per-type counts.
+
+    Bit-exact discipline as q_ewma_hourly: per-hour Σv and Σv² over
+    millisecond-quantized values are order-free BIGINTs, the trailing
+    window sums integers, and the z² comparison n·(m−μ)² > 9σ² is a
+    single-op double chain on identical inputs — no sqrt, no division by
+    a possibly-zero σ, no rounding. The Σv² BIGINT is exact to ~3e18;
+    at larger per-window volumes drop the quantization to centiunits or
+    widen to DECIMAL(38) on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return anomaly_from_hourly(hourly_anomaly_stats(ev))
 
 
 # --------------------------------------------------------------------------

@@ -613,3 +613,86 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         cooccurrence_edges_min_support(li, 2)
     )
     return scores.orderBy(F.col("cn").desc(), "src", "dst").limit(20)
+
+
+# --------------------------------------------------------------------------
+# g-11 (ext) — one exact ALS half-step (ridge-regularized user factors)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_als_user_step",
+    oracle="""
+    WITH ratings AS (
+        SELECT o.o_custkey AS user_id, l.l_partkey AS item,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), feats AS (
+        SELECT user_id, r,
+               (item * 2654435761) % 16 / 16.0 - 0.5 AS q1,
+               (item * 40503) % 16 / 16.0 - 0.5 AS q2
+        FROM ratings
+    ), moments AS (
+        SELECT user_id, count(*) AS n_items,
+               sum(q1 * q1) AS a11, sum(q1 * q2) AS a12,
+               sum(q2 * q2) AS a22,
+               sum(r * q1) AS b1, sum(r * q2) AS b2
+        FROM feats GROUP BY user_id
+    )
+    SELECT user_id, n_items,
+           ((a22 + 0.5) * b1 - a12 * b2)
+               / ((a11 + 0.5) * (a22 + 0.5) - a12 * a12) AS p1,
+           ((a11 + 0.5) * b2 - a12 * b1)
+               / ((a11 + 0.5) * (a22 + 0.5) - a12 * a12) AS p2
+    FROM moments
+    """,
+)
+def q_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact ALS half-step: solve every user's ridge-regularized
+    rank-2 least-squares factor p_u = (QᵀQ_u + λI)⁻¹ Qᵀr_u (λ=1/2)
+    against fixed item factors — the alternating-least-squares core of
+    a distributed recommender, reduced to a partial-aggregate pattern.
+
+    Item factors here are hash-derived dyadics (k/16 − 1/2) computed
+    map-side, so the step needs NO item-factor join at all; production
+    ALS replaces the two hash lines with a broadcast (or block-join) of
+    the previous item-factor table and everything else is unchanged —
+    per-user state is the d(d+1)/2 + d = 5 moment doubles, one shuffle
+    on user_id.
+
+    Bit-exact with no rounding: every moment is a sum of dyadics with
+    ≤ 8 fractional bits and bounded magnitude (exactly representable →
+    order-free summation), the 2×2 Cramer solve is a fixed IEEE
+    expression tree on identical inputs, and the division is single-op.
+    Ratings are exact integer quantity sums.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(lng(F.sum(F.col("l_quantity").cast("long"))).alias("r"))
+    )
+    q1 = (F.col("item") * 2654435761) % 16 / 16.0 - 0.5
+    q2 = (F.col("item") * 40503) % 16 / 16.0 - 0.5
+    feats = ratings.select("user_id", "r", q1.alias("q1"), q2.alias("q2"))
+    m = feats.groupBy("user_id").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("q1") * F.col("q1")).alias("a11"),
+        F.sum(F.col("q1") * F.col("q2")).alias("a12"),
+        F.sum(F.col("q2") * F.col("q2")).alias("a22"),
+        F.sum(F.col("r") * F.col("q1")).alias("b1"),
+        F.sum(F.col("r") * F.col("q2")).alias("b2"),
+    )
+    det = (F.col("a11") + 0.5) * (F.col("a22") + 0.5) - F.col("a12") * F.col(
+        "a12"
+    )
+    p1 = ((F.col("a22") + 0.5) * F.col("b1") - F.col("a12") * F.col("b2")) / det
+    p2 = ((F.col("a11") + 0.5) * F.col("b2") - F.col("a12") * F.col("b1")) / det
+    return m.select(
+        "user_id", "n_items", p1.alias("p1"), p2.alias("p2")
+    )

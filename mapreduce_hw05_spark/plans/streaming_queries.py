@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_hw05_spark.plans.common import money
+from mapreduce_hw05_spark.plans.analytics_queries import (
+    ANOMALY_ORACLE_SQL as _ANOMALY_ORACLE_SQL_REF,
+)
 from mapreduce_hw05_spark.plans.events_queries import (
     EWMA_ORACLE_SQL as _EWMA_ORACLE_SQL_REF,
 )
@@ -1434,4 +1437,56 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         result,
         "event_type string, hour_epoch long, n_window long, "
         "x double, ewma double",
+    )
+
+
+# --------------------------------------------------------------------------
+# st-10 (ext) — streaming-maintained hourly rollup powering the anomaly sweep
+# --------------------------------------------------------------------------
+
+
+@contract("q_stream_anomaly", oracle=_ANOMALY_ORACLE_SQL_REF)
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trailing-baseline anomaly contract executed BY THE STREAMING
+    ENGINE (24th streaming-executed contract): the events replay folds
+    each micro-batch's exact hourly (Σ⌊v·1000⌋, Σ⌊v·1000⌋², count)
+    deltas into a persisted rollup through the manifest-guarded additive
+    sink, and the shared z²-sweep finisher runs over the final state.
+
+    All three state columns are integer-additive and the sink is
+    exactly-once, so the streaming state equals the batch hourly table
+    bit-for-bit regardless of chunking — the sweep matches the SAME
+    DuckDB oracle as q_anomaly_hours with no tolerance. State stays
+    (types × hours)-sized, never event-sized.
+    """
+    from mapreduce_hw05_spark.plans.analytics_queries import (
+        anomaly_from_hourly,
+        hourly_anomaly_stats,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_sanom_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4),
+                        os.path.join(root, "in"))
+    state = os.path.join(root, "state")
+    with _replay_state_partitions(spark, replay):
+        query = ops.stream_additive_rollup_foreachbatch(
+            replay.stream(), state, os.path.join(root, "ckpt"),
+            ["event_type", "hour_epoch"], hourly_anomaly_stats,
+        ).start()
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    result = anomaly_from_hourly(
+        spark.read.parquet(state).select("event_type", "hour_epoch",
+                                         "s", "s2", "n")
+    ).collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        result,
+        "event_type string, n_scored long, n_anomalies long, "
+        "anomaly_checksum long",
     )

@@ -356,18 +356,28 @@ def test_stream_band_join_invariant_to_chunking(spark, events, seed):
     assert as_sorted_rows(got) == as_sorted_rows(expect), f"seed={seed}"
 
 
+def _hourly_delta_fns():
+    from mapreduce_hw05_spark.plans.analytics_queries import (
+        hourly_anomaly_stats,
+    )
+    from mapreduce_hw05_spark.plans.events_queries import hourly_value_stats
+
+    return {"ewma": hourly_value_stats, "anomaly": hourly_anomaly_stats}
+
+
+@pytest.mark.parametrize("delta", ["ewma", "anomaly"])
 @pytest.mark.parametrize("seed", SEEDS)
 def test_additive_rollup_invariant_to_chunking_with_redelivery(
-    spark, events, seed, tmp_path
+    spark, events, seed, delta, tmp_path
 ):
     """The additive hourly rollup must land on EXACTLY the batch hourly
     table for any chunking, even when one batch id is re-delivered (the
-    manifest guard absorbs it). This is the state q_stream_ewma smooths,
-    so its equality with the batch EWMA follows from this test plus a
-    shared finisher plan."""
+    manifest guard absorbs it). This is the state q_stream_ewma smooths
+    and q_stream_anomaly sweeps, so their equality with the batch twins
+    follows from this test plus the shared finisher plans."""
     import os
 
-    from mapreduce_hw05_spark.plans.events_queries import hourly_value_stats
+    hourly_value_stats = _hourly_delta_fns()[delta]
     from tests.test_streaming import _capture_foreach_batch
 
     chunks = random_chunks(events, "ts", seed, duplicate_one=True)
@@ -391,6 +401,6 @@ def test_additive_rollup_invariant_to_chunking_with_redelivery(
     )
     for batch_id, chunk in deliveries:
         apply_batch(chunk, batch_id)
-    got = spark.read.parquet(state).select("event_type", "hour_epoch", "s", "n")
     expect = hourly_value_stats(events)
+    got = spark.read.parquet(state).select(*expect.columns)
     assert as_sorted_rows(got) == as_sorted_rows(expect), f"seed={seed}"
