@@ -198,6 +198,9 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_nb_confusion",
     "q_stream_anomaly",
     "q_als_user_step",
+    "q_stream_cusum",
+    "q_association_rules",
+    "q_mad_outliers",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -1336,9 +1336,10 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@contract(
-    "q_cusum_changepoint",
-    oracle="""
+#: shared verbatim by the batch and streaming CUSUM contracts — the
+#: streaming rollup lands on the identical daily table, so both match
+#: this oracle bit-for-bit.
+CUSUM_ORACLE_SQL = """
     WITH daily AS (
         SELECT event_type,
                CAST(epoch_us(date_trunc('day', ts)) // 1000000 AS BIGINT)
@@ -1371,28 +1372,25 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
            day_epoch AS cp_day_epoch,
            abs_dev AS max_abs_dev
     FROM ranked WHERE pick = 1
-    """,
-)
-def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM change-point sweep over the daily revenue series per event
-    type: the day maximizing |n·cumsum_t − t·total| — the classic
-    mean-shift detector, scale-free in integers.
-
-    Bit-exact with ZERO floating point: daily sums of ⌊value·1000⌋ are
-    order-free BIGINTs, the running cumsum is integer window arithmetic
-    (DuckDB's segment-tree window order cannot perturb integer sums),
-    and the argmax tiebreaks on the earliest day. Windows partition by
-    event_type over a days-count-sized rollup — never event-sized. The
-    products n·cum and t·total stay below ~2⁶⁰ while per-type total
-    quantized revenue × days < 2⁶⁰; widen to DECIMAL(38) past that.
     """
-    from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
+
+def daily_revenue_stats(ev: DataFrame) -> DataFrame:
+    """(event_type, day_epoch) → exact integer s = Σ⌊value·1000⌋ —
+    order-free and additive, so a streaming sink can fold per-batch
+    deltas and land on the identical daily table."""
+    return ev.groupBy(
         "event_type",
         F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_epoch"),
     ).agg(lng(F.sum(F.floor(F.col("value") * 1000))).alias("s"))
+
+
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """Finish the CUSUM argmax from the exact daily table — shared
+    verbatim by the batch and streaming contracts so their outputs are
+    bit-identical by construction."""
+    from pyspark.sql import Window
+
     part = Window.partitionBy("event_type")
     run = part.orderBy("day_epoch").rowsBetween(Window.unboundedPreceding, 0)
     dev = daily.select(
@@ -1418,6 +1416,26 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("abs_dev").alias("max_abs_dev"),
         )
     )
+
+
+@contract("q_cusum_changepoint", oracle=CUSUM_ORACLE_SQL)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point sweep over the daily revenue series per event
+    type: the day maximizing |n·cumsum_t − t·total| — the classic
+    mean-shift detector, scale-free in integers.
+
+    Bit-exact with ZERO floating point: daily sums of ⌊value·1000⌋ are
+    order-free BIGINTs, the running cumsum is integer window arithmetic
+    (DuckDB's segment-tree window order cannot perturb integer sums),
+    and the argmax tiebreaks on the earliest day. Windows partition by
+    event_type over a days-count-sized rollup — never event-sized. The
+    products n·cum and t·total stay below ~2⁶⁰ while per-type total
+    quantized revenue × days < 2⁶⁰; widen to DECIMAL(38) past that.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_from_daily(daily_revenue_stats(ev))
 
 
 # --------------------------------------------------------------------------
@@ -1509,4 +1527,171 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         "total_cents",
         gini.alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# an-22 (ext) — association rules over co-purchased parts
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_association_rules",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+    ), supp AS (
+        SELECT l_partkey AS item, count(*) AS s FROM items GROUP BY 1
+    ), pair AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS s_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), rules AS (
+        SELECT pa AS antecedent, pb AS consequent, s_ab FROM pair
+        UNION ALL
+        SELECT pb, pa, s_ab FROM pair
+    )
+    SELECT r.antecedent, r.consequent,
+           CAST(r.s_ab AS BIGINT) AS s_ab,
+           CAST(r.s_ab AS DOUBLE) / sa.s AS confidence,
+           CAST(r.s_ab * n.n_orders AS DOUBLE)
+               / CAST(sa.s * sc.s AS DOUBLE) AS lift
+    FROM rules r
+    JOIN supp sa ON r.antecedent = sa.item
+    JOIN supp sc ON r.consequent = sc.item
+    CROSS JOIN n
+    ORDER BY lift DESC, r.antecedent, r.consequent
+    LIMIT 20
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 association rules a→b over co-purchased parts (pair
+    support ≥ 2), ranked by lift with confidence alongside — the
+    market-basket mining readout built from the same keyed per-order
+    self-join as the co-purchase graph (per-order fan-out, never
+    all-pairs; singleton supports are one distinct-pair aggregate).
+
+    Bit-exact: supports are exact integers, confidence is one integer
+    division, lift is one division of two exact integer products
+    (s_ab·n < 2⁶³ trivially), and ties break on the (antecedent,
+    consequent) pair — no rounding anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    supp = items.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").alias("s")
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("s_ab"))
+        .filter(F.col("s_ab") >= 2)
+    )
+    rules = pair.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "s_ab",
+    ).unionAll(
+        pair.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "s_ab",
+        )
+    )
+    sa = supp.select(F.col("item").alias("antecedent"), F.col("s").alias("sa"))
+    sc = supp.select(F.col("item").alias("consequent"), F.col("s").alias("sc"))
+    scored = rules.join(sa, "antecedent").join(sc, "consequent")
+    return (
+        scored.select(
+            "antecedent",
+            "consequent",
+            F.col("s_ab").cast("long").alias("s_ab"),
+            (F.col("s_ab").cast("double") / F.col("sa")).alias("confidence"),
+            (
+                (F.col("s_ab") * F.lit(n_orders)).cast("double")
+                / (F.col("sa") * F.col("sc")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# an-23 (ext) — MAD-based robust outlier counts per event type
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_mad_outliers",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v
+        FROM events
+    ), med AS (
+        SELECT event_type, median(v) AS med_v FROM q GROUP BY event_type
+    ), dev AS (
+        SELECT q.event_type, q.v, abs(q.v - m.med_v) AS d
+        FROM q JOIN med m ON q.event_type = m.event_type
+    ), mad AS (
+        SELECT event_type, median(d) AS mad_v FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n,
+           m.med_v,
+           mm.mad_v,
+           CAST(sum(CASE WHEN d.d * 0.6745 > 3.5 * mm.mad_v
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d
+    JOIN med m ON d.event_type = m.event_type
+    JOIN mad mm ON d.event_type = mm.event_type
+    GROUP BY d.event_type, m.med_v, mm.mad_v
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: modified z-score
+    0.6745·|v−median| / MAD > 3.5 over millisecond-quantized values —
+    the median-based sweep that survives the heavy tails that wreck
+    mean/σ rules (q_anomaly_hours' z² cousin).
+
+    Bit-exact without rounding: the input is exact BIGINTs, each median
+    is exact-dyadic (integer or integer+½, and the even-count midpoint
+    (a+b)/2 vs a+(b−a)·0.5 interpolations are BOTH exact on dyadics, so
+    the engines agree bit-for-bit), deviations are exact differences,
+    and the outlier test compares two single-multiply expressions.
+    Exact medians are a per-group sort — the single-pass mergeable
+    alternative at 100 TB is the KLL sketch (q_kll_rollup); the
+    broadcast median join keeps the second pass map-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type", F.floor(F.col("value") * 1000).cast("long").alias("v")
+    )
+    med = q.groupBy("event_type").agg(F.median("v").alias("med_v"))
+    dev = q.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_v",
+        F.abs(F.col("v") - F.col("med_v")).alias("d"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("d").alias("mad_v"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_v", "mad_v")
+        .agg(
+            F.count("*").alias("n"),
+            lng(
+                F.sum(
+                    (F.col("d") * 0.6745 > 3.5 * F.col("mad_v")).cast("int")
+                )
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "n", "med_v", "mad_v", "n_outliers")
     )

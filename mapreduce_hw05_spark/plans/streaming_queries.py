@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from mapreduce_hw05_spark.plans.common import money
 from mapreduce_hw05_spark.plans.analytics_queries import (
     ANOMALY_ORACLE_SQL as _ANOMALY_ORACLE_SQL_REF,
+    CUSUM_ORACLE_SQL as _CUSUM_ORACLE_SQL_REF,
 )
 from mapreduce_hw05_spark.plans.events_queries import (
     EWMA_ORACLE_SQL as _EWMA_ORACLE_SQL_REF,
@@ -1489,4 +1490,52 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         result,
         "event_type string, n_scored long, n_anomalies long, "
         "anomaly_checksum long",
+    )
+
+
+# --------------------------------------------------------------------------
+# st-11 (ext) — streaming-maintained daily rollup powering the CUSUM argmax
+# --------------------------------------------------------------------------
+
+
+@contract("q_stream_cusum", oracle=_CUSUM_ORACLE_SQL_REF)
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM change-point contract executed BY THE STREAMING ENGINE
+    (25th streaming-executed contract): the events replay folds each
+    micro-batch's exact daily Σ⌊value·1000⌋ deltas into a persisted
+    rollup through the manifest-guarded additive sink, and the shared
+    all-integer argmax finisher runs over the final state — matching
+    the SAME DuckDB oracle as q_cusum_changepoint bit-for-bit (the
+    state column is one additive BIGINT, so chunking cannot perturb
+    it). State stays (types × days)-sized, never event-sized.
+    """
+    from mapreduce_hw05_spark.plans.analytics_queries import (
+        cusum_from_daily,
+        daily_revenue_stats,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_scusum_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4),
+                        os.path.join(root, "in"))
+    state = os.path.join(root, "state")
+    with _replay_state_partitions(spark, replay):
+        query = ops.stream_additive_rollup_foreachbatch(
+            replay.stream(), state, os.path.join(root, "ckpt"),
+            ["event_type", "day_epoch"], daily_revenue_stats,
+        ).start()
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    result = cusum_from_daily(
+        spark.read.parquet(state).select("event_type", "day_epoch", "s")
+    ).collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        result,
+        "event_type string, n_days long, cp_day_epoch long, "
+        "max_abs_dev long",
     )
