@@ -241,11 +241,28 @@ def run_graphs(spark: SparkSession, edge_counts: list[int]) -> dict:
     from mapreduce_hw05_spark.operators.graph import (
         connected_components,
         label_propagation,
+        link_prediction_common_neighbors,
         pagerank,
         sssp,
         triangle_count,
         undirected,
     )
+
+    def _link_pred(e: DataFrame) -> DataFrame:
+        # multi-edge support >= 2 plays the role of the fixtures'
+        # cooccurrence threshold: the wedge join runs on the supported
+        # subgraph (hub wedges stay bounded), exactly as documented.
+        supported = (
+            e.groupBy("src", "dst")
+            .agg(F.count("*").alias("m"))
+            .filter(F.col("m") >= 2)
+            .select("src", "dst")
+        )
+        return (
+            link_prediction_common_neighbors(supported)
+            .orderBy(F.col("cn").desc(), "src", "dst")
+            .limit(20)
+        )
 
     def _sssp(e: DataFrame) -> DataFrame:
         sym = undirected(e).withColumn("w", F.lit(1) + F.col("dst") % 9)
@@ -270,6 +287,7 @@ def run_graphs(spark: SparkSession, edge_counts: list[int]) -> dict:
             ("pagerank", lambda e: pagerank(e, iterations=10)),
             ("label_propagation", lambda e: label_propagation(undirected(e), rounds=4)),
             ("sssp", _sssp),
+            ("link_prediction", _link_pred),
         ):
             t0 = time.time()
             _noop(fn(edges))
