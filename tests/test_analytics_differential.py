@@ -1,0 +1,256 @@
+"""Third-implementation differentials for the round-4 analytics batch:
+each contract's Spark plan is checked bit-for-bit against an independent
+pure-Python reference (NOT the DuckDB oracle — that's the driver's
+check) computed straight from the sf0.001 parquet via pandas.
+
+Exact equality is asserted everywhere: these contracts are built on the
+quantize-to-integers / single-expression-tree / ordered-fold recipes, so
+a correct reference lands on the identical doubles.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter, defaultdict
+
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events():
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    epoch = pd.Timestamp("1970-01-01")
+    one_s = pd.Timedelta(seconds=1)
+    ev["hour"] = ((ev["ts"].dt.floor("h") - epoch) / one_s).astype("int64")
+    ev["day"] = ((ev["ts"].dt.floor("d") - epoch) / one_s).astype("int64")
+    ev["v_ms"] = (ev["value"] * 1000).apply(math.floor).astype("int64")
+    return ev
+
+
+def test_acf_matches_python(spark):
+    from mapreduce_hw05_spark.plans import QUERIES
+
+    ev = _events()
+    xs = [
+        int(c) for _, c in sorted(Counter(ev["hour"]).items())
+    ]  # hourly counts in hour order
+    n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+    xbar = float(s) / n
+    want = {}
+    for k in range(1, 7):
+        pairs = list(zip(xs[:-k], xs[k:]))
+        nk = len(pairs)
+        c = sum(a * b for a, b in pairs)
+        sh = sum(a for a, _ in pairs)
+        st = sum(b for _, b in pairs)
+        want[k] = (
+            nk,
+            (float(c) - xbar * float(sh + st) + float(nk) * xbar * xbar)
+            / (float(q) - float(s) * xbar),
+        )
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf"])
+        for r in QUERIES["q_acf_lags"](spark, SF_DIR).collect()
+    }
+    assert got == want  # identical IEEE op tree → exact doubles
+
+
+def test_holt_matches_python(spark):
+    from mapreduce_hw05_spark.plans import QUERIES
+
+    ev = _events()
+    want = {}
+    for et, g in ev.groupby("event_type"):
+        hourly = g.groupby("hour")["v_ms"].agg(["sum", "count"]).sort_index()
+        xs = [s / (1000.0 * n) for s, n in zip(hourly["sum"], hourly["count"])]
+        level, trend = xs[0], 0.0
+        for x in xs[1:]:
+            new_l = 0.5 * x + 0.5 * (level + trend)
+            trend = 0.25 * ((0.5 * x + 0.5 * (level + trend)) - level) + 0.75 * trend
+            level = new_l
+        want[et] = (len(xs), level, trend, level + 3.0 * trend)
+    got = {
+        r["event_type"]: (r["n_hours"], r["level"], r["trend"], r["forecast_3"])
+        for r in QUERIES["q_holt_linear"](spark, SF_DIR).collect()
+    }
+    assert got == want  # identical ordered fold → exact doubles
+
+
+def test_cusum_matches_python(spark):
+    from mapreduce_hw05_spark.plans import QUERIES
+
+    ev = _events()
+    want = {}
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("day")["v_ms"].sum().sort_index()
+        days, vals = list(daily.index), [int(v) for v in daily]
+        n, total, cum = len(vals), sum(vals), 0
+        best = None
+        for t, (d, x) in enumerate(zip(days, vals), start=1):
+            cum += x
+            dev = abs(n * cum - t * total)
+            key = (-dev, d)
+            if best is None or key < best[0]:
+                best = (key, (n, int(d), dev))
+        want[et] = best[1]
+    got = {
+        r["event_type"]: (r["n_days"], r["cp_day_epoch"], r["max_abs_dev"])
+        for r in QUERIES["q_cusum_changepoint"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_gini_matches_python(spark):
+    from mapreduce_hw05_spark.plans import QUERIES
+
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    nation = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = (j["o_totalprice"] * 100 + 0.5).apply(math.floor).astype("int64")
+    want = {}
+    for nk, g in j.groupby("c_nationkey"):
+        rev = sorted(
+            g.groupby("o_custkey")["cents"].sum().items(),
+            key=lambda kv: (kv[1], kv[0]),
+        )
+        n = len(rev)
+        t = sum(v for _, v in rev)
+        w = sum(i * v for i, (_, v) in enumerate(rev, start=1))
+        name = nation.loc[nation["n_nationkey"] == nk, "n_name"].iloc[0]
+        want[name] = (n, t, float(2 * w - (n + 1) * t) / float(n * t))
+    got = {
+        r["n_name"]: (r["n_customers"], r["total_cents"], r["gini"])
+        for r in QUERIES["q_gini_concentration"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_als_step_matches_python(spark):
+    from mapreduce_hw05_spark.plans import QUERIES
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    j["r"] = j["l_quantity"].astype("int64")
+    ratings = j.groupby(["o_custkey", "l_partkey"])["r"].sum()
+    mom = defaultdict(lambda: [0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    for (u, item), r in ratings.items():
+        q1 = (item * 2654435761) % 16 / 16.0 - 0.5
+        q2 = (item * 40503) % 16 / 16.0 - 0.5
+        m = mom[u]
+        m[0] += 1
+        m[1] += q1 * q1
+        m[2] += q1 * q2
+        m[3] += q2 * q2
+        m[4] += float(r) * q1
+        m[5] += float(r) * q2
+    want = {}
+    for u, (n, a11, a12, a22, b1, b2) in mom.items():
+        det = (a11 + 0.5) * (a22 + 0.5) - a12 * a12
+        want[u] = (
+            n,
+            ((a22 + 0.5) * b1 - a12 * b2) / det,
+            ((a11 + 0.5) * b2 - a12 * b1) / det,
+        )
+    got = {
+        r["user_id"]: (r["n_items"], r["p1"], r["p2"])
+        for r in QUERIES["q_als_user_step"](spark, SF_DIR).collect()
+    }
+    # dyadic moments sum exactly in ANY order → exact doubles
+    assert got == want
+
+
+def test_association_rules_match_bruteforce(spark):
+    from mapreduce_hw05_spark.plans import QUERIES
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    baskets = li.groupby("l_orderkey")["l_partkey"].agg(lambda s: set(s))
+    n_orders = len(baskets)
+    supp: Counter = Counter()
+    pair: Counter = Counter()
+    for items in baskets:
+        for a in items:
+            supp[a] += 1
+        items = sorted(items)
+        for i, a in enumerate(items):
+            for b in items[i + 1 :]:
+                pair[(a, b)] += 1
+    rules = []
+    for (a, b), s_ab in pair.items():
+        if s_ab < 2:
+            continue
+        for ant, con in ((a, b), (b, a)):
+            lift = float(s_ab * n_orders) / float(supp[ant] * supp[con])
+            rules.append(
+                (-lift, ant, con, s_ab, float(s_ab) / supp[ant], lift)
+            )
+    want = [r[1:] for r in sorted(rules)[:20]]
+    got = [
+        (r["antecedent"], r["consequent"], r["s_ab"], r["confidence"], r["lift"])
+        for r in QUERIES["q_association_rules"](spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+
+def test_mad_outliers_match_python(spark):
+    from mapreduce_hw05_spark.plans import QUERIES
+
+    ev = _events()
+    want = {}
+    for et, g in ev.groupby("event_type"):
+        vs = sorted(int(v) for v in g["v_ms"])
+
+        def med(sorted_vals):
+            m = len(sorted_vals)
+            if m % 2:
+                return float(sorted_vals[m // 2])
+            return (sorted_vals[m // 2 - 1] + sorted_vals[m // 2]) / 2
+
+        med_v = med(vs)
+        devs = sorted(abs(v - med_v) for v in vs)
+        mad_v = med(devs)
+        n_out = sum(1 for d in devs if d * 0.6745 > 3.5 * mad_v)
+        want[et] = (len(vs), med_v, mad_v, n_out)
+    got = {
+        r["event_type"]: (r["n"], r["med_v"], r["mad_v"], r["n_outliers"])
+        for r in QUERIES["q_mad_outliers"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_link_prediction_matches_bruteforce(spark, seed):
+    from mapreduce_hw05_spark.operators.graph import (
+        link_prediction_common_neighbors,
+    )
+
+    rng = random.Random(seed)
+    n_nodes = rng.randint(5, 14)
+    edges = set()
+    for _ in range(rng.randint(4, 30)):
+        a, b = rng.sample(range(n_nodes), 2)
+        edges.add((min(a, b), max(a, b)))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = set()
+    for a in adj:
+        for b in adj:
+            if a >= b or (a, b) in edges:
+                continue
+            cn = len(adj[a] & adj[b])
+            if cn:
+                want.add(
+                    (a, b, cn, float(cn) / float(len(adj[a]) + len(adj[b]) - cn))
+                )
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {
+        (r["src"], r["dst"], r["cn"], r["jaccard"])
+        for r in link_prediction_common_neighbors(df).collect()
+    }
+    assert got == want, f"seed={seed}"
