@@ -201,6 +201,9 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_stream_cusum",
     "q_association_rules",
     "q_mad_outliers",
+    "q_attribution_last_touch",
+    "q_survival_km",
+    "q_resource_allocation",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

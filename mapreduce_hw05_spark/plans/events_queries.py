@@ -652,3 +652,216 @@ def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     return ewma_from_hourly(hourly_value_stats(ev))
+
+
+# --------------------------------------------------------------------------
+# j-9b (ext) — last-touch marketing attribution over the as-of join
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_attribution_last_touch",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, CAST(props->>'k' AS BIGINT) % 4 AS chan
+        FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts, CAST(floor(value * 1000) AS BIGINT) AS v_ms
+        FROM events WHERE event_type = 'purchase'
+    ), j AS (
+        SELECT p.user_id, p.v_ms, p.ts, c.ts AS cts, c.chan
+        FROM purchases p
+        ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT CASE WHEN cts IS NOT NULL AND chan IS NOT NULL
+                     AND cts >= ts - INTERVAL 3 DAY
+                THEN 'ch' || chan ELSE 'none' END AS channel,
+           count(*) AS n_purchases,
+           CAST(sum(v_ms) AS BIGINT) AS revenue_ms,
+           count(DISTINCT user_id) AS n_users
+    FROM j GROUP BY 1
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the same user's
+    most recent click within a 3-day lookback (channel = the click's
+    ``props.k % 4``), else the 'none' bucket — the marketing-analytics
+    staple built on the as-of join + JSON extraction.
+
+    The engine's as-of realization is the union + one-window-pass
+    operator (one user-keyed shuffle, streaming 'last seen' within each
+    sorted partition — scales to any clicks-per-user); the oracle uses
+    DuckDB's native ASOF LEFT JOIN. Revenue is millisecond-quantized
+    BIGINT, so every output cell is exact.
+    """
+    from mapreduce_hw05_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        (F.get_json_object("props", "$.k").cast("long") % 4).alias("chan"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1000).cast("long").alias("v_ms"),
+    )
+    j = asof_join(
+        purchases, clicks, on=["user_id"], ts_col="ts", carry_cols=["chan"]
+    )
+    channel = F.when(
+        F.col("ts_asof").isNotNull()
+        & F.col("chan_asof").isNotNull()
+        & (F.col("ts_asof") >= F.col("ts") - F.expr("INTERVAL 3 DAYS")),
+        F.concat(F.lit("ch"), F.col("chan_asof").cast("string")),
+    ).otherwise("none")
+    return j.groupBy(channel.alias("channel")).agg(
+        F.count("*").alias("n_purchases"),
+        lng(F.sum("v_ms")).alias("revenue_ms"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# an-24 (ext) — Kaplan–Meier view→purchase survival curve
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_survival_km",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(epoch_us(max(ts)) // 1000000 AS BIGINT) AS t_max
+        FROM events
+    ), v AS (
+        SELECT user_id, min(ts) AS v_ts
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), obs AS (
+        SELECT v.user_id,
+               CASE WHEN p.p_ts IS NOT NULL THEN
+                   (CAST(epoch_us(p.p_ts) // 1000000 AS BIGINT)
+                    - CAST(epoch_us(v.v_ts) // 1000000 AS BIGINT)) // 86400
+               ELSE
+                   (b.t_max
+                    - CAST(epoch_us(v.v_ts) // 1000000 AS BIGINT)) // 86400
+               END AS obs_day,
+               CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS is_event
+        FROM v LEFT JOIN p ON v.user_id = p.user_id CROSS JOIN bounds b
+    ), daily AS (
+        SELECT obs_day, count(*) AS n_obs,
+               CAST(sum(is_event) AS BIGINT) AS d
+        FROM obs GROUP BY obs_day
+    ), risk AS (
+        SELECT obs_day, d,
+               CAST(sum(n_obs) OVER () AS BIGINT)
+               - CAST(coalesce(sum(n_obs) OVER (ORDER BY obs_day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_at_risk
+        FROM daily
+    ), factors AS (
+        SELECT obs_day, d, n_at_risk,
+               1.0 - CAST(d AS DOUBLE) / n_at_risk AS factor
+        FROM risk WHERE d > 0
+    )
+    SELECT obs_day AS t_day, n_at_risk, d AS d_events,
+           list_reduce(
+               list(factor) OVER (ORDER BY obs_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               (a, b) -> a * b
+           ) AS km_surv
+    FROM factors
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier estimate of view→purchase conversion time: per
+    event day, users still at risk, conversions, and the survival
+    probability — right-censoring no-purchase users at the observation
+    end, the textbook time-to-event readout.
+
+    Bit-exact by the EWMA recipe: day offsets and risk sets are pure
+    integer arithmetic (epoch seconds, integer division), each hazard
+    factor 1 − d/n is a single division, and BOTH engines compute the
+    running product with the SAME oldest→newest fold (Spark
+    ``aggregate`` HOF over a framed collect_list; DuckDB
+    ``list_reduce`` over the same framed list) — no rounding anywhere.
+    Windows run over the day-count-sized daily table, never user-sized;
+    the only data-sized work is the three per-user aggregates.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t_max = int(
+        ev.agg(F.max(F.unix_timestamp("ts")).alias("m")).first()["m"]
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    obs = (
+        v.join(p, "user_id", "left")
+        .select(
+            F.col("user_id"),
+            F.unix_timestamp("v_ts").alias("vu"),
+            F.unix_timestamp("p_ts").alias("pu"),
+        )
+        .select(
+            F.when(
+                F.col("pu").isNotNull(),
+                F.expr("(pu - vu) div 86400"),
+            )
+            .otherwise(F.expr(f"({t_max} - vu) div 86400"))
+            .alias("obs_day"),
+            F.when(F.col("pu").isNotNull(), 1).otherwise(0).alias("is_event"),
+        )
+    )
+    daily = obs.groupBy("obs_day").agg(
+        F.count("*").alias("n_obs"), lng(F.sum("is_event")).alias("d")
+    )
+    whole = Window.orderBy("obs_day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    before = Window.orderBy("obs_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = daily.select(
+        "obs_day",
+        "d",
+        (
+            F.sum("n_obs").over(whole).cast("long")
+            - F.coalesce(F.sum("n_obs").over(before), F.lit(0)).cast("long")
+        ).alias("n_at_risk"),
+    )
+    factors = risk.filter(F.col("d") > 0).select(
+        "obs_day",
+        "d",
+        "n_at_risk",
+        (
+            F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk")
+        ).alias("factor"),
+    )
+    frame = Window.orderBy("obs_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return factors.select(
+        F.col("obs_day").alias("t_day"),
+        "n_at_risk",
+        F.col("d").alias("d_events"),
+        F.aggregate(
+            F.collect_list("factor").over(frame),
+            F.lit(1.0),
+            lambda a, b: a * b,
+        ).alias("km_surv"),
+    )

@@ -696,3 +696,89 @@ def q_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "user_id", "n_items", p1.alias("p1"), p2.alias("p2")
     )
+
+
+# --------------------------------------------------------------------------
+# g-12 (ext) — resource-allocation link scores (degree-weighted wedges)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_resource_allocation",
+    oracle="""
+    WITH pairs AS (
+        SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), edges AS (
+        SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ), deg AS (
+        SELECT src AS node, count(*) AS deg FROM edges GROUP BY src
+    ), wedge AS (
+        SELECT a.dst AS a, b.dst AS b,
+               count(*) AS cn,
+               CAST(sum(1048576 // d.deg) AS BIGINT) AS ra_q
+        FROM edges a
+        JOIN edges b ON a.src = b.src AND a.dst < b.dst
+        JOIN deg d ON a.src = d.node
+        GROUP BY 1, 2
+    )
+    SELECT w.a AS src, w.b AS dst, CAST(w.cn AS BIGINT) AS cn, w.ra_q
+    FROM wedge w
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pairs p WHERE p.src = w.a AND p.dst = w.b
+    )
+    ORDER BY w.ra_q DESC, w.a, w.b
+    LIMIT 20
+    """,
+)
+def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links by the resource-allocation index — each
+    shared neighbor m contributes 1/deg(m), so hub-mediated wedges are
+    discounted (the score that beats raw common-neighbor counts on
+    hub-heavy graphs).
+
+    Contributions are quantized to ⌊2²⁰/deg⌋ BEFORE summing: integer
+    division is engine-identical and the per-pair sum becomes an
+    order-free BIGINT — sidestepping the order-dependent float sum a
+    naive Σ1/deg would be. Same wedge self-join + anti-join shape as
+    q_link_prediction, with the middle node's degree joined in before
+    the wedge aggregate.
+    """
+    from mapreduce_hw05_spark.operators.graph import (
+        cooccurrence_edges_min_support,
+        undirected,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges_min_support(li, 2)
+    und = undirected(edges)
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    a = und.select(F.col("src").alias("m"), F.col("dst").alias("a"))
+    b = und.select(F.col("src").alias("m"), F.col("dst").alias("b"))
+    wedge = (
+        a.join(b, "m")
+        .filter(F.col("a") < F.col("b"))
+        .join(deg.select(F.col("node").alias("m"), "deg"), "m")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("cn"),
+            lng(F.sum(F.expr("1048576 div deg"))).alias("ra_q"),
+        )
+        .join(
+            edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            ["a", "b"],
+            "left_anti",
+        )
+    )
+    return (
+        wedge.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), "cn", "ra_q"
+        )
+        .orderBy(F.col("ra_q").desc(), "src", "dst")
+        .limit(20)
+    )
