@@ -204,6 +204,9 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_attribution_last_touch",
     "q_survival_km",
     "q_resource_allocation",
+    "q_top_paths",
+    "q_jackknife_mean",
+    "q_feature_hashing",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

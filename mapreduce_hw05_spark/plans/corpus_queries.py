@@ -324,3 +324,66 @@ def q_quality_filter_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep_rank") <= F.col("__bound"))
         .select("lang", "doc_id", "micro_quality", "keep_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (the hashing trick) — fixed-width token featurization
+# --------------------------------------------------------------------------
+
+_N_FEATURES = 64
+
+_TOKEN_HASH52_SQL = (
+    "CAST(('0x' || substr(md5(token), 1, 13)) AS BIGINT)"
+)
+
+
+@contract(
+    "q_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               CAST({_TOKEN_HASH52_SQL} % {_N_FEATURES} AS BIGINT) AS bucket,
+               count(*) AS cnt
+        FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           count(*) AS nnz,
+           CAST(sum(cnt) AS BIGINT) AS norm1,
+           CAST(sum((bucket + 1) * cnt) AS BIGINT) AS f_checksum
+    FROM feats GROUP BY doc_id
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: every token lands in one of
+    {nf} buckets by its 52-bit md5, giving each document a fixed-width
+    sparse count vector with NO vocabulary build — the stateless
+    featurizer (fastText/Vowpal style) that needs no fit pass, no
+    broadcast dictionary, and is retry/partitioning-invariant at 100 TB.
+    Emitted per doc as (nnz, L1 norm, position-weighted checksum) so the
+    whole vector is hash-pinned without exploding the output.
+
+    The md5-52 key is the repo-wide content-hash convention (52 bits =
+    exactly representable; see operators/sampling.py); bucket counts
+    and checksums are order-free exact integers — no floats at all.
+    """.format(nf=_N_FEATURES)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    feats = toks.groupBy(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("token")), 1, 13), 16, 10).cast(
+                "long"
+            )
+            % _N_FEATURES
+        ).alias("bucket"),
+    ).agg(F.count("*").alias("cnt"))
+    return feats.groupBy("doc_id").agg(
+        F.count("*").alias("nnz"),
+        lng(F.sum("cnt")).alias("norm1"),
+        lng(F.sum((F.col("bucket") + 1) * F.col("cnt"))).alias("f_checksum"),
+    )

@@ -865,3 +865,195 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: a * b,
         ).alias("km_surv"),
     )
+
+
+# --------------------------------------------------------------------------
+# an-25 (ext) — top session paths (first three steps of each session)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_top_paths",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    ), stepped AS (
+        SELECT user_id, session_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, session_id
+                   ORDER BY ts, event_id) AS step
+        FROM numbered
+    ), paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY step) AS path
+        FROM stepped WHERE step <= 3
+        GROUP BY user_id, session_id
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 15
+    """,
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 session-opening paths: the first three event types of
+    every 30-min-gap session, joined with '>' — the clickstream
+    path-analysis readout next to q_sessionize / q_event_sequences.
+
+    Sessions come from the shared gap-cumsum operator (one user-keyed
+    window pass); steps are a second window over the SAME partitioning
+    (no extra exchange — the sort carries), and the path string
+    aggregates at most three rows per session. Counts are exact and the
+    top-15 tiebreaks on the path string.
+    """
+    from mapreduce_hw05_spark.operators.sessions import assign_sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = assign_sessions(
+        ev, "user_id", "ts", gap_seconds=1800, tiebreak_cols=("event_id",)
+    )
+    w = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    stepped = sessions.withColumn("step", F.row_number().over(w)).filter(
+        F.col("step") <= 3
+    )
+    paths = stepped.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("step", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# an-26 (ext) — jackknife (delete-one-bucket) uncertainty of the mean
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_jackknife_mean",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, user_id % 20 AS bucket,
+               CAST(floor(value * 1000) AS BIGINT) AS v
+        FROM events
+    ), per_bucket AS (
+        SELECT event_type, bucket,
+               CAST(sum(v) AS BIGINT) AS s_b, count(*) AS n_b
+        FROM q GROUP BY event_type, bucket
+    ), totals AS (
+        SELECT event_type,
+               CAST(sum(s_b) AS BIGINT) AS s,
+               CAST(sum(n_b) AS BIGINT) AS n,
+               count(*) AS n_buckets
+        FROM per_bucket GROUP BY event_type
+    ), reps AS (
+        SELECT p.event_type, p.bucket, t.s, t.n, t.n_buckets,
+               CAST(floor(
+                   CAST(t.s - p.s_b AS DOUBLE) / (t.n - p.n_b) * 1000
+               ) AS BIGINT) AS q_b
+        FROM per_bucket p JOIN totals t ON p.event_type = t.event_type
+        WHERE t.n > p.n_b
+    ), centered AS (
+        SELECT event_type, s, n, n_buckets, q_b,
+               q_b - CAST(sum(q_b) OVER (PARTITION BY event_type)
+                          AS BIGINT) // n_buckets AS d
+        FROM reps
+    )
+    SELECT event_type,
+           n AS n_events,
+           CAST(n_buckets AS BIGINT) AS n_replicates,
+           CAST(s AS DOUBLE) / n AS mean_v,
+           CAST(sum(d * d) AS BIGINT) AS jk_sum_d2_q
+    FROM centered
+    GROUP BY event_type, n, n_buckets, s
+    """,
+)
+def q_jackknife_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife over the hash-bucketed event values
+    (20 user-hash buckets per type): the replicate-mean dispersion that
+    puts an uncertainty on a distributed mean WITHOUT resampling —
+    each replicate is 'the mean with bucket b removed', computed from
+    the same per-bucket partial sums the mean itself needs.
+
+    Bit-exact: per-bucket (Σv, n) are order-free BIGINTs, each
+    replicate mean is one exact-integer division quantized via a
+    deterministic single-op chain (·1000, floor), centering subtracts
+    the integer-division replicate average, and the dispersion Σd² is
+    an exact integer — the (B−1)/B·10⁻⁶ scaling to a variance is left
+    symbolic. One data-sized shuffle (the bucket aggregate); everything
+    after is bucket-count-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        (F.col("user_id") % 20).alias("bucket"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    per_bucket = q.groupBy("event_type", "bucket").agg(
+        lng(F.sum("v")).alias("s_b"), F.count("*").alias("n_b")
+    )
+    totals = per_bucket.groupBy("event_type").agg(
+        lng(F.sum("s_b")).alias("s"),
+        lng(F.sum("n_b")).alias("n"),
+        F.count("*").alias("n_buckets"),
+    )
+    reps = (
+        per_bucket.join(F.broadcast(totals), "event_type")
+        .filter(F.col("n") > F.col("n_b"))
+        .select(
+            "event_type",
+            "s",
+            "n",
+            "n_buckets",
+            F.floor(
+                (F.col("s") - F.col("s_b")).cast("double")
+                / (F.col("n") - F.col("n_b"))
+                * 1000
+            )
+            .cast("long")
+            .alias("q_b"),
+        )
+    )
+    centered = reps.select(
+        "event_type",
+        "s",
+        "n",
+        "n_buckets",
+        (
+            F.col("q_b")
+            - F.expr(
+                "CAST(sum(q_b) OVER (PARTITION BY event_type) AS BIGINT)"
+                " div n_buckets"
+            )
+        ).alias("d"),
+    )
+    return centered.groupBy("event_type", "n", "n_buckets", "s").agg(
+        lng(F.sum(F.col("d") * F.col("d"))).alias("jk_sum_d2_q")
+    ).select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("n_buckets").cast("long").alias("n_replicates"),
+        (F.col("s").cast("double") / F.col("n")).alias("mean_v"),
+        "jk_sum_d2_q",
+    )
