@@ -207,6 +207,9 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_top_paths",
     "q_jackknife_mean",
     "q_feature_hashing",
+    "q_stream_jackknife",
+    "q_chi_square",
+    "q_centroid_similarity",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

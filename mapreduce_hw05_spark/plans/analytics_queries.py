@@ -1695,3 +1695,98 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "med_v", "mad_v", "n_outliers")
     )
+
+
+# --------------------------------------------------------------------------
+# an-27 (ext) — chi-square test of independence (event type × user parity)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_chi_square",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, user_id % 2 AS par, count(*) AS obs
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(sum(obs) AS BIGINT) AS n,
+               count(DISTINCT event_type) AS n_rows,
+               count(DISTINCT par) AS n_cols
+        FROM o
+    ), rt AS (
+        SELECT event_type, CAST(sum(obs) AS BIGINT) AS r FROM o GROUP BY 1
+    ), ct AS (
+        SELECT par, CAST(sum(obs) AS BIGINT) AS c FROM o GROUP BY 1
+    ), terms AS (
+        SELECT CAST(floor(
+                   (o.obs - CAST(rt.r * ct.c AS DOUBLE) / t.n)
+                   * (o.obs - CAST(rt.r * ct.c AS DOUBLE) / t.n)
+                   / (CAST(rt.r * ct.c AS DOUBLE) / t.n)
+                   * 1000000000
+               ) AS BIGINT) AS q
+        FROM o
+        JOIN rt ON o.event_type = rt.event_type
+        JOIN ct ON o.par = ct.par
+        CROSS JOIN tot t
+    )
+    SELECT t.n AS n_events,
+           CAST((t.n_rows - 1) * (t.n_cols - 1) AS BIGINT) AS dof,
+           CAST(sum(terms.q) AS BIGINT) AS chi2_q9,
+           sqrt(CAST(sum(terms.q) AS DOUBLE) / 1000000000
+                / (t.n * least(t.n_rows - 1, t.n_cols - 1))) AS cramers_v
+    FROM terms CROSS JOIN tot t
+    GROUP BY t.n, t.n_rows, t.n_cols
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    the user-parity split (the A/B assignment q_ab_test_stats uses),
+    with Cramér's V — the categorical-association readout of an
+    experiment-health check ("did assignment skew traffic?").
+
+    Bit-exact: observed/marginal counts are exact integers, each cell's
+    (O−E)²/E is one shared IEEE expression tree on those integers and is
+    quantized to ⌊·10⁹⌋ BEFORE summing (cells sum order-free as
+    BIGINTs — a raw float Σ over cells would be order-dependent), and
+    Cramér's V is a deterministic single-op chain on the quantized
+    statistic. One data-sized aggregate; everything after is
+    cells-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("par")
+    ).agg(F.count("*").alias("obs"))
+    tot = o.agg(
+        lng(F.sum("obs")).alias("n"),
+        F.countDistinct("event_type").alias("n_rows"),
+        F.countDistinct("par").alias("n_cols"),
+    )
+    rt = o.groupBy("event_type").agg(lng(F.sum("obs")).alias("r"))
+    ct = o.groupBy("par").agg(lng(F.sum("obs")).alias("c"))
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    term = (F.col("obs") - e) * (F.col("obs") - e) / e * 1000000000
+    terms = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "par")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "n_rows",
+            "n_cols",
+            F.floor(term).cast("long").alias("q"),
+        )
+    )
+    return terms.groupBy("n", "n_rows", "n_cols").agg(
+        lng(F.sum("q")).alias("chi2_q9")
+    ).select(
+        F.col("n").alias("n_events"),
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+        .cast("long")
+        .alias("dof"),
+        "chi2_q9",
+        F.sqrt(
+            F.col("chi2_q9").cast("double")
+            / 1000000000
+            / (F.col("n") * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1))
+        ).alias("cramers_v"),
+    )

@@ -950,9 +950,10 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@contract(
-    "q_jackknife_mean",
-    oracle="""
+#: shared verbatim by the batch and streaming jackknife contracts — the
+#: streaming rollup lands on the identical per-bucket table, so both
+#: match this oracle bit-for-bit.
+JACKKNIFE_ORACLE_SQL = """
     WITH q AS (
         SELECT event_type, user_id % 20 AS bucket,
                CAST(floor(value * 1000) AS BIGINT) AS v
@@ -987,32 +988,26 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(d * d) AS BIGINT) AS jk_sum_d2_q
     FROM centered
     GROUP BY event_type, n, n_buckets, s
-    """,
-)
-def q_jackknife_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delete-one-bucket jackknife over the hash-bucketed event values
-    (20 user-hash buckets per type): the replicate-mean dispersion that
-    puts an uncertainty on a distributed mean WITHOUT resampling —
-    each replicate is 'the mean with bucket b removed', computed from
-    the same per-bucket partial sums the mean itself needs.
-
-    Bit-exact: per-bucket (Σv, n) are order-free BIGINTs, each
-    replicate mean is one exact-integer division quantized via a
-    deterministic single-op chain (·1000, floor), centering subtracts
-    the integer-division replicate average, and the dispersion Σd² is
-    an exact integer — the (B−1)/B·10⁻⁶ scaling to a variance is left
-    symbolic. One data-sized shuffle (the bucket aggregate); everything
-    after is bucket-count-sized.
     """
-    ev = load_table(spark, sf_dir, "events")
-    q = ev.select(
-        "event_type",
-        (F.col("user_id") % 20).alias("bucket"),
-        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+
+
+def jackknife_bucket_stats(ev: DataFrame) -> DataFrame:
+    """(event_type, bucket) → exact integer (s_b, n_b) partial sums over
+    user-hash buckets — order-free and additive in both columns, so a
+    streaming sink can fold per-batch deltas and land on the identical
+    per-bucket table."""
+    return ev.groupBy(
+        "event_type", (F.col("user_id") % 20).alias("bucket")
+    ).agg(
+        lng(F.sum(F.floor(F.col("value") * 1000))).alias("s_b"),
+        F.count("*").cast("long").alias("n_b"),
     )
-    per_bucket = q.groupBy("event_type", "bucket").agg(
-        lng(F.sum("v")).alias("s_b"), F.count("*").alias("n_b")
-    )
+
+
+def jackknife_from_buckets(per_bucket: DataFrame) -> DataFrame:
+    """Finish the delete-one-bucket jackknife from the exact per-bucket
+    (s_b, n_b) table — shared verbatim by the batch and streaming
+    contracts so their outputs are bit-identical by construction."""
     totals = per_bucket.groupBy("event_type").agg(
         lng(F.sum("s_b")).alias("s"),
         lng(F.sum("n_b")).alias("n"),
@@ -1057,3 +1052,23 @@ def q_jackknife_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s").cast("double") / F.col("n")).alias("mean_v"),
         "jk_sum_d2_q",
     )
+
+
+@contract("q_jackknife_mean", oracle=JACKKNIFE_ORACLE_SQL)
+def q_jackknife_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife over the hash-bucketed event values
+    (20 user-hash buckets per type): the replicate-mean dispersion that
+    puts an uncertainty on a distributed mean WITHOUT resampling —
+    each replicate is 'the mean with bucket b removed', computed from
+    the same per-bucket partial sums the mean itself needs.
+
+    Bit-exact: per-bucket (Σv, n) are order-free BIGINTs, each
+    replicate mean is one exact-integer division quantized via a
+    deterministic single-op chain (·1000, floor), centering subtracts
+    the integer-division replicate average, and the dispersion Σd² is
+    an exact integer — the (B−1)/B·10⁻⁶ scaling to a variance is left
+    symbolic. One data-sized shuffle (the bucket aggregate); everything
+    after is bucket-count-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return jackknife_from_buckets(jackknife_bucket_stats(ev))

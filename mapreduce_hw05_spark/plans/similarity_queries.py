@@ -1038,3 +1038,118 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio(F.col("sim")).alias("cos_sim"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Centroid separation — pairwise cosine between label centroids
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_centroid_similarity",
+    oracle="""
+    WITH q AS (
+        SELECT label, s.d AS d, CAST(s.q AS BIGINT) AS qv
+        FROM (
+            SELECT label,
+                   unnest(list_transform(
+                       embedding,
+                       (x, i) -> struct_pack(
+                           d := i,
+                           q := floor(CAST(x AS DOUBLE) * 16384.0)
+                       )
+                   )) AS s
+            FROM embeddings
+        )
+    ), sums AS (
+        SELECT label, d, CAST(sum(qv) AS BIGINT) AS s
+        FROM q GROUP BY 1, 2
+    ), norms AS (
+        SELECT label, CAST(sum(s * s) AS BIGINT) AS n2
+        FROM sums GROUP BY 1
+    ), counts AS (
+        SELECT label, count(*) AS n FROM embeddings GROUP BY 1
+    ), pairs AS (
+        SELECT a.label AS la, b.label AS lb,
+               CAST(sum(a.s * b.s) AS BIGINT) AS num
+        FROM sums a JOIN sums b ON a.d = b.d AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT CAST(p.la AS BIGINT) AS label_a,
+           CAST(p.lb AS BIGINT) AS label_b,
+           ca.n AS n_a, cb.n AS n_b,
+           CAST(p.num AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               AS cos_centroid
+    FROM pairs p
+    JOIN norms na ON p.la = na.label
+    JOIN norms nb ON p.lb = nb.label
+    JOIN counts ca ON p.la = ca.label
+    JOIN counts cb ON p.lb = cb.label
+    """,
+)
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between every pair of label centroids
+    — the cluster-separation diagnostic run after k-means / before
+    SemDeDup-style pruning ("are my classes actually separable in
+    embedding space?").
+
+    Cosine is scale-invariant, so the centroid cosine equals the cosine
+    of the per-label SUM vectors — meaning the whole statistic reduces
+    to exact integer arithmetic: embeddings are quantized per element
+    (⌊x·2¹⁴⌋, a deterministic single-op chain), per-(label, dim) sums
+    and the cross/self dot products are order-free BIGINTs, and the
+    final normalize is a sqrt/multiply/divide chain on identical
+    doubles. One dim-exploded shuffle (rows × 64); the pair join runs
+    on the (labels × dims)-sized sum table — labels² stays trivial for
+    any realistic class count. Products stay exact while
+    (rows/label · 2¹⁴)² · dims < 2⁶³; widen to DECIMAL(38) past that.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "label",
+        "d",
+        F.floor(F.col("x").cast("double") * 16384.0).cast("long").alias("qv"),
+    )
+    sums = q.groupBy("label", "d").agg(lng(F.sum("qv")).alias("s"))
+    norms = sums.groupBy("label").agg(
+        lng(F.sum(F.col("s") * F.col("s"))).alias("n2")
+    )
+    counts = emb.groupBy("label").agg(F.count("*").alias("n"))
+    a = sums.select(
+        F.col("label").alias("la"), "d", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("label").alias("lb"), "d", F.col("s").alias("sb")
+    )
+    pairs = (
+        a.join(b, "d")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(lng(F.sum(F.col("sa") * F.col("sb"))).alias("num"))
+    )
+    na = norms.select(F.col("label").alias("la"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("label").alias("lb"), F.col("n2").alias("nb2"))
+    ca = counts.select(F.col("label").alias("la"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("label").alias("lb"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .join(F.broadcast(ca), "la")
+        .join(F.broadcast(cb), "lb")
+        .select(
+            F.col("la").cast("long").alias("label_a"),
+            F.col("lb").cast("long").alias("label_b"),
+            "n_a",
+            "n_b",
+            (
+                F.col("num").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("cos_centroid"),
+        )
+    )

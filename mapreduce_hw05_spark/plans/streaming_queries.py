@@ -26,6 +26,7 @@ from mapreduce_hw05_spark.plans.analytics_queries import (
 )
 from mapreduce_hw05_spark.plans.events_queries import (
     EWMA_ORACLE_SQL as _EWMA_ORACLE_SQL_REF,
+    JACKKNIFE_ORACLE_SQL as _JACKKNIFE_ORACLE_SQL_REF,
 )
 from mapreduce_hw05_spark.plans.registry import contract
 from mapreduce_hw05_spark.sources import load_table
@@ -1538,4 +1539,54 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         result,
         "event_type string, n_days long, cp_day_epoch long, "
         "max_abs_dev long",
+    )
+
+
+# --------------------------------------------------------------------------
+# st-12 (ext) — streaming-maintained bucket sums powering the jackknife
+# --------------------------------------------------------------------------
+
+
+@contract("q_stream_jackknife", oracle=_JACKKNIFE_ORACLE_SQL_REF)
+def q_stream_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The jackknife-uncertainty contract executed BY THE STREAMING
+    ENGINE (26th streaming-executed contract): the events replay folds
+    each micro-batch's exact per-(type, user-hash-bucket) (Σ⌊v·1000⌋,
+    count) deltas through the manifest-guarded additive sink, and the
+    shared delete-one-bucket finisher runs over the final state —
+    matching the SAME DuckDB oracle as q_jackknife_mean bit-for-bit.
+    The jackknife is EXACTLY the statistic whose partials a streaming
+    rollup already maintains: replicate means need nothing beyond the
+    additive bucket sums. State stays (types × 20)-sized.
+    """
+    from mapreduce_hw05_spark.plans.events_queries import (
+        jackknife_bucket_stats,
+        jackknife_from_buckets,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_sjk_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4),
+                        os.path.join(root, "in"))
+    state = os.path.join(root, "state")
+    with _replay_state_partitions(spark, replay):
+        query = ops.stream_additive_rollup_foreachbatch(
+            replay.stream(), state, os.path.join(root, "ckpt"),
+            ["event_type", "bucket"], jackknife_bucket_stats,
+        ).start()
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    result = jackknife_from_buckets(
+        spark.read.parquet(state).select("event_type", "bucket",
+                                         "s_b", "n_b")
+    ).collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        result,
+        "event_type string, n_events long, n_replicates long, "
+        "mean_v double, jk_sum_d2_q long",
     )

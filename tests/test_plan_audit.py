@@ -42,6 +42,7 @@ BNLJ_ALLOWED = {
     "q_theta_join",        # the theta-join contract itself
     "q_tpch_q22",          # scalar avg-balance subquery
     "q_acf_lags",          # 1-row global-moments build side (scalar subquery)
+    "q_chi_square",        # 1-row contingency-totals build side
 }
 
 _BATCH_QUERIES = sorted(
