@@ -634,3 +634,119 @@ def link_prediction_common_neighbors(edges: DataFrame) -> DataFrame:
         "cn",
         jaccard.alias("jaccard"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: teleport (and dangling) mass returns to a
+    uniform distribution over ``seeds`` (one-column ``node``) instead of
+    all nodes → ``(node, rank)``. The random-walk-with-restart relevance
+    measure for recommendation/local community detection.
+
+    Same regime split as :func:`pagerank` (broadcast the node-sized rank
+    state under the limit, pre-partition edge links once); the loop body
+    differs only in the restart vector: rank = (1−d)·p + d·(in + D·p)
+    with p = 1/|S| on seeds, 0 elsewhere.
+    """
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    seeds = seeds.select("node").distinct().persist()
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: empty seed set")
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    bcast_ranks = n_nodes <= _PAGERANK_BROADCAST_NODE_LIMIT
+    links = (
+        edges.join(out_deg, "src")
+        .repartition("dst" if bcast_ranks else "src")
+        .persist()
+    )
+    links.count()
+    dangling_nodes = nodes.join(
+        out_deg, nodes.node == out_deg.src, "left_anti"
+    ).persist()
+    has_dangling = dangling_nodes.count() > 0
+    p_seed = 1.0 / n_seeds
+    flagged = (
+        nodes.join(
+            seeds.withColumn("__seed", F.lit(True)), "node", "left"
+        )
+        .join(
+            out_deg.select(
+                F.col("src").alias("node"), F.lit(True).alias("__has_out")
+            ),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce(F.col("__seed"), F.lit(False)).alias("__seed"),
+            F.col("__has_out").isNull().alias("__dangling"),
+        )
+        .localCheckpoint()
+    )
+    ranks = flagged.select(
+        "node",
+        F.when(F.col("__seed"), F.lit(p_seed)).otherwise(F.lit(0.0)).alias(
+            "rank"
+        ),
+    ).localCheckpoint()
+    dangling = 0.0
+    if has_dangling:
+        dangling = (
+            ranks.join(dangling_nodes, ranks.node == dangling_nodes.node)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+    for _ in range(iterations):
+        moving = F.broadcast(ranks) if bcast_ranks else ranks
+        contribs = (
+            links.join(moving, links.src == moving["node"])
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_mass"))
+            .withColumnRenamed("dst", "node")
+        )
+        base = flagged.join(
+            F.broadcast(contribs) if bcast_ranks else contribs, "node", "left"
+        )
+        p_v = F.when(F.col("__seed"), F.lit(p_seed)).otherwise(F.lit(0.0))
+        new_ranks = base.select(
+            "node",
+            "__dangling",
+            (
+                F.lit(1.0 - damping) * p_v
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("in_mass"), F.lit(0.0))
+                    + F.lit(dangling) * p_v
+                )
+            ).alias("rank"),
+        )
+        obs = None
+        if has_dangling:
+            obs = Observation()
+            new_ranks = new_ranks.observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.when(F.col("__dangling"), F.col("rank"))),
+                    F.lit(0.0),
+                ).alias("dangling_mass"),
+            )
+        ranks = new_ranks.drop("__dangling").localCheckpoint()
+        if obs is not None:
+            dangling = obs.get["dangling_mass"]
+    links.unpersist()
+    dangling_nodes.unpersist()
+    seeds.unpersist()
+    edges.unpersist()
+    return ranks

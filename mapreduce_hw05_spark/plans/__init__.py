@@ -210,6 +210,9 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_stream_jackknife",
     "q_chi_square",
     "q_centroid_similarity",
+    "q_ppr_seeds",
+    "q_assortativity",
+    "q_stream_chi_square",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

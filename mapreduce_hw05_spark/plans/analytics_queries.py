@@ -1702,9 +1702,8 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@contract(
-    "q_chi_square",
-    oracle="""
+#: shared verbatim by the batch and streaming chi-square contracts.
+CHI_SQUARE_ORACLE_SQL = """
     WITH o AS (
         SELECT event_type, user_id % 2 AS par, count(*) AS obs
         FROM events GROUP BY 1, 2
@@ -1736,26 +1735,20 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (t.n * least(t.n_rows - 1, t.n_cols - 1))) AS cramers_v
     FROM terms CROSS JOIN tot t
     GROUP BY t.n, t.n_rows, t.n_cols
-    """,
-)
-def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson chi-square test of independence between event type and
-    the user-parity split (the A/B assignment q_ab_test_stats uses),
-    with Cramér's V — the categorical-association readout of an
-    experiment-health check ("did assignment skew traffic?").
-
-    Bit-exact: observed/marginal counts are exact integers, each cell's
-    (O−E)²/E is one shared IEEE expression tree on those integers and is
-    quantized to ⌊·10⁹⌋ BEFORE summing (cells sum order-free as
-    BIGINTs — a raw float Σ over cells would be order-dependent), and
-    Cramér's V is a deterministic single-op chain on the quantized
-    statistic. One data-sized aggregate; everything after is
-    cells-sized.
     """
-    ev = load_table(spark, sf_dir, "events")
-    o = ev.groupBy(
+
+
+def contingency_stats(ev: DataFrame) -> DataFrame:
+    """(event_type, par) → exact observed count — the additive
+    contingency table a streaming sink can maintain."""
+    return ev.groupBy(
         "event_type", (F.col("user_id") % 2).alias("par")
-    ).agg(F.count("*").alias("obs"))
+    ).agg(F.count("*").cast("long").alias("obs"))
+
+
+def chi_square_from_contingency(o: DataFrame) -> DataFrame:
+    """Finish the chi-square statistic from the exact contingency table
+    — shared verbatim by the batch and streaming contracts."""
     tot = o.agg(
         lng(F.sum("obs")).alias("n"),
         F.countDistinct("event_type").alias("n_rows"),
@@ -1790,3 +1783,22 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1))
         ).alias("cramers_v"),
     )
+
+
+@contract("q_chi_square", oracle=CHI_SQUARE_ORACLE_SQL)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    the user-parity split (the A/B assignment q_ab_test_stats uses),
+    with Cramér's V — the categorical-association readout of an
+    experiment-health check ("did assignment skew traffic?").
+
+    Bit-exact: observed/marginal counts are exact integers, each cell's
+    (O−E)²/E is one shared IEEE expression tree on those integers and is
+    quantized to ⌊·10⁹⌋ BEFORE summing (cells sum order-free as
+    BIGINTs — a raw float Σ over cells would be order-dependent), and
+    Cramér's V is a deterministic single-op chain on the quantized
+    statistic. One data-sized aggregate; everything after is
+    cells-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return chi_square_from_contingency(contingency_stats(ev))

@@ -782,3 +782,207 @@ def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ra_q").desc(), "src", "dst")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# g-13 (ext) — personalized PageRank (random walk with restart to seeds)
+# --------------------------------------------------------------------------
+
+
+def _ppr_oracle_sql(iterations: int = 8, damping: float = 0.85) -> str:
+    """Unroll the PPR recurrence, one CTE per iteration: teleport mass
+    returns to the uniform seed distribution (the co-purchase graph is
+    symmetric, so the dangling term is identically zero)."""
+    parts = [
+        """
+    WITH pairs AS (
+        SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), edges AS (
+        SELECT src, dst FROM pairs
+        UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    ), deg AS (
+        SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src
+    ), seeds AS (
+        SELECT node FROM deg WHERE node % 97 = 0
+    ), ns AS (
+        SELECT count(*) AS s FROM seeds
+    ), r0 AS (
+        SELECT d.node,
+               CASE WHEN sd.node IS NOT NULL
+                    THEN 1.0 / (SELECT s FROM ns) ELSE 0.0 END AS rank
+        FROM deg d LEFT JOIN seeds sd ON d.node = sd.node
+    )"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f""", r{i + 1} AS (
+        SELECT d.node,
+               (1 - {damping})
+                 * (CASE WHEN sd.node IS NOT NULL
+                         THEN 1.0 / (SELECT s FROM ns) ELSE 0.0 END)
+               + {damping} * coalesce(c.in_mass, 0) AS rank
+        FROM deg d
+        LEFT JOIN seeds sd ON d.node = sd.node
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / g.outdeg) AS in_mass
+            FROM r{i} r
+            JOIN edges e ON e.src = r.node
+            JOIN deg g ON g.node = r.node
+            GROUP BY e.dst
+        ) c ON c.node = d.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(node AS BIGINT) AS node, round(rank, 9) AS rank
+    FROM r{iterations}
+    WHERE round(rank, 9) > 0
+    ORDER BY round(rank, 9) DESC, node
+    LIMIT 20
+    """
+    )
+    return "".join(parts)
+
+
+@contract("q_ppr_seeds", oracle=_ppr_oracle_sql())
+def q_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by personalized PageRank from the seed set
+    (partkey % 97 = 0) in the support-≥2 co-purchase graph — random
+    walk with restart, the relevance measure behind 'more like these'
+    recommendations and local community detection.
+
+    8 fixed iterations, d = 0.85, restart (and dangling) mass returned
+    to the uniform seed distribution (operators.graph
+    personalized_pagerank — broadcast-rank regime with the same
+    edge-partitioned iteration body as PageRank). Ranks round to 9
+    decimals before the cut, node id tiebreaks, zero-mass nodes drop on
+    both sides; the oracle unrolls the identical recurrence as chained
+    CTEs.
+    """
+    from mapreduce_hw05_spark.operators.graph import (
+        cooccurrence_edges_min_support,
+        personalized_pagerank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = undirected(cooccurrence_edges_min_support(li, 2))
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % 97 == 0)
+        .distinct()
+    )
+    ranks = personalized_pagerank(edges, seeds, iterations=8, damping=0.85)
+    r9 = F.round(F.col("rank"), 9)
+    return (
+        ranks.select(lng(F.col("node")).alias("node"), r9.alias("rank"))
+        .filter(F.col("rank") > 0)
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# g-14 (ext) — degree assortativity (do hubs connect to hubs?)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_assortativity",
+    oracle="""
+    WITH pairs AS (
+        SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), edges AS (
+        SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ), deg AS (
+        SELECT src AS node, count(*) AS deg FROM edges GROUP BY src
+    ), xy AS (
+        SELECT da.deg AS x, db.deg AS y
+        FROM edges e
+        JOIN deg da ON e.src = da.node
+        JOIN deg db ON e.dst = db.node
+    ), m AS (
+        SELECT count(*) AS m,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM xy
+    )
+    SELECT m AS n_directed_edges,
+           CAST(m * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS assortativity
+    FROM m
+    """,
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the support-≥2 co-purchase graph: the
+    Pearson correlation of endpoint degrees over directed edges —
+    negative means hubs attach to leaves (the usual shape of co-purchase
+    and web graphs), positive means hubs cluster.
+
+    Bit-exact: all five moments are order-free BIGINT sums of exact
+    degree products joined edge-side (two broadcast-friendly node-sized
+    joins), and the correlation is one shared IEEE expression tree on
+    those integers — no rounding. Moment products stay below 2⁶³ while
+    edges · max_deg² < 2⁶³; widen to DECIMAL(38) past that.
+    """
+    from mapreduce_hw05_spark.operators.graph import (
+        cooccurrence_edges_min_support,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = undirected(cooccurrence_edges_min_support(li, 2))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    xy = (
+        edges.join(
+            deg.select(F.col("node").alias("src"), F.col("deg").alias("x")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("deg").alias("y")),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    m = xy.agg(
+        F.count("*").alias("m"),
+        lng(F.sum("x")).alias("sx"),
+        lng(F.sum("y")).alias("sy"),
+        lng(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        lng(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        lng(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    return m.select(
+        F.col("m").alias("n_directed_edges"),
+        (
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.sqrt(
+                    (
+                        F.col("m") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+                * F.sqrt(
+                    (
+                        F.col("m") * F.col("syy")
+                        - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                )
+            )
+        ).alias("assortativity"),
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from mapreduce_hw05_spark.plans.common import money
 from mapreduce_hw05_spark.plans.analytics_queries import (
     ANOMALY_ORACLE_SQL as _ANOMALY_ORACLE_SQL_REF,
+    CHI_SQUARE_ORACLE_SQL as _CHI_SQUARE_ORACLE_SQL_REF,
     CUSUM_ORACLE_SQL as _CUSUM_ORACLE_SQL_REF,
 )
 from mapreduce_hw05_spark.plans.events_queries import (
@@ -1589,4 +1590,51 @@ def q_stream_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
         result,
         "event_type string, n_events long, n_replicates long, "
         "mean_v double, jk_sum_d2_q long",
+    )
+
+
+# --------------------------------------------------------------------------
+# st-13 (ext) — streaming-maintained contingency table powering chi-square
+# --------------------------------------------------------------------------
+
+
+@contract("q_stream_chi_square", oracle=_CHI_SQUARE_ORACLE_SQL_REF)
+def q_stream_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chi-square independence contract executed BY THE STREAMING
+    ENGINE (27th streaming-executed contract): the replay folds each
+    micro-batch's contingency-cell count deltas through the
+    manifest-guarded additive sink and the shared quantized-term
+    finisher runs over the final table — matching q_chi_square's DuckDB
+    oracle bit-for-bit. This is the online experiment-health monitor:
+    assignment-skew detection as a continuously maintained statistic.
+    State stays (types × 2)-sized.
+    """
+    from mapreduce_hw05_spark.plans.analytics_queries import (
+        chi_square_from_contingency,
+        contingency_stats,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_schi_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4),
+                        os.path.join(root, "in"))
+    state = os.path.join(root, "state")
+    with _replay_state_partitions(spark, replay):
+        query = ops.stream_additive_rollup_foreachbatch(
+            replay.stream(), state, os.path.join(root, "ckpt"),
+            ["event_type", "par"], contingency_stats,
+        ).start()
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    result = chi_square_from_contingency(
+        spark.read.parquet(state).select("event_type", "par", "obs")
+    ).collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        result,
+        "n_events long, dof long, chi2_q9 long, cramers_v double",
     )
