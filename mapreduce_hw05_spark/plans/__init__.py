@@ -213,6 +213,9 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_ppr_seeds",
     "q_assortativity",
     "q_stream_chi_square",
+    "q_l_diversity",
+    "q_epoch_mixture_plan",
+    "q_span_corruption",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -387,3 +387,190 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         lng(F.sum("cnt")).alias("norm1"),
         lng(F.sum((F.col("bucket") + 1) * F.col("cnt"))).alias("f_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Epoch-mixture plan — per-domain repeat factors toward a token budget
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_epoch_mixture_plan",
+    oracle="""
+    WITH domain_tokens AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               count(*) AS n_docs
+        FROM documents GROUP BY source
+    ), budget AS (
+        SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS total_budget,
+               count(*) AS n_domains
+        FROM domain_tokens
+    )
+    SELECT d.source,
+           d.n_docs,
+           d.n_tokens,
+           CAST(b.total_budget // b.n_domains AS BIGINT) AS target_tokens,
+           CAST(least(4000,
+               (b.total_budget // b.n_domains) * 1000 // d.n_tokens
+           ) AS BIGINT) AS milli_epochs,
+           CAST(d.n_tokens * least(4000,
+               (b.total_budget // b.n_domains) * 1000 // d.n_tokens
+           ) // 1000 AS BIGINT) AS planned_tokens
+    FROM domain_tokens d CROSS JOIN budget b
+    """,
+)
+def q_epoch_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing recipe: give every domain an equal share of a
+    half-corpus token budget and express it as a repeat (epoch) factor
+    capped at 4× — the up/down-sampling plan a pretraining run computes
+    before q_token_budget_mix does the per-document cut.
+
+    Pure integer arithmetic end to end (milli-epoch fixed point,
+    engine-identical integer division), so every cell is exact. One
+    token-counting aggregate per domain + a 1-row budget broadcast; the
+    plan table is domains-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    domain_tokens = docs.groupBy("source").agg(
+        lng(F.sum(F.size(F.split(F.col("text"), " ")))).alias("n_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+    budget = domain_tokens.agg(
+        F.expr("CAST(sum(n_tokens) div 2 AS BIGINT)").alias("total_budget"),
+        F.count("*").alias("n_domains"),
+    )
+    j = domain_tokens.crossJoin(F.broadcast(budget))
+    target = F.expr("total_budget div n_domains")
+    milli = F.least(
+        F.lit(4000).cast("long"),
+        F.expr("(total_budget div n_domains) * 1000 div n_tokens"),
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        target.cast("long").alias("target_tokens"),
+        milli.cast("long").alias("milli_epochs"),
+    ).withColumn(
+        "planned_tokens",
+        F.expr("CAST(n_tokens * milli_epochs div 1000 AS BIGINT)"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Span-corruption masking — deterministic T5-style objective prep
+# --------------------------------------------------------------------------
+
+_POS_HASH52_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' "
+    "|| CAST(pos AS VARCHAR)), 1, 13)) AS BIGINT)"
+)
+
+
+@contract(
+    "q_span_corruption",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, s.pos AS pos, s.token AS token
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       string_split(text, ' '),
+                       (t, i) -> struct_pack(pos := i, token := t)
+                   )) AS s
+            FROM documents
+        )
+    ), starts AS (
+        SELECT doc_id, pos
+        FROM toks
+        WHERE {_POS_HASH52_SQL} % 15 = 0
+    ), masked AS (
+        SELECT DISTINCT s.doc_id, s.pos + k.off AS pos
+        FROM starts s, (SELECT unnest([0, 1, 2]) AS off) k
+    ), flags AS (
+        SELECT t.doc_id, t.token,
+               CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END AS is_masked
+        FROM toks t
+        LEFT JOIN masked m ON t.doc_id = m.doc_id AND t.pos = m.pos
+    ), spans AS (
+        SELECT doc_id, count(*) AS n_spans FROM starts GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(f.is_masked) AS BIGINT) AS n_masked,
+           CAST(coalesce(any_value(s.n_spans), 0) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN f.is_masked = 0 THEN
+               CAST(('0x' || substr(md5(f.token), 1, 13)) AS BIGINT)
+           END) AS BIGINT) AS visible_checksum
+    FROM flags f LEFT JOIN spans s ON f.doc_id = s.doc_id
+    GROUP BY f.doc_id
+    """,
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption, deterministically: a span of 3 tokens
+    is masked wherever md5₅₂(doc:pos) % 15 = 0 (≈20 % corruption rate),
+    overlapping spans merge, and each document emits its visible-token
+    checksum — the objective-preparation transform a denoising
+    pretraining pipeline applies, made retry/partition-invariant by
+    content hashing (no rand()).
+
+    Map-side throughout: positions come from one explode, span
+    expansion is a 3-element unnest, and the mask join is keyed on
+    (doc, pos) — the only shuffles are token-sized dedup/aggregate on
+    the doc key. Checksums are order-free BIGINT sums of 52-bit token
+    hashes; no floats.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("p0", "token")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "token")
+    pos_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    starts = toks.filter(pos_hash % 15 == 0).select("doc_id", "pos")
+    masked = (
+        starts.select(
+            "doc_id",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("off"),
+            "pos",
+        )
+        .select("doc_id", (F.col("pos") + F.col("off")).alias("pos"))
+        .distinct()
+        .withColumn("is_masked", F.lit(1))
+    )
+    flags = toks.join(masked, ["doc_id", "pos"], "left").select(
+        "doc_id",
+        "token",
+        F.coalesce(F.col("is_masked"), F.lit(0)).alias("is_masked"),
+    )
+    spans = starts.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    tok_hash = F.conv(F.substring(F.md5(F.col("token")), 1, 13), 16, 10).cast(
+        "long"
+    )
+    return (
+        flags.join(spans, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            lng(F.sum("is_masked")).alias("n_masked"),
+            F.coalesce(F.any_value("n_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_spans"),
+            lng(
+                F.sum(F.when(F.col("is_masked") == 0, tok_hash))
+            ).alias("visible_checksum"),
+        )
+    )

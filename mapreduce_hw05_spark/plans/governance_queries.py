@@ -302,3 +302,48 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderstatus").alias("n_with_status"),
         money(F.sum("o_totalprice")).alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# gov-ext — l-diversity audit over the k-anonymity quasi-identifiers
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_l_diversity",
+    oracle="""
+    WITH rows_s AS (
+        SELECT n_name AS qi_nation, c_mktsegment AS qi_segment,
+               CAST(floor(c_acctbal / 2000) AS BIGINT) AS sens
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT qi_nation, qi_segment,
+           count(*) AS n_people,
+           count(DISTINCT sens) AS n_sensitive_values,
+           count(DISTINCT sens) >= 3 AS l3_diverse
+    FROM rows_s GROUP BY qi_nation, qi_segment
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3) over the same quasi-identifier pair as
+    q_k_anonymity, with the account-balance band as the sensitive
+    attribute: a released group is safe only if it contains at least 3
+    distinct sensitive values — the attribute-disclosure check
+    k-anonymity alone misses.
+
+    One distinct-aggregate per QI group (two-phase count-distinct
+    shuffle); the sensitive band is a deterministic single-op chain
+    (÷2000, floor) so the distinct sets are engine-identical.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rows_s = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("qi_nation"),
+        F.col("c_mktsegment").alias("qi_segment"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("sens"),
+    )
+    return rows_s.groupBy("qi_nation", "qi_segment").agg(
+        F.count("*").alias("n_people"),
+        F.countDistinct("sens").alias("n_sensitive_values"),
+        (F.countDistinct("sens") >= 3).alias("l3_diverse"),
+    )

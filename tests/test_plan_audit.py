@@ -43,6 +43,7 @@ BNLJ_ALLOWED = {
     "q_tpch_q22",          # scalar avg-balance subquery
     "q_acf_lags",          # 1-row global-moments build side (scalar subquery)
     "q_chi_square",        # 1-row contingency-totals build side
+    "q_epoch_mixture_plan",  # 1-row token-budget build side
 }
 
 _BATCH_QUERIES = sorted(
