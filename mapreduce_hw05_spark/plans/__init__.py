@@ -216,6 +216,9 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_l_diversity",
     "q_epoch_mixture_plan",
     "q_span_corruption",
+    "q_dedup_survivorship",
+    "q_modularity",
+    "q_fano_factor",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -1802,3 +1802,63 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     return chi_square_from_contingency(contingency_stats(ev))
+
+
+# --------------------------------------------------------------------------
+# an-28 (ext) — Fano factor (burstiness) of hourly traffic per type
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_fano_factor",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT)
+                   AS hour_epoch,
+               count(*) AS x
+        FROM events GROUP BY 1, 2
+    ), moments AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS q
+        FROM hourly GROUP BY event_type
+    )
+    SELECT event_type, n AS n_hours, s AS n_events,
+           CASE WHEN n > 1 AND s > 0 THEN
+               CAST(n * q - s * s AS DOUBLE) / CAST((n - 1) * s AS DOUBLE)
+           END AS fano
+    FROM moments
+    """,
+)
+def q_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (sample variance ÷ mean) of the hourly event-count
+    series per type — the burstiness index: ≈1 for Poisson traffic,
+    > 1 for bursty arrivals, < 1 for regular ones.
+
+    Bit-exact with a single division: (n·Σx² − S²) / ((n−1)·S) on
+    order-free integer moments — the variance/mean ratio needs no
+    intermediate floats at all. Guarded NULL for degenerate series.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias(
+            "hour_epoch"
+        ),
+    ).agg(F.count("*").alias("x"))
+    moments = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        lng(F.sum("x")).alias("s"),
+        lng(F.sum(F.col("x") * F.col("x"))).alias("q"),
+    )
+    fano = (
+        F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    ).cast("double") / ((F.col("n") - 1) * F.col("s")).cast("double")
+    return moments.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("s").alias("n_events"),
+        F.when((F.col("n") > 1) & (F.col("s") > 0), fano).alias("fano"),
+    )

@@ -986,3 +986,102 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# g-15 (ext) — modularity of a node partition
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_modularity",
+    oracle="""
+    WITH pairs AS (
+        SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), m AS (
+        SELECT count(*) AS m FROM pairs
+    ), und AS (
+        SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ), deg AS (
+        SELECT src AS node, count(*) AS deg FROM und GROUP BY src
+    ), dc AS (
+        SELECT node % 8 AS comm, CAST(sum(deg) AS BIGINT) AS deg_c
+        FROM deg GROUP BY 1
+    ), ec AS (
+        SELECT src % 8 AS comm, count(*) AS e_c
+        FROM pairs WHERE src % 8 = dst % 8 GROUP BY 1
+    ), terms AS (
+        SELECT d.comm,
+               CAST(floor(
+                   (CAST(coalesce(e.e_c, 0) AS DOUBLE) / t.m
+                    - (CAST(d.deg_c AS DOUBLE) / (2 * t.m))
+                      * (CAST(d.deg_c AS DOUBLE) / (2 * t.m)))
+                   * 1000000000000
+               ) AS BIGINT) AS q
+        FROM dc d LEFT JOIN ec e ON d.comm = e.comm CROSS JOIN m t
+    )
+    SELECT t.m AS m_edges,
+           count(*) AS n_communities,
+           CAST(sum(terms.q) AS BIGINT) AS modularity_q12,
+           CAST(sum(terms.q) AS DOUBLE) / 1000000000000 AS modularity
+    FROM terms CROSS JOIN m t
+    GROUP BY t.m
+    """,
+)
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q = Σ_c [e_c/m − (deg_c/2m)²] of a node
+    partition of the support-≥2 co-purchase graph (here the hash
+    partition node %% 8 — plug any labeling, e.g. LPA's, into the same
+    plan) — the community-quality score that decides whether a
+    clustering is better than chance.
+
+    Bit-exact: intra-community edge counts and community degree sums
+    are exact integers, each community's term is one shared IEEE
+    expression tree quantized to ⌊·10¹²⌋ BEFORE the (order-free BIGINT)
+    sum, and the reported double is a single exact division. Two
+    edge-sized aggregates + communities-sized terms.
+    """
+    from mapreduce_hw05_spark.operators.graph import (
+        cooccurrence_edges_min_support,
+        undirected,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges_min_support(li, 2).persist()
+    m = edges.count()
+    deg = undirected(edges).groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    dc = deg.groupBy((F.col("node") % 8).alias("comm")).agg(
+        lng(F.sum("deg")).alias("deg_c")
+    )
+    ec = (
+        edges.filter(F.col("src") % 8 == F.col("dst") % 8)
+        .groupBy((F.col("src") % 8).alias("comm"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    e_over_m = F.coalesce(F.col("e_c"), F.lit(0)).cast("double") / F.lit(m)
+    d_over_2m = F.col("deg_c").cast("double") / F.lit(2 * m)
+    term = F.floor(
+        (e_over_m - d_over_2m * d_over_2m) * 1000000000000
+    ).cast("long")
+    terms = dc.join(F.broadcast(ec), "comm", "left").select(
+        term.alias("q")
+    )
+    out = terms.agg(
+        F.count("*").alias("n_communities"),
+        lng(F.sum("q")).alias("modularity_q12"),
+    ).select(
+        F.lit(m).cast("long").alias("m_edges"),
+        "n_communities",
+        "modularity_q12",
+        (F.col("modularity_q12").cast("double") / 1000000000000).alias(
+            "modularity"
+        ),
+    )
+    edges.unpersist()
+    return out

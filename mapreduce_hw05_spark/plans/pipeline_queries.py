@@ -728,3 +728,111 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio(F.max("nll")).alias("max_nll"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Survivorship — field-level merge of each near-dup cluster
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_dedup_survivorship",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+        SELECT t1.doc_id AS id1, t2.doc_id AS id2, count(*) AS n_common
+        FROM toks t1 JOIN toks t2
+          ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id1, id2 FROM inter
+        JOIN sizes s1 ON id1 = s1.doc_id
+        JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.8
+    ), edges AS (
+        SELECT id1 AS src, id2 AS dst FROM pairs
+        UNION ALL SELECT id2, id1 FROM pairs
+    ), reach AS (
+        SELECT src AS node, src AS comp FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT e.dst AS node, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ), labels AS (
+        SELECT node, min(comp) AS comp FROM reach GROUP BY node
+    ), members AS (
+        SELECT l.comp, d.doc_id, d.n_chars, d.lang,
+               row_number() OVER (PARTITION BY l.comp
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM labels l JOIN documents d ON l.node = d.doc_id
+    ), lang_sets AS (
+        SELECT comp, string_agg(lang, ',' ORDER BY lang) AS langs
+        FROM (SELECT DISTINCT comp, lang FROM members)
+        GROUP BY comp
+    )
+    SELECT m.comp AS keep_doc_id,
+           count(*) AS cluster_size,
+           CAST(max(m.n_chars) AS BIGINT) AS best_n_chars,
+           CAST(min(CASE WHEN m.rn = 1 THEN m.doc_id END) AS BIGINT)
+               AS best_text_doc,
+           any_value(ls.langs) AS langs
+    FROM members m JOIN lang_sets ls ON m.comp = ls.comp
+    GROUP BY m.comp
+    """,
+)
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship on the near-dup clusters: each cluster keeps the
+    min-id representative key but MERGES fields across members — the
+    longest text wins (doc_id tiebreak), n_chars takes the max, and the
+    language set is released sorted — the entity-resolution 'golden
+    record' step that follows q_dedup_clusters' pure drop.
+
+    Same LSH-pairs → star-CC cluster derivation (never all-pairs); the
+    merge itself is one aggregate over cluster-keyed members plus a
+    members-sized window for the deterministic best-text pick. Like
+    q_pretrain_pipeline, the EXACT all-pairs oracle is fixture-scale
+    (sf0.01 — the driver's gate) by definition: at sf0.1 the dense
+    fixture's inverted-index oracle spills ~45 GB in DuckDB while the
+    engine's LSH path answers in ~56 s.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_jaccard_pairs(spread_small(docs), 0.8)
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    comps = connected_components(edges)
+    members = comps.join(
+        docs.select("doc_id", "n_chars", "lang"),
+        comps.node == F.col("doc_id"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("comp").orderBy(
+                F.col("n_chars").desc(), "doc_id"
+            )
+        ),
+    )
+    lang_sets = (
+        members.select("comp", "lang")
+        .distinct()
+        .groupBy("comp")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("lang"))).alias(
+                "langs"
+            )
+        )
+    )
+    return (
+        members.join(lang_sets, "comp")
+        .groupBy(F.col("comp").alias("keep_doc_id"))
+        .agg(
+            F.count("*").alias("cluster_size"),
+            lng(F.max("n_chars")).alias("best_n_chars"),
+            lng(
+                F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+            ).alias("best_text_doc"),
+            F.any_value("langs").alias("langs"),
+        )
+    )
