@@ -219,6 +219,8 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_dedup_survivorship",
     "q_modularity",
     "q_fano_factor",
+    "q_stream_acf",
+    "q_stream_fano",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

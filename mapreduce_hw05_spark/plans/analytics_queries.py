@@ -1133,9 +1133,8 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@contract(
-    "q_acf_lags",
-    oracle="""
+#: shared verbatim by the batch and streaming ACF contracts.
+ACF_ORACLE_SQL = """
     WITH hourly AS (
         SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT)
                    AS hour_epoch,
@@ -1168,30 +1167,27 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + CAST(p.n_pairs AS DOUBLE) * t.xbar * t.xbar)
            / (CAST(t.q AS DOUBLE) - CAST(t.s AS DOUBLE) * t.xbar) AS acf
     FROM perlag p CROSS JOIN totals t
-    """,
-)
-def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample autocorrelation of the hourly event-count series at lags
-    1–6 — the seasonality/burstiness detector run before picking a
-    forecasting model.
-
-    Bit-exact: the series is exact BIGINT counts, every per-lag moment
-    (Σx_t·x_{t+k}, head/tail sums) and the global moments (n, Σx, Σx²)
-    are order-free integer aggregates, and the final r_k is one shared
-    expression tree of IEEE ops on those exact integers — identical on
-    both engines with no rounding. The six lag columns come out of ONE
-    window pass (series-sized single partition: the hourly rollup is
-    hours-count-sized, not event-sized; at 100 TB the rollup shuffle is
-    the only data-sized exchange and the series stays tiny). Integer
-    moments are exact while hourly counts stay below ~2²⁶ per hour;
-    past that, widen to DECIMAL(38) on both engines.
     """
+
+
+def hourly_type_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, hour_epoch) → exact event count — order-free and
+    additive, the one rollup that feeds the ACF, Fano, and anomaly-rate
+    finishers; a streaming sink folding per-batch deltas lands on the
+    identical table."""
+    return ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+    ).agg(F.count("*").cast("long").alias("x"))
+
+
+def acf_from_hourly_counts(h: DataFrame) -> DataFrame:
+    """Finish the lag-1..6 autocorrelation from the typed hourly-count
+    table (re-aggregated to the global hourly series first) — shared
+    verbatim by the batch and streaming contracts."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
-    ).agg(F.count("*").alias("x"))
+    hourly = h.groupBy("hour_epoch").agg(lng(F.sum("x")).alias("x"))
     totals = hourly.agg(
         F.count("*").alias("n"),
         lng(F.sum("x")).alias("s"),
@@ -1232,6 +1228,46 @@ def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("n_pairs").cast("double") * F.col("xbar") * F.col("xbar")
     ) / (F.col("q").cast("double") - F.col("s").cast("double") * F.col("xbar"))
     return joined.select("lag", "n_pairs", acf.alias("acf"))
+
+
+def fano_from_hourly_counts(h: DataFrame) -> DataFrame:
+    """Finish the Fano factor from the typed hourly-count table —
+    shared verbatim by the batch and streaming contracts."""
+    moments = h.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        lng(F.sum("x")).alias("s"),
+        lng(F.sum(F.col("x") * F.col("x"))).alias("q"),
+    )
+    fano = (
+        F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    ).cast("double") / ((F.col("n") - 1) * F.col("s")).cast("double")
+    return moments.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("s").alias("n_events"),
+        F.when((F.col("n") > 1) & (F.col("s") > 0), fano).alias("fano"),
+    )
+
+
+@contract("q_acf_lags", oracle=ACF_ORACLE_SQL)
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the hourly event-count series at lags
+    1–6 — the seasonality/burstiness detector run before picking a
+    forecasting model.
+
+    Bit-exact: the series is exact BIGINT counts, every per-lag moment
+    (Σx_t·x_{t+k}, head/tail sums) and the global moments (n, Σx, Σx²)
+    are order-free integer aggregates, and the final r_k is one shared
+    expression tree of IEEE ops on those exact integers — identical on
+    both engines with no rounding. The six lag columns come out of ONE
+    window pass (series-sized single partition: the hourly rollup is
+    hours-count-sized, not event-sized; at 100 TB the rollup shuffle is
+    the only data-sized exchange and the series stays tiny). Integer
+    moments are exact while hourly counts stay below ~2²⁶ per hour;
+    past that, widen to DECIMAL(38) on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return acf_from_hourly_counts(hourly_type_counts(ev))
 
 
 # --------------------------------------------------------------------------
@@ -1809,9 +1845,8 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@contract(
-    "q_fano_factor",
-    oracle="""
+#: shared verbatim by the batch and streaming Fano contracts.
+FANO_ORACLE_SQL = """
     WITH hourly AS (
         SELECT event_type,
                CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT)
@@ -1830,8 +1865,10 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(n * q - s * s AS DOUBLE) / CAST((n - 1) * s AS DOUBLE)
            END AS fano
     FROM moments
-    """,
-)
+    """
+
+
+@contract("q_fano_factor", oracle=FANO_ORACLE_SQL)
 def q_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fano factor (sample variance ÷ mean) of the hourly event-count
     series per type — the burstiness index: ≈1 for Poisson traffic,
@@ -1842,23 +1879,4 @@ def q_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate floats at all. Guarded NULL for degenerate series.
     """
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type",
-        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias(
-            "hour_epoch"
-        ),
-    ).agg(F.count("*").alias("x"))
-    moments = hourly.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        lng(F.sum("x")).alias("s"),
-        lng(F.sum(F.col("x") * F.col("x"))).alias("q"),
-    )
-    fano = (
-        F.col("n") * F.col("q") - F.col("s") * F.col("s")
-    ).cast("double") / ((F.col("n") - 1) * F.col("s")).cast("double")
-    return moments.select(
-        "event_type",
-        F.col("n").alias("n_hours"),
-        F.col("s").alias("n_events"),
-        F.when((F.col("n") > 1) & (F.col("s") > 0), fano).alias("fano"),
-    )
+    return fano_from_hourly_counts(hourly_type_counts(ev))

@@ -21,9 +21,11 @@ from pyspark.sql import functions as F
 
 from mapreduce_hw05_spark.plans.common import money
 from mapreduce_hw05_spark.plans.analytics_queries import (
+    ACF_ORACLE_SQL as _ACF_ORACLE_SQL_REF,
     ANOMALY_ORACLE_SQL as _ANOMALY_ORACLE_SQL_REF,
     CHI_SQUARE_ORACLE_SQL as _CHI_SQUARE_ORACLE_SQL_REF,
     CUSUM_ORACLE_SQL as _CUSUM_ORACLE_SQL_REF,
+    FANO_ORACLE_SQL as _FANO_ORACLE_SQL_REF,
 )
 from mapreduce_hw05_spark.plans.events_queries import (
     EWMA_ORACLE_SQL as _EWMA_ORACLE_SQL_REF,
@@ -1637,4 +1639,101 @@ def q_stream_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         result,
         "n_events long, dof long, chi2_q9 long, cramers_v double",
+    )
+
+
+# --------------------------------------------------------------------------
+# st-14 (ext) — streaming-maintained typed hourly counts powering the ACF
+# --------------------------------------------------------------------------
+
+
+@contract("q_stream_acf", oracle=_ACF_ORACLE_SQL_REF)
+def q_stream_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lag-1..6 autocorrelation contract executed BY THE STREAMING
+    ENGINE (28th streaming-executed contract): the events replay folds
+    each micro-batch's exact (type, hour) count deltas through the
+    manifest-guarded additive sink, and the shared ACF finisher runs
+    over the final state — matching q_acf_lags' DuckDB oracle
+    bit-for-bit (the state column is one additive BIGINT count, so
+    chunking cannot perturb it; the finisher re-sums types into the
+    global hourly series before the lag pass). This is the online
+    seasonality monitor: the same rollup that feeds the EWMA and
+    anomaly sinks also answers "is traffic periodic?" with zero extra
+    stream-side state. State stays (types × hours)-sized.
+    """
+    from mapreduce_hw05_spark.plans.analytics_queries import (
+        acf_from_hourly_counts,
+        hourly_type_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_sacf_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4),
+                        os.path.join(root, "in"))
+    state = os.path.join(root, "state")
+    with _replay_state_partitions(spark, replay):
+        query = ops.stream_additive_rollup_foreachbatch(
+            replay.stream(), state, os.path.join(root, "ckpt"),
+            ["event_type", "hour_epoch"], hourly_type_counts,
+        ).start()
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    result = acf_from_hourly_counts(
+        spark.read.parquet(state).select("event_type", "hour_epoch", "x")
+    ).collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        result, "lag long, n_pairs long, acf double"
+    )
+
+
+# --------------------------------------------------------------------------
+# st-15 (ext) — streaming-maintained typed hourly counts powering the Fano
+# --------------------------------------------------------------------------
+
+
+@contract("q_stream_fano", oracle=_FANO_ORACLE_SQL_REF)
+def q_stream_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Fano-factor burstiness contract executed BY THE STREAMING
+    ENGINE (29th streaming-executed contract): the events replay folds
+    the SAME (type, hour) count deltas as q_stream_acf through the
+    manifest-guarded additive sink, and the shared variance/mean
+    finisher runs over the final state — matching q_fano_factor's
+    DuckDB oracle bit-for-bit (per-type moments n, Σx, Σx² are exact
+    integer aggregates of the additive counts; the final ratio is one
+    shared IEEE expression tree). One maintained rollup, two
+    statistics — the argument for typed hourly counts as the canonical
+    streaming state table. State stays (types × hours)-sized.
+    """
+    from mapreduce_hw05_spark.plans.analytics_queries import (
+        fano_from_hourly_counts,
+        hourly_type_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_sfano_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4),
+                        os.path.join(root, "in"))
+    state = os.path.join(root, "state")
+    with _replay_state_partitions(spark, replay):
+        query = ops.stream_additive_rollup_foreachbatch(
+            replay.stream(), state, os.path.join(root, "ckpt"),
+            ["event_type", "hour_epoch"], hourly_type_counts,
+        ).start()
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    result = fano_from_hourly_counts(
+        spark.read.parquet(state).select("event_type", "hour_epoch", "x")
+    ).collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        result, "event_type string, n_hours long, n_events long, fano double"
     )
