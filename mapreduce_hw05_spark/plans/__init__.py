@@ -221,6 +221,8 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_fano_factor",
     "q_stream_acf",
     "q_stream_fano",
+    "q_stream_psi",
+    "q_benford_digits",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -886,9 +886,8 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@contract(
-    "q_drift_psi",
-    oracle="""
+#: shared verbatim by the batch and streaming PSI contracts.
+PSI_ORACLE_SQL = """
     WITH b AS (
         SELECT least(CAST(floor(value / 5) AS BIGINT), 19) AS bucket,
                CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
@@ -908,8 +907,41 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS psi_term
     FROM b CROSS JOIN tot
     ORDER BY bucket
-    """,
-)
+    """
+
+
+def psi_bucket_counts(ev: DataFrame) -> DataFrame:
+    """(value-bucket) → exact per-population event counts — order-free
+    and additive, so a streaming sink folding per-batch deltas lands on
+    the identical table."""
+    return ev.groupBy(
+        F.least(F.floor(F.col("value") / 5), F.lit(19))
+        .cast("long")
+        .alias("bucket")
+    ).agg(
+        lng(F.sum((F.col("user_id") % 2 == 0).cast("int"))).alias("n_a"),
+        lng(F.sum((F.col("user_id") % 2 == 1).cast("int"))).alias("n_b"),
+    )
+
+
+def psi_from_buckets(b: DataFrame) -> DataFrame:
+    """Finish the Laplace-smoothed PSI terms from the bucket-count
+    table — shared verbatim by the batch and streaming contracts."""
+    tot = b.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    ).first()
+    ta, tb = int(tot["ta"]), int(tot["tb"])
+    pa = (F.col("n_a") + 1.0) / F.lit(float(ta + 20))
+    pb = (F.col("n_b") + 1.0) / F.lit(float(tb + 20))
+    return b.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * F.log(pa / pb), 9).alias("psi_term"),
+    ).orderBy("bucket")
+
+
+@contract("q_drift_psi", oracle=PSI_ORACLE_SQL)
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index terms comparing the event-value
     distribution of the two user_id-parity populations over 20
@@ -924,26 +956,7 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the headline PSI.
     """
     ev = load_table(spark, sf_dir, "events")
-    b = ev.groupBy(
-        F.least(F.floor(F.col("value") / 5), F.lit(19))
-        .cast("long")
-        .alias("bucket")
-    ).agg(
-        lng(F.sum((F.col("user_id") % 2 == 0).cast("int"))).alias("n_a"),
-        lng(F.sum((F.col("user_id") % 2 == 1).cast("int"))).alias("n_b"),
-    )
-    tot = b.agg(
-        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
-    ).first()
-    ta, tb = int(tot["ta"]), int(tot["tb"])
-    pa = (F.col("n_a") + 1.0) / F.lit(float(ta + 20))
-    pb = (F.col("n_b") + 1.0) / F.lit(float(tb + 20))
-    return b.select(
-        "bucket",
-        "n_a",
-        "n_b",
-        F.round((pa - pb) * F.log(pa / pb), 9).alias("psi_term"),
-    ).orderBy("bucket")
+    return psi_from_buckets(psi_bucket_counts(ev))
 
 
 # --------------------------------------------------------------------------
@@ -1880,3 +1893,94 @@ def q_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     return fano_from_hourly_counts(hourly_type_counts(ev))
+
+
+# --------------------------------------------------------------------------
+# an-26 (ext) — Benford first-digit conformance of order totals
+# --------------------------------------------------------------------------
+
+#: log10(1 + 1/d) for d = 1..9, written as the EXACT same decimal
+#: literals in the Spark plan and the DuckDB oracle — both engines parse
+#: a decimal literal to the nearest IEEE double, so the constants are
+#: bit-identical without either engine evaluating a log.
+_BENFORD_P = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+@contract(
+    "q_benford_digits",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM orders GROUP BY digit
+    ), tot AS (
+        SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM d
+    ), e AS (
+        SELECT digit, n_obs,
+               CAST(n AS DOUBLE) * ({_BENFORD_CASE_SQL}) AS expected
+        FROM d CROSS JOIN tot
+    )
+    SELECT digit, n_obs, expected,
+           (CAST(n_obs AS DOUBLE) - expected)
+               * (CAST(n_obs AS DOUBLE) - expected) / expected AS chi2_term
+    FROM e ORDER BY digit
+    """,
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data / fraud screen: per leading digit, the observed
+    count, the Benford-expected count, and the chi-square contribution
+    (caller sums the ≤9 terms for the test statistic against chi²(8)).
+
+    Bit-exact with zero rounding: digit counts are exact integers off
+    one aggregate, the nine Benford probabilities are shared decimal
+    LITERALS (not engine-evaluated logs — see ``_BENFORD_P``), and each
+    expected/chi² value is one fixed-shape IEEE expression tree on
+    those exact inputs, identical on both engines. The digit extraction
+    is string-first-char of the integer part, exact on DECIMAL inputs.
+    At 100 TB the plan is one map-side-combinable 9-group aggregate
+    plus a broadcast of the single-row total — no data-sized shuffle
+    beyond the partial-agg exchange.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    ).agg(F.count("*").cast("long").alias("n_obs"))
+    tot = d.agg(lng(F.sum("n_obs")).alias("n"))
+    p_case = F.when(F.col("digit") == 1, F.lit(float(_BENFORD_P[1])))
+    for dig in range(2, 10):
+        p_case = p_case.when(
+            F.col("digit") == dig, F.lit(float(_BENFORD_P[dig]))
+        )
+    e = d.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        (F.col("n").cast("double") * p_case).alias("expected"),
+    )
+    chi2 = (
+        (F.col("n_obs").cast("double") - F.col("expected"))
+        * (F.col("n_obs").cast("double") - F.col("expected"))
+        / F.col("expected")
+    )
+    return e.select(
+        "digit", "n_obs", "expected", chi2.alias("chi2_term")
+    ).orderBy("digit")

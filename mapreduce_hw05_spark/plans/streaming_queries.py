@@ -26,6 +26,7 @@ from mapreduce_hw05_spark.plans.analytics_queries import (
     CHI_SQUARE_ORACLE_SQL as _CHI_SQUARE_ORACLE_SQL_REF,
     CUSUM_ORACLE_SQL as _CUSUM_ORACLE_SQL_REF,
     FANO_ORACLE_SQL as _FANO_ORACLE_SQL_REF,
+    PSI_ORACLE_SQL as _PSI_ORACLE_SQL_REF,
 )
 from mapreduce_hw05_spark.plans.events_queries import (
     EWMA_ORACLE_SQL as _EWMA_ORACLE_SQL_REF,
@@ -1736,4 +1737,52 @@ def q_stream_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         result, "event_type string, n_hours long, n_events long, fano double"
+    )
+
+
+# --------------------------------------------------------------------------
+# st-16 (ext) — streaming-maintained value-bucket counts powering the PSI
+# --------------------------------------------------------------------------
+
+
+@contract("q_stream_psi", oracle=_PSI_ORACLE_SQL_REF)
+def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The population-stability drift contract executed BY THE STREAMING
+    ENGINE (30th streaming-executed contract): the events replay folds
+    each micro-batch's exact per-(value-bucket, user-parity) count
+    deltas through the manifest-guarded additive sink, and the shared
+    Laplace-smoothed PSI finisher runs over the final state — matching
+    q_drift_psi's DuckDB oracle bit-for-bit (both state columns are
+    additive BIGINT counts, so chunking cannot perturb them). This is
+    the canonical production deployment of PSI: the live window IS a
+    stream, and the 20-bucket state table is the entire memory
+    footprint regardless of event volume.
+    """
+    from mapreduce_hw05_spark.plans.analytics_queries import (
+        psi_bucket_counts,
+        psi_from_buckets,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_spsi_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4),
+                        os.path.join(root, "in"))
+    state = os.path.join(root, "state")
+    with _replay_state_partitions(spark, replay):
+        query = ops.stream_additive_rollup_foreachbatch(
+            replay.stream(), state, os.path.join(root, "ckpt"),
+            ["bucket"], psi_bucket_counts,
+        ).start()
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    result = psi_from_buckets(
+        spark.read.parquet(state).select("bucket", "n_a", "n_b")
+    ).collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        result, "bucket long, n_a long, n_b long, psi_term double"
     )
