@@ -750,3 +750,71 @@ def personalized_pagerank(
     seeds.unpersist()
     edges.unpersist()
     return ranks
+
+
+def hits(
+    edges: DataFrame, rounds: int = 3, scale: int = 1_000_000_000
+) -> tuple[DataFrame, DataFrame]:
+    """Quantized HITS (hubs & authorities, max-normalized) over a
+    DIRECTED edge set → ``(auth, hub)`` DataFrames of ``(node, aq)`` /
+    ``(node, hq)`` fixed-point scores at ``scale``.
+
+    Bit-exact cross-engine by construction: scores live as BIGINT
+    micro-units, each half-step's neighbor sum is an order-free integer
+    aggregate, and the L∞ re-normalization is one fixed-shape IEEE
+    chain (int→double divide, multiply by the scale literal, floor)
+    applied per row — so a fixed round count is a deterministic
+    contract surface, unlike float-L2 HITS whose sums are
+    order-dependent. Integer sums stay exact while max in-degree ×
+    scale < 2⁶³ (≈9·10⁹ neighbors at the default scale).
+
+    Scale: the moving state is node-sized (broadcast under the shared
+    PageRank node limit); each half-step is one keyed edge join plus a
+    partial-agg-friendly groupBy, and the normalizing max is a scalar
+    broadcast — two edge-sized shuffles per round, lineage truncated
+    with localCheckpoint.
+    """
+    edges = edges.persist()
+    n_src = edges.select("src").distinct().count()
+    bcast = n_src <= _PAGERANK_BROADCAST_NODE_LIMIT
+
+    def _normalize(raw: DataFrame, out: str) -> DataFrame:
+        m = raw.agg(F.max("raw").cast("double").alias("m"))
+        return (
+            raw.crossJoin(F.broadcast(m))
+            .select(
+                "node",
+                F.floor(
+                    F.col("raw").cast("double") / F.col("m")
+                    * F.lit(float(scale))
+                ).cast("long").alias(out),
+            )
+            .localCheckpoint()
+        )
+
+    hub = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("hq", F.lit(scale).cast("long"))
+        .localCheckpoint()
+    )
+    auth = None
+    for _ in range(rounds):
+        moving_h = F.broadcast(hub) if bcast else hub
+        a_raw = (
+            edges.join(moving_h, edges.src == moving_h["node"])
+            .groupBy("dst")
+            .agg(F.sum("hq").cast("long").alias("raw"))
+            .select(F.col("dst").alias("node"), "raw")
+        )
+        auth = _normalize(a_raw, "aq")
+        moving_a = F.broadcast(auth) if bcast else auth
+        h_raw = (
+            edges.join(moving_a, edges.dst == moving_a["node"])
+            .groupBy("src")
+            .agg(F.sum("aq").cast("long").alias("raw"))
+            .select(F.col("src").alias("node"), "raw")
+        )
+        hub = _normalize(h_raw, "hq")
+    edges.unpersist()
+    return auth, hub

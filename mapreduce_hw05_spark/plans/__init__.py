@@ -223,6 +223,7 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_stream_fano",
     "q_stream_psi",
     "q_benford_digits",
+    "q_hits_scores",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -1085,3 +1085,94 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# g-16 (ext) — HITS hubs & authorities (quantized, max-normalized)
+# --------------------------------------------------------------------------
+
+
+def _hits_oracle_sql(rounds: int = 3) -> str:
+    """Unroll quantized HITS as two half-step CTE pairs per round.
+
+    Per half-step: exact BIGINT neighbor sum, then the identical
+    int→double divide / multiply / floor re-normalization chain the
+    engine runs (see :func:`mapreduce_hw05_spark.operators.graph.hits`).
+    """
+    parts = [
+        """
+    WITH pairs AS (
+        SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), h0 AS (
+        SELECT DISTINCT src AS node, CAST(1000000000 AS BIGINT) AS hq
+        FROM pairs
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", a{i}r AS (
+        SELECT e.dst AS node, CAST(sum(h.hq) AS BIGINT) AS raw
+        FROM pairs e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst
+    ), a{i} AS (
+        SELECT node,
+               CAST(floor(CAST(raw AS DOUBLE)
+                          / (SELECT CAST(max(raw) AS DOUBLE) FROM a{i}r)
+                          * 1000000000.0) AS BIGINT) AS aq
+        FROM a{i}r
+    ), h{i}r AS (
+        SELECT e.src AS node, CAST(sum(a.aq) AS BIGINT) AS raw
+        FROM pairs e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+    ), h{i} AS (
+        SELECT node,
+               CAST(floor(CAST(raw AS DOUBLE)
+                          / (SELECT CAST(max(raw) AS DOUBLE) FROM h{i}r)
+                          * 1000000000.0) AS BIGINT) AS hq
+        FROM h{i}r
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT a.node AS node, a.aq AS auth_q, h.hq AS hub_q
+    FROM a{rounds} a LEFT JOIN h{rounds} h ON a.node = h.node
+    ORDER BY a.aq DESC, a.node
+    LIMIT 15
+    """
+    )
+    return "".join(parts)
+
+
+@contract("q_hits_scores", oracle=_hits_oracle_sql())
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 authorities (with their hub scores) after 3 quantized
+    HITS rounds on the directed support-≥2 co-purchase graph — the
+    link-analysis complement to PageRank: authorities are parts many
+    well-connected "basket anchors" point at, hubs are the anchors.
+
+    Determinism comes from the quantization discipline: BIGINT
+    micro-unit scores, exact integer neighbor sums, and an L∞
+    re-normalization that is the same fixed-shape IEEE chain on both
+    engines (classic L2-normalized HITS is NOT a cross-engine surface —
+    its float sums are order-dependent). The oracle unrolls the
+    identical recurrence as CTE pairs; the top-15 cut is made
+    deterministic by the (score DESC, node) tie-break. Dst-only nodes
+    carry NULL hub scores on both engines.
+    """
+    from mapreduce_hw05_spark.operators.graph import (
+        cooccurrence_edges_min_support,
+        hits,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    auth, hub = hits(cooccurrence_edges_min_support(li, 2), rounds=3)
+    return (
+        auth.join(hub, "node", "left")
+        .select(lng(F.col("node")).alias("node"),
+                lng(F.col("aq")).alias("auth_q"),
+                lng(F.col("hq")).alias("hub_q"))
+        .orderBy(F.col("auth_q").desc(), "node")
+        .limit(15)
+    )

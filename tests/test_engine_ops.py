@@ -1824,3 +1824,70 @@ def test_sssp_matches_python_bellman_ford(spark, seed):
     sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
     got = {r["node"]: r["dist"] for r in sssp(df, sdf, rounds=rounds).collect()}
     assert got == dist
+
+
+# ------------------------------------------------------------------- hits
+
+
+def test_hits_star_graph_hand_values(spark):
+    """On the star 1→9, 2→9, 3→9 plus 1→8: node 9 is the unique top
+    authority (3 hub contributions vs 1), node 8 normalizes to 1/3 of
+    the scale, and hubs 2/3 (who point only at 9) out-rank hub 1 only
+    in round ≥2 ties — all at exact quantized values."""
+    from mapreduce_hw05_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (1, 8)], "src long, dst long"
+    )
+    auth, hub = hits(edges, rounds=1)
+    aq = {r["node"]: r["aq"] for r in auth.collect()}
+    hq = {r["node"]: r["hq"] for r in hub.collect()}
+    assert aq == {9: 1_000_000_000, 8: 333_333_333}
+    # hub raw: 1 → aq[9]+aq[8]; 2,3 → aq[9] (max is node 1)
+    assert hq[1] == 1_000_000_000
+    assert hq[2] == hq[3] == 750_000_000  # floor(1e9/1333333333*1e9)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_hits_matches_python(spark, seed):
+    """Quantized HITS equals a pure-Python reference running the same
+    BIGINT sums and the same (int→double divide, ×1e9, floor) chain on
+    random digraphs — the bit-exactness claim behind the oracle."""
+    import math
+    import random
+
+    rng = random.Random(3000 + seed)
+    n = rng.randint(3, 12)
+    edges = [
+        (a, b)
+        for a in range(n)
+        for b in range(n)
+        if a != b and rng.random() < 0.3
+    ]
+    if not edges:
+        edges = [(0, 1)]
+    rounds = 3
+    hq = {u: 1_000_000_000 for u, _ in edges}
+    aq = {}
+    for _ in range(rounds):
+        raw_a = {}
+        for u, v in edges:
+            raw_a[v] = raw_a.get(v, 0) + hq[u]
+        m = float(max(raw_a.values()))
+        aq = {
+            v: math.floor(r / m * 1000000000.0) for v, r in raw_a.items()
+        }
+        raw_h = {}
+        for u, v in edges:
+            if v in aq:
+                raw_h[u] = raw_h.get(u, 0) + aq[v]
+        m = float(max(raw_h.values()))
+        hq = {
+            u: math.floor(r / m * 1000000000.0) for u, r in raw_h.items()
+        }
+    from mapreduce_hw05_spark.operators.graph import hits
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got_a, got_h = hits(df, rounds=rounds)
+    assert {r["node"]: r["aq"] for r in got_a.collect()} == aq
+    assert {r["node"]: r["hq"] for r in got_h.collect()} == hq
