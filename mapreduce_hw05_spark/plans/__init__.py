@@ -224,6 +224,8 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_stream_psi",
     "q_benford_digits",
     "q_hits_scores",
+    "q_theil_deciles",
+    "q_dp_noisy_counts",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

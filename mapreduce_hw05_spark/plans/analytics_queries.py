@@ -1984,3 +1984,107 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "digit", "n_obs", "expected", chi2.alias("chi2_term")
     ).orderBy("digit")
+
+
+# --------------------------------------------------------------------------
+# an-27 (ext) — between-decile Theil index of customer revenue per nation
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_theil_deciles",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey AS nk, o.o_custkey AS cust,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), bucketed AS (
+        SELECT nk, cents,
+               ntile(10) OVER (PARTITION BY nk ORDER BY cents, cust)
+                   AS decile
+        FROM rev
+    ), pergroup AS (
+        SELECT nk, decile, count(*) AS n_g,
+               CAST(sum(cents) AS BIGINT) AS x_g
+        FROM bucketed GROUP BY nk, decile
+    ), pernation AS (
+        SELECT nk, CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(sum(x_g) AS BIGINT) AS x
+        FROM pergroup GROUP BY nk
+    )
+    SELECT nt.n_name AS n_name, g.decile,
+           CAST(g.n_g AS BIGINT) AS n_customers, g.x_g AS x_g_cents,
+           round((CAST(g.x_g AS DOUBLE) / p.x)
+                 * ln((CAST(g.x_g AS DOUBLE) / p.x)
+                      / (CAST(g.n_g AS DOUBLE) / p.n)), 9) AS theil_term
+    FROM pergroup g
+    JOIN pernation p ON g.nk = p.nk
+    JOIN nation nt ON g.nk = nt.n_nationkey
+    """,
+)
+def q_theil_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-decile Theil-T decomposition of per-customer order
+    revenue within each nation — the additively-decomposable inequality
+    index (unlike Gini): each revenue decile contributes
+    (X_g/X)·ln((X_g/X)/(n_g/n)), the caller sums the 10 terms per
+    nation for the between-group Theil, and a term's sign says whether
+    that decile holds more or less than its population share.
+    Complements [[q_gini_concentration]] on the same revenue rollup.
+
+    Bit-exact discipline: cent-quantized BIGINT revenue, deterministic
+    ntile bucketing (cents, custkey tie-break — identical SQL-standard
+    ceil-first semantics on both engines), exact integer group moments,
+    and one fixed-shape IEEE chain per term rounded at 9 decimals only
+    for the ~1-ulp ln(). Terms are emitted per (nation, decile) rather
+    than pre-summed precisely because summing rounded doubles is
+    order-dependent — the PSI-terms discipline. At 100 TB the
+    data-sized work is the per-customer rollup; the ntile window runs
+    per nation over customer-sized rows and everything after is
+    250-row-sized.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("o_custkey").alias("cust"),
+        )
+        .agg(
+            lng(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                )
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("nk").orderBy("cents", "cust")
+    bucketed = rev.select("nk", "cents", F.ntile(10).over(w).alias("decile"))
+    pergroup = bucketed.groupBy("nk", "decile").agg(
+        F.count("*").alias("n_g"), lng(F.sum("cents")).alias("x_g")
+    )
+    pernation = pergroup.groupBy("nk").agg(
+        lng(F.sum("n_g")).alias("n"), lng(F.sum("x_g")).alias("x")
+    )
+    share_x = F.col("x_g").cast("double") / F.col("x")
+    share_n = F.col("n_g").cast("double") / F.col("n")
+    return (
+        pergroup.join(F.broadcast(pernation), "nk")
+        .join(
+            F.broadcast(nation), F.col("nk") == F.col("n_nationkey")
+        )
+        .select(
+            "n_name",
+            "decile",
+            F.col("n_g").cast("long").alias("n_customers"),
+            F.col("x_g").alias("x_g_cents"),
+            F.round(share_x * F.log(share_x / share_n), 9).alias(
+                "theil_term"
+            ),
+        )
+    )

@@ -347,3 +347,62 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("sens").alias("n_sensitive_values"),
         (F.countDistinct("sens") >= 3).alias("l3_diverse"),
     )
+
+
+# --------------------------------------------------------------------------
+# gov-ext — differentially-private count release (deterministic Laplace)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_dp_noisy_counts",
+    oracle="""
+    WITH c AS (
+        SELECT user_id % 50 AS cohort,
+               CAST(count(*) AS BIGINT) AS n_true
+        FROM events GROUP BY cohort
+    ), seeded AS (
+        SELECT cohort, n_true,
+               (CAST((cohort * 2654435761 + 12345) % 2147483648 AS DOUBLE)
+                / 2147483648.0) - 0.5 AS centered
+        FROM c
+    )
+    SELECT cohort, n_true,
+           round(-1.0 * sign(centered) * ln(1.0 - 2.0 * abs(centered)), 9)
+               AS noise_q9
+    FROM seeded ORDER BY cohort
+    """,
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=1 differentially-private per-cohort event-count release via the
+    inverse-CDF Laplace mechanism, with the noise drawn from a
+    DETERMINISTIC per-key Knuth-multiplicative PRNG instead of an OS RNG
+    — the standard trick for replayable / auditable DP releases (same
+    key ⇒ same noise on re-run, so a re-published dashboard doesn't
+    leak a fresh sample each refresh). Caller adds ``noise_q9 / ε`` to
+    ``n_true``; completes the privacy suite next to k-anonymity
+    ([[q_k_anonymity]]) and l-diversity.
+
+    Bit-exact cross-engine: the PRNG is pure BIGINT arithmetic, the
+    uniform is one exact-int→double divide, and the Laplace transform
+    −sign(u−½)·ln(1−2|u−½|) is a fixed-shape IEEE chain rounded at 9
+    decimals only because ln() is ~1 ulp across engines (the PageRank
+    rounding discipline). Cohort keys are bounded 0..49, so
+    1−2|u−½| ≥ 2⁻³¹ and the noise is finite by construction. At 100 TB
+    the plan is one map-side-combinable 50-group aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy((F.col("user_id") % 50).alias("cohort")).agg(
+        F.count("*").cast("long").alias("n_true")
+    )
+    centered = (
+        ((F.col("cohort") * 2654435761 + 12345) % 2147483648).cast("double")
+        / F.lit(2147483648.0)
+    ) - 0.5
+    seeded = c.select("cohort", "n_true", centered.alias("centered"))
+    noise = -1.0 * F.signum("centered") * F.log(
+        1.0 - 2.0 * F.abs(F.col("centered"))
+    )
+    return seeded.select(
+        "cohort", "n_true", F.round(noise, 9).alias("noise_q9")
+    ).orderBy("cohort")
