@@ -226,6 +226,9 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_hits_scores",
     "q_theil_deciles",
     "q_dp_noisy_counts",
+    "q_spearman_corr",
+    "q_mutual_information",
+    "q_welch_ttest",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

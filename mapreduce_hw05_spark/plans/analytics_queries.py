@@ -2088,3 +2088,286 @@ def q_theil_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# an-28 (ext) — Spearman rank correlation (acctbal vs revenue) per nation
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_spearman_corr",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey AS cust,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), joined AS (
+        SELECT c.c_nationkey AS nk, r.cust,
+               CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+               r.cents
+        FROM rev r JOIN customer c ON r.cust = c.c_custkey
+    ), ranked AS (
+        SELECT nk,
+               row_number() OVER (PARTITION BY nk ORDER BY bal_cents, cust)
+                   AS rx,
+               row_number() OVER (PARTITION BY nk ORDER BY cents, cust)
+                   AS ry
+        FROM joined
+    ), agg AS (
+        SELECT nk, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+        FROM ranked GROUP BY nk
+    )
+    SELECT nt.n_name AS n_name, a.n_customers, a.sum_d2,
+           1.0 - CAST(6 * a.sum_d2 AS DOUBLE)
+               / CAST(a.n_customers * (a.n_customers * a.n_customers - 1)
+                      AS DOUBLE) AS rho
+    FROM agg a JOIN nation nt ON a.nk = nt.n_nationkey
+    """,
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a customer's account balance and
+    their lifetime order revenue, per nation — the robust (monotone, not
+    linear) complement to the Pearson ``corr`` in [[q_stats_moments]].
+    Ranks are deterministic row_numbers with a custkey tie-break, so the
+    statistic is the standard no-ties formula rho = 1 − 6·Σd²/(n(n²−1))
+    computed over reproducible ranks.
+
+    Bit-exact with ZERO rounding: cent-quantized inputs, integer ranks,
+    exact BIGINT Σd² (≤ n³ ≈ 2e11 per nation at sf0.1 — far inside
+    BIGINT), and the final value is one exact-int→double divide plus one
+    subtract — single IEEE ops are engine-identical. At 100 TB the plan
+    is a per-customer rollup plus two per-nation window ranks over
+    customer-sized rows (25 nations ⇒ modest per-partition sorts; a
+    skewed tenant key would want range-partitioned ranking instead).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        lng(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        ).alias("cents")
+    )
+    joined = rev.join(
+        customer, F.col("cust") == F.col("c_custkey")
+    ).select(
+        F.col("c_nationkey").alias("nk"),
+        "cust",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias(
+            "bal_cents"
+        ),
+        "cents",
+    )
+    rx = F.row_number().over(W.partitionBy("nk").orderBy("bal_cents", "cust"))
+    ry = F.row_number().over(W.partitionBy("nk").orderBy("cents", "cust"))
+    ranked = joined.select("nk", rx.alias("rx"), ry.alias("ry"))
+    d = F.col("rx") - F.col("ry")
+    agg = ranked.groupBy("nk").agg(
+        lng(F.count("*")).alias("n_customers"),
+        lng(F.sum(d * d)).alias("sum_d2"),
+    )
+    n = F.col("n_customers")
+    rho = F.lit(1.0) - (6 * F.col("sum_d2")).cast("double") / (
+        n * (n * n - 1)
+    ).cast("double")
+    return agg.join(
+        F.broadcast(nation), F.col("nk") == F.col("n_nationkey")
+    ).select("n_name", "n_customers", "sum_d2", rho.alias("rho"))
+
+
+# --------------------------------------------------------------------------
+# an-29 (ext) — mutual information between event type and hour of day
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_mutual_information",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(count(*) AS BIGINT) AS n_xy
+        FROM events GROUP BY 1, 2
+    ), mx AS (
+        SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n_x
+        FROM cells GROUP BY 1
+    ), my AS (
+        SELECT hr, CAST(sum(n_xy) AS BIGINT) AS n_y
+        FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells
+    )
+    SELECT c.event_type, c.hr, c.n_xy,
+           round((CAST(c.n_xy AS DOUBLE) / t.n)
+                 * ln(CAST(c.n_xy * t.n AS DOUBLE)
+                      / CAST(x.n_x * y.n_y AS DOUBLE)), 9) AS mi_term
+    FROM cells c
+    JOIN mx x ON c.event_type = x.event_type
+    JOIN my y ON c.hr = y.hr
+    CROSS JOIN tot t
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; hour-of-day), emitted as one
+    additive term per contingency cell — the information-theoretic twin
+    of [[q_chi_square]] (chi-square measures deviation in counts, MI in
+    nats; both share the same marginal-join plan). The caller sums
+    ``mi_term`` for the MI; per-cell terms also localize WHICH
+    type×hour cell carries the dependence.
+
+    Bit-exact discipline (the PSI-terms pattern): all counts exact
+    BIGINT, the log argument is one exact-int÷exact-int divide
+    (n_xy·N ≤ 1e10·1e5 at sf0.1, inside 2⁵³), ln() is the only ~1-ulp
+    op ⇒ round 9. Terms are per-cell rather than pre-summed because
+    summing rounded doubles is order-dependent. At 100 TB: one
+    map-side-combinable aggregate to ≤ type×24 cells, then broadcast
+    marginal joins over a cell-sized frame — no data-sized shuffle
+    after the first.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(lng(F.count("*")).alias("n_xy"))
+    cells = cells.persist()
+    mx = cells.groupBy("event_type").agg(lng(F.sum("n_xy")).alias("n_x"))
+    my = cells.groupBy("hr").agg(lng(F.sum("n_xy")).alias("n_y"))
+    tot = cells.agg(lng(F.sum("n_xy")).alias("n"))
+    term = (F.col("n_xy").cast("double") / F.col("n")) * F.log(
+        (F.col("n_xy") * F.col("n")).cast("double")
+        / (F.col("n_x") * F.col("n_y")).cast("double")
+    )
+    return (
+        cells.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type", "hr", "n_xy", F.round(term, 9).alias("mi_term")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# an-30 (ext) — Welch's unequal-variance t-test (purchase vs view value)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_welch_ttest",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s1,
+               CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                        * CAST(floor(value * 1000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s2
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY 1
+    ), w AS (
+        SELECT
+            max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+            max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+            max(CASE WHEN event_type = 'purchase' THEN s1 END) AS s1a,
+            max(CASE WHEN event_type = 'view' THEN s1 END) AS s1b,
+            max(CASE WHEN event_type = 'purchase' THEN s2 END) AS s2a,
+            max(CASE WHEN event_type = 'view' THEN s2 END) AS s2b
+        FROM g
+    ), v AS (
+        SELECT n1, n2,
+            CAST(s1a AS DOUBLE) / n1 AS m1,
+            CAST(s1b AS DOUBLE) / n2 AS m2,
+            (CAST(n1 AS DOUBLE) * CAST(s2a AS DOUBLE)
+             - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE))
+                / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+            (CAST(n2 AS DOUBLE) * CAST(s2b AS DOUBLE)
+             - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE))
+                / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) AS v2
+        FROM w
+    )
+    SELECT n1, n2, m1, m2,
+           (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS t_stat,
+           ((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+               / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                  + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS welch_df
+    FROM v
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing mean event value between
+    purchase and view events — the finite-sample counterpart to the
+    normal-approximation [[q_ab_test_stats]] z-test (Welch adds the
+    Satterthwaite degrees-of-freedom so the caller can use a
+    t-distribution instead of the CLT).
+
+    Bit-exact with ZERO rounding: milli-quantized BIGINT sums and
+    sums-of-squares (Σx² ≈ 5e14 at sf0.1, ~5e16 at 100× — inside
+    BIGINT; ANSI mode errors loudly rather than wrapping if a future
+    fixture exceeds it, at which point promote s2 to DECIMAL(38,0)),
+    then one FIXED-SHAPE IEEE chain — the identical sequence of
+    correctly-rounded mult/sub/div/sqrt on identical doubles is
+    engine-identical, so t and the Satterthwaite df need no rounding at
+    all. At 100 TB the plan is a single map-side-combinable two-group
+    aggregate; everything after is one row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * 1000 + 0.5).cast("long")
+    g = (
+        ev.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("event_type")
+        .agg(
+            lng(F.count("*")).alias("n"),
+            lng(F.sum(q)).alias("s1"),
+            lng(F.sum(q * q)).alias("s2"),
+        )
+    )
+    pick = lambda col, t: F.max(  # noqa: E731 — one-row pivot
+        F.when(F.col("event_type") == t, F.col(col))
+    )
+    w = g.agg(
+        pick("n", "purchase").alias("n1"),
+        pick("n", "view").alias("n2"),
+        pick("s1", "purchase").alias("s1a"),
+        pick("s1", "view").alias("s1b"),
+        pick("s2", "purchase").alias("s2a"),
+        pick("s2", "view").alias("s2b"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    v = w.select(
+        "n1",
+        "n2",
+        (F.col("s1a").cast("double") / F.col("n1")).alias("m1"),
+        (F.col("s1b").cast("double") / F.col("n2")).alias("m2"),
+        (
+            (
+                n1d * F.col("s2a").cast("double")
+                - F.col("s1a").cast("double") * F.col("s1a").cast("double")
+            )
+            / (n1d * (n1d - 1.0))
+        ).alias("v1"),
+        (
+            (
+                n2d * F.col("s2b").cast("double")
+                - F.col("s1b").cast("double") * F.col("s1b").cast("double")
+            )
+            / (n2d * (n2d - 1.0))
+        ).alias("v2"),
+    )
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    return v.select(
+        "n1",
+        "n2",
+        "m1",
+        "m2",
+        ((F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2)).alias("t_stat"),
+        (
+            ((se1 + se2) * (se1 + se2))
+            / (
+                se1 * se1 / (F.col("n1") - 1)
+                + se2 * se2 / (F.col("n2") - 1)
+            )
+        ).alias("welch_df"),
+    )

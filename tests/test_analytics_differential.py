@@ -254,3 +254,111 @@ def test_link_prediction_matches_bruteforce(spark, seed):
         for r in link_prediction_common_neighbors(df).collect()
     }
     assert got == want, f"seed={seed}"
+
+
+def test_spearman_matches_python(spark):
+    from mapreduce_hw05_spark.plans import QUERIES
+
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    customer = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    nation = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    orders["cents"] = (orders["o_totalprice"] * 100 + 0.5).apply(
+        math.floor
+    ).astype("int64")
+    rev = orders.groupby("o_custkey")["cents"].sum()
+    cust = customer.set_index("c_custkey").loc[rev.index]
+    frame = pd.DataFrame(
+        {
+            "c_custkey": rev.index.to_numpy(),
+            "nk": cust["c_nationkey"].to_numpy(),
+            "bal": (cust["c_acctbal"] * 100 + 0.5)
+            .apply(math.floor)
+            .astype("int64")
+            .to_numpy(),
+            "cents": rev.to_numpy(),
+        }
+    )
+    want = {}
+    for nk, g in frame.groupby("nk"):
+        rx = {
+            c: i + 1
+            for i, c in enumerate(
+                g.sort_values(["bal", "c_custkey"])["c_custkey"]
+            )
+        }
+        ry = {
+            c: i + 1
+            for i, c in enumerate(
+                g.sort_values(["cents", "c_custkey"])["c_custkey"]
+            )
+        }
+        n = len(g)
+        s = sum((rx[c] - ry[c]) ** 2 for c in g["c_custkey"])
+        name = nation.set_index("n_nationkey").loc[nk, "n_name"]
+        want[name] = (n, s, 1.0 - float(6 * s) / float(n * (n * n - 1)))
+    got = {
+        r["n_name"]: (r["n_customers"], r["sum_d2"], r["rho"])
+        for r in QUERIES["q_spearman_corr"](spark, SF_DIR).collect()
+    }
+    assert got == want  # exact ranks + one divide → exact doubles
+
+
+def test_mutual_information_matches_python(spark):
+    from mapreduce_hw05_spark.plans import QUERIES
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["hr"] = ev["ts"].dt.hour.astype("int64")
+    cells = Counter(zip(ev["event_type"], ev["hr"]))
+    mx = Counter(ev["event_type"])
+    my = Counter(ev["hr"])
+    n = len(ev)
+    want = {
+        (et, hr): (
+            c,
+            round(
+                (float(c) / n)
+                * math.log(float(c * n) / float(mx[et] * my[hr])),
+                9,
+            ),
+        )
+        for (et, hr), c in cells.items()
+    }
+    got = {
+        (r["event_type"], r["hr"]): (r["n_xy"], r["mi_term"])
+        for r in QUERIES["q_mutual_information"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_welch_ttest_matches_python(spark):
+    from mapreduce_hw05_spark.plans import QUERIES
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    # the contract rounds-to-nearest (floor(v*1000 + 0.5)); _events()'s
+    # v_ms is plain floor, so quantize locally
+    ev["v_ms"] = (ev["value"] * 1000 + 0.5).apply(math.floor).astype("int64")
+    stats = {}
+    for et in ("purchase", "view"):
+        xs = ev.loc[ev["event_type"] == et, "v_ms"]
+        stats[et] = (len(xs), int(xs.sum()), int((xs * xs).sum()))
+    (n1, s1a, s2a), (n2, s1b, s2b) = stats["purchase"], stats["view"]
+    m1, m2 = float(s1a) / n1, float(s1b) / n2
+    v1 = (float(n1) * float(s2a) - float(s1a) * float(s1a)) / (
+        float(n1) * (float(n1) - 1.0)
+    )
+    v2 = (float(n2) * float(s2b) - float(s1b) * float(s1b)) / (
+        float(n2) * (float(n2) - 1.0)
+    )
+    se1, se2 = v1 / n1, v2 / n2
+    want = (
+        n1,
+        n2,
+        m1,
+        m2,
+        (m1 - m2) / math.sqrt(se1 + se2),
+        ((se1 + se2) * (se1 + se2))
+        / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)),
+    )
+    [r] = QUERIES["q_welch_ttest"](spark, SF_DIR).collect()
+    got = (r["n1"], r["n2"], r["m1"], r["m2"], r["t_stat"], r["welch_df"])
+    assert got == want  # fixed-shape IEEE chain → exact doubles
