@@ -818,3 +818,48 @@ def hits(
         hub = _normalize(h_raw, "hq")
     edges.unpersist()
     return auth, hub
+
+
+def kcore_rounds(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """Iterative k-core peeling over canonical edges ``(src < dst)`` →
+    per-round survivor stats ``(round, n_nodes, n_edges)``.
+
+    Each round drops every node with degree < ``k`` in the CURRENT
+    residual graph and keeps only edges between survivors — after enough
+    rounds this converges to the k-core (a fixed round count keeps the
+    contract deterministic; real peeling would loop to fixpoint). Per
+    round: one degree aggregate (shuffle on node) and two survivor
+    semi-joins — O(rounds) edge-sized shuffles, node-sized state only,
+    the same budget as one BFS hop. The residual edge set shrinks
+    monotonically, so later rounds are cheaper; persist truncates
+    re-execution of the prior round's chain.
+    """
+    cur = undirected(edges).persist()
+    stats = []
+    for r in range(1, rounds + 1):
+        deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = (
+            deg.filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+            .persist()
+        )
+        nxt = (
+            cur.join(keep.select(F.col("node").alias("src")), "src")
+            .join(keep.select(F.col("node").alias("dst")), "dst")
+            .select("src", "dst")
+            .persist()
+        )
+        n_nodes = keep.agg(F.count("*").cast("long").alias("n_nodes"))
+        n_edges = nxt.filter(F.col("src") < F.col("dst")).agg(
+            F.count("*").cast("long").alias("n_edges")
+        )
+        stats.append(
+            n_nodes.crossJoin(n_edges).select(
+                F.lit(r).cast("long").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+        cur = nxt
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out

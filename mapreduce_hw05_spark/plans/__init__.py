@@ -229,6 +229,8 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_spearman_corr",
     "q_mutual_information",
     "q_welch_ttest",
+    "q_kcore_rounds",
+    "q_contamination_fraction",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

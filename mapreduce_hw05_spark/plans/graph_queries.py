@@ -1176,3 +1176,74 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("auth_q").desc(), "node")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# g-ext — k-core peeling (3 rounds toward the 3-core)
+# --------------------------------------------------------------------------
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 3) -> str:
+    """Unroll k-core peeling: per round a degree CTE, a survivor CTE,
+    and the residual edge set restricted to survivors on both ends."""
+    parts = [
+        """
+    WITH pairs AS (
+        SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), e0 AS (
+        SELECT src, dst FROM pairs
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM pairs
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", d{i} AS (
+        SELECT src AS node, count(*) AS deg FROM e{i - 1} GROUP BY 1
+    ), k{i} AS (
+        SELECT node FROM d{i} WHERE deg >= {k}
+    ), e{i} AS (
+        SELECT e.src, e.dst FROM e{i - 1} e
+        JOIN k{i} a ON e.src = a.node
+        JOIN k{i} b ON e.dst = b.node
+    ), s{i} AS (
+        SELECT CAST({i} AS BIGINT) AS round,
+               (SELECT CAST(count(*) AS BIGINT) FROM k{i}) AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM e{i}
+                WHERE src < dst) AS n_edges
+    )"""
+        )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM s{i}" for i in range(1, rounds + 1)
+    )
+    return "\n".join(parts) + f"\n    {union}\n    ORDER BY round"
+
+
+@contract("q_kcore_rounds", oracle=_kcore_oracle_sql())
+def q_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three peeling rounds toward the 3-core of the support-≥2
+    co-purchase graph: per round, drop nodes with residual degree < 3,
+    keep edges between survivors, report survivor node/edge counts —
+    the standard coreness-style density probe (peeling trajectories
+    localize how fast the graph's periphery evaporates), complementing
+    [[q_degree_distribution]] (static) and [[q_modularity]]
+    (partition quality).
+
+    Purely integer (counts only) — nothing to round. The oracle unrolls
+    the identical recurrence as per-round CTEs. Scale: each round is one
+    degree aggregate plus two survivor semi-joins on a monotonically
+    shrinking edge set; node-sized state only.
+    """
+    from mapreduce_hw05_spark.operators.graph import (
+        cooccurrence_edges_min_support,
+        kcore_rounds,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kcore_rounds(
+        cooccurrence_edges_min_support(li, 2), k=3, rounds=3
+    ).orderBy("round")

@@ -836,3 +836,89 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("langs").alias("langs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Contamination-fraction report — per contaminated train doc, what share
+# of its distinct 8-grams appears in the benchmark split
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_contamination_fraction",
+    oracle="""
+    WITH splits AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 8
+    ), grams AS (
+        SELECT DISTINCT doc_id, lang, array_to_string(t[i:i+7], ' ') AS gram
+        FROM (SELECT doc_id, lang, t,
+                     unnest(generate_series(1, len(t) - 7)) AS i
+              FROM splits)
+    ), bench AS (
+        SELECT DISTINCT gram FROM grams
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    ), scored AS (
+        SELECT g.doc_id, g.lang,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+        FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+        WHERE substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 1) <> '0'
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, n_grams, n_hit,
+           CAST(n_hit AS DOUBLE) / n_grams AS overlap_frac
+    FROM scored WHERE n_hit > 0
+    """,
+)
+def q_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination REPORT: for every train-split document
+    with any benchmark 8-gram overlap, the fraction of its distinct
+    8-grams found in the held-out split. [[q_decontaminate_ngram]] is
+    the binary drop decision; this is the graded evidence a data-audit
+    wants (0.05 = incidental phrase, 0.9 = the benchmark leaked) —
+    thresholding overlap_frac instead of `any` is how production
+    decontamination avoids nuking docs over one idiom.
+
+    Exact arithmetic: distinct-gram and hit counts are BIGINT, the
+    fraction is one exact-int divide (engine-identical) — no rounding.
+    Scale: gram explode is shuffle-free, the benchmark side is
+    broadcast-sized (eval sets stay small at 100 TB of train), and the
+    per-doc aggregate shuffles on doc_id like any rollup. The left join
+    + conditional sum (vs the semi-join in the drop contract) is what
+    yields the denominator for free.
+    """
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    eligible = docs.filter(F.size(F.split(F.col("text"), " ")) >= 8)
+    split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    grams = word_shingles(eligible, 8, "text", "doc_id", "lang").distinct()
+    g_split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    bench = (
+        grams.filter(g_split == "0")
+        .select(F.col("shingle").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    scored = (
+        grams.filter(g_split != "0")
+        .join(
+            F.broadcast(bench),
+            grams["shingle"] == bench["gram"],
+            "left",
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            lng(F.count("*")).alias("n_grams"),
+            lng(F.sum(F.coalesce(F.col("hit"), F.lit(0)))).alias("n_hit"),
+        )
+    )
+    return scored.filter(F.col("n_hit") > 0).select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_grams")).alias(
+            "overlap_frac"
+        ),
+    )
