@@ -231,6 +231,8 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_welch_ttest",
     "q_kcore_rounds",
     "q_contamination_fraction",
+    "q_skew_kurtosis",
+    "q_stream_moments",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

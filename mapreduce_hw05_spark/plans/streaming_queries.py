@@ -31,6 +31,7 @@ from mapreduce_hw05_spark.plans.analytics_queries import (
 from mapreduce_hw05_spark.plans.events_queries import (
     EWMA_ORACLE_SQL as _EWMA_ORACLE_SQL_REF,
     JACKKNIFE_ORACLE_SQL as _JACKKNIFE_ORACLE_SQL_REF,
+    MOMENTS_ORACLE_SQL as _MOMENTS_ORACLE_SQL_REF,
 )
 from mapreduce_hw05_spark.plans.registry import contract
 from mapreduce_hw05_spark.sources import load_table
@@ -1785,4 +1786,56 @@ def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         result, "bucket long, n_a long, n_b long, psi_term double"
+    )
+
+
+# --------------------------------------------------------------------------
+# st-ext — streaming-maintained power sums powering skewness/kurtosis
+# --------------------------------------------------------------------------
+
+
+@contract("q_stream_moments", oracle=_MOMENTS_ORACLE_SQL_REF)
+def q_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skewness/kurtosis contract executed BY THE STREAMING ENGINE:
+    the events replay folds each micro-batch's exact per-type power sums
+    (n, Σq, Σq², Σq³, Σq⁴ over unit-quantized value) into a persisted
+    rollup through the manifest-guarded additive sink, and the shared
+    fixed-shape finisher runs over the final state — power sums are the
+    canonical MERGEABLE aggregate (every distributed moments engine
+    ships them), so the streaming state equals the batch table
+    bit-for-bit regardless of chunking and the output matches the SAME
+    DuckDB oracle as q_skew_kurtosis with no tolerance. State is one
+    row per event type, never event-sized.
+    """
+    from mapreduce_hw05_spark.plans.events_queries import (
+        moments_finish,
+        type_moment_stats,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_smom_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4),
+                        os.path.join(root, "in"))
+    state = os.path.join(root, "state")
+    with _replay_state_partitions(spark, replay):
+        query = ops.stream_additive_rollup_foreachbatch(
+            replay.stream(), state, os.path.join(root, "ckpt"),
+            ["event_type"], type_moment_stats,
+        ).start()
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    result = moments_finish(
+        spark.read.parquet(state).select(
+            "event_type", "n", "s1", "s2", "s3", "s4"
+        )
+    ).collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        result,
+        "event_type string, n long, m double, m2 double, "
+        "skew double, kurt_excess double",
     )

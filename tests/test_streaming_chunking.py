@@ -360,12 +360,19 @@ def _hourly_delta_fns():
     from mapreduce_hw05_spark.plans.analytics_queries import (
         hourly_anomaly_stats,
     )
-    from mapreduce_hw05_spark.plans.events_queries import hourly_value_stats
+    from mapreduce_hw05_spark.plans.events_queries import (
+        hourly_value_stats,
+        type_moment_stats,
+    )
 
-    return {"ewma": hourly_value_stats, "anomaly": hourly_anomaly_stats}
+    return {
+        "ewma": (hourly_value_stats, ["event_type", "hour_epoch"]),
+        "anomaly": (hourly_anomaly_stats, ["event_type", "hour_epoch"]),
+        "moments": (type_moment_stats, ["event_type"]),
+    }
 
 
-@pytest.mark.parametrize("delta", ["ewma", "anomaly"])
+@pytest.mark.parametrize("delta", ["ewma", "anomaly", "moments"])
 @pytest.mark.parametrize("seed", SEEDS)
 def test_additive_rollup_invariant_to_chunking_with_redelivery(
     spark, events, seed, delta, tmp_path
@@ -377,7 +384,7 @@ def test_additive_rollup_invariant_to_chunking_with_redelivery(
     follows from this test plus the shared finisher plans."""
     import os
 
-    hourly_value_stats = _hourly_delta_fns()[delta]
+    hourly_value_stats, key_cols = _hourly_delta_fns()[delta]
     from tests.test_streaming import _capture_foreach_batch
 
     chunks = random_chunks(events, "ts", seed, duplicate_one=True)
@@ -397,7 +404,7 @@ def test_additive_rollup_invariant_to_chunking_with_redelivery(
     apply_batch = _capture_foreach_batch(
         ops.stream_additive_rollup_foreachbatch,
         state, str(tmp_path / "ckpt"),
-        ["event_type", "hour_epoch"], hourly_value_stats,
+        key_cols, hourly_value_stats,
     )
     for batch_id, chunk in deliveries:
         apply_batch(chunk, batch_id)
