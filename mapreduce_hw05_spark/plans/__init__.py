@@ -233,6 +233,9 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_contamination_fraction",
     "q_skew_kurtosis",
     "q_stream_moments",
+    "q_link_prediction_eval",
+    "q_poisson_bootstrap",
+    "q_prefix_filter_pairs",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -2371,3 +2371,117 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("welch_df"),
     )
+
+
+# --------------------------------------------------------------------------
+# an-31 (ext) — Poisson bootstrap of the mean purchase value (B=100)
+# --------------------------------------------------------------------------
+
+#: Poisson(1) inverse-CDF thresholds P(X <= k), k = 0..5 — identical
+#: decimal literals on both engines parse to identical doubles.
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+_POIS_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    + " ELSE 6 END"
+)
+
+
+@contract(
+    "q_poisson_bootstrap",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id,
+               CAST(floor(value * 1000 + 0.5) AS BIGINT) AS q
+        FROM events WHERE event_type = 'purchase'
+    ), drawn AS (
+        SELECT b, q,
+               CAST(((event_id % 100000007) * 2654435761
+                     + b * 97 + 13) % 2147483648 AS DOUBLE)
+                   / 2147483648.0 AS u
+        FROM p CROSS JOIN (SELECT unnest(generate_series(0, 99)) AS b)
+    ), weighted AS (
+        SELECT b, q, {_POIS_CASE_SQL} AS w FROM drawn
+    )
+    SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * q) AS BIGINT) AS sum_q,
+           CAST(sum(w * q) AS DOUBLE) / CAST(sum(w) AS BIGINT)
+               AS boot_mean_milli
+    FROM weighted GROUP BY b ORDER BY b
+    """,
+)
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (B=100) of the mean purchase value — THE
+    resampling scheme for distributed data (Chamandy et al., "Estimating
+    uncertainty for massive data streams", Google 2012): instead of
+    drawing n rows with replacement (impossible without global
+    coordination), every row independently receives a Poisson(1)
+    replication weight per resample, giving each replicate the right
+    marginal resample distribution with one stateless map. The caller
+    takes percentiles of ``boot_mean_milli`` for a CI — the
+    wide-applicability upgrade over the exact-but-n-replicate
+    [[q_jackknife_mean]].
+
+    Determinism + bit-exactness: weights come from a per-(row, b)
+    Knuth-multiplicative PRNG — the uniform is an exact dyadic
+    (m / 2³¹, both exactly representable), the Poisson(1) inverse-CDF
+    thresholds are identical decimal literals on both engines, so every
+    weight is an exact integer; per-replicate Σw and Σw·q are order-free
+    BIGINT sums and the mean is one exact-int divide. No rounding.
+    Scale: the B× fan-out map-side-combines to B rows per partition
+    before the shuffle — the whole bootstrap is ONE aggregate pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("q"),
+    )
+    drawn = p.select(
+        "q",
+        F.explode(F.sequence(F.lit(0), F.lit(99))).alias("b"),
+        F.col("event_id"),
+    ).select(
+        "b",
+        "q",
+        (
+            (
+                (F.col("event_id") % 100000007) * 2654435761
+                + F.col("b") * 97
+                + 13
+            )
+            % 2147483648
+        )
+        .cast("double")
+        .alias("m"),
+    )
+    u = F.col("m") / F.lit(2147483648.0)
+    w = F.lit(6)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < float(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    weighted = drawn.select("b", "q", w.cast("long").alias("w"))
+    return (
+        weighted.groupBy("b")
+        .agg(
+            lng(F.sum("w")).alias("n_eff"),
+            lng(F.sum(F.col("w") * F.col("q"))).alias("sum_q"),
+        )
+        .select(
+            "b",
+            "n_eff",
+            "sum_q",
+            (F.col("sum_q").cast("double") / F.col("n_eff")).alias(
+                "boot_mean_milli"
+            ),
+        )
+        .orderBy("b")
+    )

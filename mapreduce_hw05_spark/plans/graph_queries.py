@@ -1247,3 +1247,108 @@ def q_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_rounds(
         cooccurrence_edges_min_support(li, 2), k=3, rounds=3
     ).orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# g-ext — link-prediction evaluation: precision/recall@k on held-out edges
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_link_prediction_eval",
+    oracle="""
+    WITH pairs AS (
+        SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), train AS (
+        SELECT src, dst FROM pairs
+        WHERE substr(md5(CAST(src AS VARCHAR) || '-'
+                         || CAST(dst AS VARCHAR)), 1, 1) <> '0'
+    ), test AS (
+        SELECT src, dst FROM pairs
+        WHERE substr(md5(CAST(src AS VARCHAR) || '-'
+                         || CAST(dst AS VARCHAR)), 1, 1) = '0'
+    ), edges AS (
+        SELECT src, dst FROM train UNION ALL SELECT dst, src FROM train
+    ), cand AS (
+        SELECT a.dst AS a, b.dst AS b, CAST(count(*) AS BIGINT) AS cn
+        FROM edges a JOIN edges b ON a.src = b.src AND a.dst < b.dst
+        GROUP BY 1, 2
+    ), novel AS (
+        SELECT c.a, c.b, c.cn FROM cand c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM train t WHERE t.src = c.a AND t.dst = c.b
+        )
+    ), topk AS (
+        SELECT a, b FROM novel ORDER BY cn DESC, a, b LIMIT 50
+    ), hits AS (
+        SELECT count(*) AS n_hits FROM topk k
+        JOIN test t ON k.a = t.src AND k.b = t.dst
+    )
+    SELECT CAST(50 AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM test) AS n_test,
+           (SELECT CAST(n_hits AS BIGINT) FROM hits) AS n_hits,
+           CAST((SELECT n_hits FROM hits) AS DOUBLE) / 50.0
+               AS precision_at_k,
+           CAST((SELECT n_hits FROM hits) AS DOUBLE)
+               / (SELECT count(*) FROM test) AS recall_at_k
+    """,
+)
+def q_link_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@50 / recall@50 of common-neighbor link prediction
+    against a held-out edge split — the evaluation loop every
+    recommender needs next to the scorer ([[q_link_prediction]]): ~1/16
+    of support-≥2 co-purchase edges are hidden by a deterministic
+    md5(src-dst) split, predictions are ranked on the TRAIN graph only
+    (held-out pairs are non-adjacent there, so they are legitimate
+    candidates), and the top-50 (cn DESC, src, dst tie-break) is scored
+    against the hidden edges.
+
+    Purely integer counts plus two exact-int divides — no rounding.
+    Scale: the wedge join is the triangle path-2 shape on the train
+    graph; the test set and top-k are tiny, so the eval adds one
+    broadcast-sized join to the scorer's cost.
+    """
+    from mapreduce_hw05_spark.operators.graph import (
+        cooccurrence_edges_min_support,
+        link_prediction_common_neighbors,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = cooccurrence_edges_min_support(li, 2)
+    split = F.substring(
+        F.md5(
+            F.concat_ws(
+                "-", F.col("src").cast("string"), F.col("dst").cast("string")
+            )
+        ),
+        1,
+        1,
+    )
+    pairs = pairs.withColumn("split", split).persist()
+    train = pairs.filter(F.col("split") != "0").select("src", "dst")
+    test = pairs.filter(F.col("split") == "0").select("src", "dst")
+    topk = (
+        link_prediction_common_neighbors(train)
+        .orderBy(F.col("cn").desc(), "src", "dst")
+        .limit(50)
+        .select("src", "dst")
+    )
+    n_hits = topk.join(test, ["src", "dst"], "left_semi").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    n_test = test.agg(F.count("*").cast("long").alias("n_test"))
+    return n_test.crossJoin(n_hits).select(
+        F.lit(50).cast("long").alias("k"),
+        "n_test",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(50.0)).alias(
+            "precision_at_k"
+        ),
+        (F.col("n_hits").cast("double") / F.col("n_test")).alias(
+            "recall_at_k"
+        ),
+    )

@@ -1153,3 +1153,80 @@ def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_centroid"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sim-ext — prefix-filtered exact Jaccard join (PPJoin-style candidates)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_prefix_filter_pairs",
+    oracle=_JACCARD_ORACLE,
+)
+def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-Jaccard ≥ 0.8 pairs via PREFIX FILTERING (the
+    PPJoin/AllPairs candidate rule) — the third member of the similarity
+    -join family: [[q_near_dup_jaccard]] joins on EVERY token
+    (Σ df² rows), [[q_near_dup_lsh]] is probabilistic; prefix filtering
+    is both exact AND sub-quadratic. Tokens are globally ordered
+    rarest-first (df, token); a doc of |x| tokens exposes only its first
+    |x| − ⌈0.8·|x|⌉ + 1 tokens, and the theorem is that two docs with
+    J ≥ 0.8 MUST share a prefix token under any common total order —
+    so joining on prefix tokens only provably covers the truth set
+    while hot (frequent) tokens never generate candidates. Candidates
+    are then verified with the exact intersection count. Same oracle as
+    the inverted-index contract: the result sets must be identical.
+
+    Determinism: ⌈0.8n⌉ is computed as the pure-integer
+    floor((4n+4)/5) on both engines (a float 0.8·n rounds the wrong way
+    for some n); counts are exact BIGINT and the Jaccard is one
+    exact-int divide rounded at 6 like its siblings. Scale: candidate
+    volume is Σ_token df_prefix(token)² where prefix df excludes every
+    common token — orders of magnitude below the full inverted index on
+    Zipfian vocabularies; the per-doc prefix is one row_number window.
+    """
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    toks = tokenize(docs, "text", "doc_id").distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    pos = F.row_number().over(
+        W.partitionBy("doc_id").orderBy("df", "token")
+    )
+    prefix_len = F.col("n") - F.floor(
+        (4 * F.col("n") + 4).cast("double") / 5
+    ).cast("long") + 1
+    pref = (
+        toks.join(F.broadcast(dfreq), "token")
+        .withColumn("pos", pos)
+        .join(F.broadcast(sizes), "doc_id")
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "token")
+    )
+    cand = (
+        pref.withColumnRenamed("doc_id", "id1")
+        .join(pref.withColumnRenamed("doc_id", "id2"), "token")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.withColumnRenamed("doc_id", "id1"), "id1")
+        .join(
+            toks.withColumnsRenamed({"doc_id": "id2"}),
+            ["id2", "token"],
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.withColumnsRenamed({"doc_id": "id1", "n": "n1"})
+    s2 = sizes.withColumnsRenamed({"doc_id": "id2", "n": "n2"})
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .filter(jac >= 0.8)
+        .select("id1", "id2", ratio(jac).alias("jaccard"))
+    )
