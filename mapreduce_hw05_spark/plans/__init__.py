@@ -236,6 +236,8 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_link_prediction_eval",
     "q_poisson_bootstrap",
     "q_prefix_filter_pairs",
+    "q_stream_bootstrap",
+    "q_clustering_coefficient",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

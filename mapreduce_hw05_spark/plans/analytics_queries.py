@@ -2397,9 +2397,8 @@ _POIS_CASE_SQL = (
 )
 
 
-@contract(
-    "q_poisson_bootstrap",
-    oracle=f"""
+#: Shared oracle text for the batch and streaming bootstrap contracts.
+BOOTSTRAP_ORACLE_SQL = f"""
     WITH p AS (
         SELECT event_id,
                CAST(floor(value * 1000 + 0.5) AS BIGINT) AS q
@@ -2418,30 +2417,14 @@ _POIS_CASE_SQL = (
            CAST(sum(w * q) AS DOUBLE) / CAST(sum(w) AS BIGINT)
                AS boot_mean_milli
     FROM weighted GROUP BY b ORDER BY b
-    """,
-)
-def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Poisson bootstrap (B=100) of the mean purchase value — THE
-    resampling scheme for distributed data (Chamandy et al., "Estimating
-    uncertainty for massive data streams", Google 2012): instead of
-    drawing n rows with replacement (impossible without global
-    coordination), every row independently receives a Poisson(1)
-    replication weight per resample, giving each replicate the right
-    marginal resample distribution with one stateless map. The caller
-    takes percentiles of ``boot_mean_milli`` for a CI — the
-    wide-applicability upgrade over the exact-but-n-replicate
-    [[q_jackknife_mean]].
-
-    Determinism + bit-exactness: weights come from a per-(row, b)
-    Knuth-multiplicative PRNG — the uniform is an exact dyadic
-    (m / 2³¹, both exactly representable), the Poisson(1) inverse-CDF
-    thresholds are identical decimal literals on both engines, so every
-    weight is an exact integer; per-replicate Σw and Σw·q are order-free
-    BIGINT sums and the mean is one exact-int divide. No rounding.
-    Scale: the B× fan-out map-side-combines to B rows per partition
-    before the shuffle — the whole bootstrap is ONE aggregate pass.
     """
-    ev = load_table(spark, sf_dir, "events")
+
+
+def bootstrap_weighted_sums(ev: DataFrame) -> DataFrame:
+    """b → exact integer (n_eff, sum_q) Poisson-bootstrap partials over
+    purchase events. Weights are per-(event_id, b) deterministic, so the
+    partials are SUM-mergeable across any row partitioning — a streaming
+    sink can fold per-batch deltas and land on the identical table."""
     p = ev.filter(F.col("event_type") == "purchase").select(
         "event_id",
         F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("q"),
@@ -2469,19 +2452,47 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(len(_POIS_CDF) - 1, -1, -1):
         w = F.when(u < float(_POIS_CDF[k]), F.lit(k)).otherwise(w)
     weighted = drawn.select("b", "q", w.cast("long").alias("w"))
-    return (
-        weighted.groupBy("b")
-        .agg(
-            lng(F.sum("w")).alias("n_eff"),
-            lng(F.sum(F.col("w") * F.col("q"))).alias("sum_q"),
-        )
-        .select(
-            "b",
-            "n_eff",
-            "sum_q",
-            (F.col("sum_q").cast("double") / F.col("n_eff")).alias(
-                "boot_mean_milli"
-            ),
-        )
-        .orderBy("b")
+    return weighted.groupBy("b").agg(
+        lng(F.sum("w")).alias("n_eff"),
+        lng(F.sum(F.col("w") * F.col("q"))).alias("sum_q"),
     )
+
+
+def bootstrap_finish(sums: DataFrame) -> DataFrame:
+    """Finish the bootstrap replicate means from the exact (n_eff,
+    sum_q) table — shared verbatim by the batch and streaming contracts
+    so their outputs are bit-identical by construction."""
+    return sums.select(
+        "b",
+        "n_eff",
+        "sum_q",
+        (F.col("sum_q").cast("double") / F.col("n_eff")).alias(
+            "boot_mean_milli"
+        ),
+    ).orderBy("b")
+
+
+@contract("q_poisson_bootstrap", oracle=BOOTSTRAP_ORACLE_SQL)
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (B=100) of the mean purchase value — THE
+    resampling scheme for distributed data (Chamandy et al., "Estimating
+    uncertainty for massive data streams", Google 2012): instead of
+    drawing n rows with replacement (impossible without global
+    coordination), every row independently receives a Poisson(1)
+    replication weight per resample, giving each replicate the right
+    marginal resample distribution with one stateless map. The caller
+    takes percentiles of ``boot_mean_milli`` for a CI — the
+    wide-applicability upgrade over the exact-but-n-replicate
+    [[q_jackknife_mean]].
+
+    Determinism + bit-exactness: weights come from a per-(row, b)
+    Knuth-multiplicative PRNG — the uniform is an exact dyadic
+    (m / 2³¹, both exactly representable), the Poisson(1) inverse-CDF
+    thresholds are identical decimal literals on both engines, so every
+    weight is an exact integer; per-replicate Σw and Σw·q are order-free
+    BIGINT sums and the mean is one exact-int divide. No rounding.
+    Scale: the B× fan-out map-side-combines to B rows per partition
+    before the shuffle — the whole bootstrap is ONE aggregate pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return bootstrap_finish(bootstrap_weighted_sums(ev))

@@ -1352,3 +1352,107 @@ def q_link_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# g-ext — local clustering coefficient (top-20 most-clustered parts)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_clustering_coefficient",
+    oracle="""
+    WITH pairs AS (
+        SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e1.dst = e2.src
+        JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), pernode AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (
+            SELECT src AS node FROM pairs
+            UNION ALL SELECT dst FROM pairs
+        ) GROUP BY node
+    )
+    SELECT d.node, d.deg,
+           coalesce(t.n_tri, 0) AS n_tri,
+           CAST(2 * coalesce(t.n_tri, 0) AS DOUBLE)
+               / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS coef
+    FROM deg d LEFT JOIN pernode t ON d.node = t.node
+    WHERE d.deg >= 2
+    ORDER BY coef DESC, d.node
+    LIMIT 20
+    """,
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by LOCAL clustering coefficient in the support-≥2
+    co-purchase graph: per node, 2·T(v) / (deg(v)·(deg(v)−1)) — how
+    close the node's neighborhood is to a clique. The per-node
+    refinement of the global [[q_triangle_count]]: a hub with many
+    mutually-unrelated neighbors scores ~0, a part always bought inside
+    one bundle scores 1.
+
+    Each triangle is enumerated once with a < b < c (edge-edge-closure
+    join on canonical edges) and credited to all three corners via one
+    explode — exact BIGINT counts, a single exact-int divide for the
+    coefficient, (coef DESC, node) tie-break; no rounding. Scale: the
+    closure join is the triangle-count wedge shape (per-middle deg²,
+    bounded by the support threshold; hub salting applies identically
+    past the broadcast limit).
+    """
+    from mapreduce_hw05_spark.operators.graph import (
+        cooccurrence_edges_min_support,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = cooccurrence_edges_min_support(li, 2).persist()
+    e2 = pairs.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = (
+        pairs.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(e2, "b")
+        .join(
+            pairs.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+            ["a", "c"],
+            "left_semi",
+        )
+    )
+    pernode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    deg = (
+        pairs.select(F.explode(F.array("src", "dst")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    coef = (2 * F.coalesce(F.col("n_tri"), F.lit(0))).cast("double") / (
+        F.col("deg") * (F.col("deg") - 1)
+    ).cast("double")
+    return (
+        deg.join(pernode, "node", "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias(
+                "n_tri"
+            ),
+            coef.alias("coef"),
+        )
+        .orderBy(F.col("coef").desc(), "node")
+        .limit(20)
+    )

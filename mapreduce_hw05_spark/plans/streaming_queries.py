@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from mapreduce_hw05_spark.plans.common import money
 from mapreduce_hw05_spark.plans.analytics_queries import (
     ACF_ORACLE_SQL as _ACF_ORACLE_SQL_REF,
+    BOOTSTRAP_ORACLE_SQL as _BOOTSTRAP_ORACLE_SQL_REF,
     ANOMALY_ORACLE_SQL as _ANOMALY_ORACLE_SQL_REF,
     CHI_SQUARE_ORACLE_SQL as _CHI_SQUARE_ORACLE_SQL_REF,
     CUSUM_ORACLE_SQL as _CUSUM_ORACLE_SQL_REF,
@@ -1838,4 +1839,53 @@ def q_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         result,
         "event_type string, n long, m double, m2 double, "
         "skew double, kurt_excess double",
+    )
+
+
+# --------------------------------------------------------------------------
+# st-ext — streaming-maintained Poisson-bootstrap replicate sums
+# --------------------------------------------------------------------------
+
+
+@contract("q_stream_bootstrap", oracle=_BOOTSTRAP_ORACLE_SQL_REF)
+def q_stream_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Poisson bootstrap executed BY THE STREAMING ENGINE: each
+    micro-batch's per-replicate exact (Σw, Σw·q) partials fold into a
+    persisted 100-row rollup through the manifest-guarded additive sink,
+    and the shared finisher emits the replicate means — i.e. a LIVE
+    confidence interval over the stream, the actual deployment mode of
+    the Poisson bootstrap (replication weights are per-(row, b)
+    deterministic, so they are indifferent to how rows arrive). The
+    streaming state equals the batch table bit-for-bit for any chunking
+    and matches the SAME DuckDB oracle as q_poisson_bootstrap with no
+    tolerance. State is B=100 rows, never event-sized.
+    """
+    from mapreduce_hw05_spark.plans.analytics_queries import (
+        bootstrap_finish,
+        bootstrap_weighted_sums,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    root = _fresh_scratch("q_sboot_")
+    replay = FileReplay(spark, time_ordered_chunks(events, "ts", 4),
+                        os.path.join(root, "in"))
+    state = os.path.join(root, "state")
+    with _replay_state_partitions(spark, replay):
+        query = ops.stream_additive_rollup_foreachbatch(
+            replay.stream(), state, os.path.join(root, "ckpt"),
+            ["b"], bootstrap_weighted_sums,
+        ).start()
+        try:
+            while replay.push_next():
+                query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    result = bootstrap_finish(
+        spark.read.parquet(state).select("b", "n_eff", "sum_q")
+    ).collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        result,
+        "b int, n_eff long, sum_q long, boot_mean_milli double",
     )

@@ -360,6 +360,9 @@ def _hourly_delta_fns():
     from mapreduce_hw05_spark.plans.analytics_queries import (
         hourly_anomaly_stats,
     )
+    from mapreduce_hw05_spark.plans.analytics_queries import (
+        bootstrap_weighted_sums,
+    )
     from mapreduce_hw05_spark.plans.events_queries import (
         hourly_value_stats,
         type_moment_stats,
@@ -369,10 +372,13 @@ def _hourly_delta_fns():
         "ewma": (hourly_value_stats, ["event_type", "hour_epoch"]),
         "anomaly": (hourly_anomaly_stats, ["event_type", "hour_epoch"]),
         "moments": (type_moment_stats, ["event_type"]),
+        "bootstrap": (bootstrap_weighted_sums, ["b"]),
     }
 
 
-@pytest.mark.parametrize("delta", ["ewma", "anomaly", "moments"])
+@pytest.mark.parametrize(
+    "delta", ["ewma", "anomaly", "moments", "bootstrap"]
+)
 @pytest.mark.parametrize("seed", SEEDS)
 def test_additive_rollup_invariant_to_chunking_with_redelivery(
     spark, events, seed, delta, tmp_path
