@@ -238,6 +238,7 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_prefix_filter_pairs",
     "q_stream_bootstrap",
     "q_clustering_coefficient",
+    "q_ranking_eval",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -2388,10 +2388,14 @@ _POIS_CDF = (
     "0.9994058151824183",
 )
 
+# ``e0`` forces DuckDB to parse each threshold as DOUBLE: a bare decimal
+# literal is DECIMAL(17,16) there, and the decimal→double promotion in
+# the comparison can land 1 ulp off the direct double parse — enough to
+# flip u < c on an unlucky dyadic u.
 _POIS_CASE_SQL = (
     "CASE "
     + " ".join(
-        f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+        f"WHEN u < {c}e0 THEN {k}" for k, c in enumerate(_POIS_CDF)
     )
     + " ELSE 6 END"
 )

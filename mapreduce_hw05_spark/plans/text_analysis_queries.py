@@ -12,6 +12,7 @@ two sides can never drift.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mapreduce_hw05_spark.functions.text_analysis import (
@@ -960,4 +961,169 @@ def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("tp") > 0, 2.0 * p * r / (p + r))
         .otherwise(F.lit(0.0))
         .alias("f1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ir-ext — ranking evaluation: NDCG@10 + MAP@10 terms per query token
+# --------------------------------------------------------------------------
+
+#: 1/log2(rank+1) for ranks 1..10 — identical decimal literals on both
+#: engines parse to identical doubles (never recompute log2 in-engine:
+#: ln() is ~1 ulp cross-engine, literals are exact).
+_DCG_W = (
+    "1.0",
+    "0.6309297535714575",
+    "0.5",
+    "0.43067655807339306",
+    "0.38685280723454163",
+    "0.3562071871080222",
+    "0.3333333333333333",
+    "0.31546487678572877",
+    "0.3010299956639812",
+    "0.2890648263178879",
+)
+
+# ``e0`` forces DuckDB to parse each literal as DOUBLE — a bare decimal
+# literal becomes DECIMAL(17,16) there, and the later decimal→double
+# conversion (m / 10^s in floating point) lands 1 ulp off the direct
+# double parse for several weights.
+_DCG_CASE = (
+    "CASE rank "
+    + " ".join(f"WHEN {r + 1} THEN {w}e0" for r, w in enumerate(_DCG_W))
+    + " END"
+)
+
+_IDCG_CASE = _DCG_CASE.replace("CASE rank", "CASE ideal_rank")
+
+
+@contract(
+    "q_ranking_eval",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2
+    ), queries AS (
+        SELECT token FROM (
+            SELECT token, CAST(sum(tf) AS BIGINT) AS total
+            FROM tf GROUP BY token
+        ) ORDER BY total DESC, token LIMIT 5
+    ), ranked AS (
+        SELECT t.token, t.doc_id, t.tf,
+               row_number() OVER (PARTITION BY t.token
+                                  ORDER BY t.tf DESC, t.doc_id) AS rank,
+               (t.doc_id * 31 + ascii(substr(t.token, 1, 1))) % 4 AS rel
+        FROM tf t JOIN queries q ON t.token = q.token
+        QUALIFY rank <= 10
+    ), ideal AS (
+        SELECT token, doc_id, rank, rel,
+               row_number() OVER (PARTITION BY token
+                                  ORDER BY rel DESC, doc_id) AS ideal_rank,
+               CAST(sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY token ORDER BY rank)
+                    AS BIGINT) AS cum_hits
+        FROM ranked
+    )
+    SELECT token, rank, doc_id, CAST(rel AS BIGINT) AS rel,
+           rel * {_DCG_CASE} AS gain_term,
+           rel * {_IDCG_CASE} AS ideal_slot_term,
+           CASE WHEN rel >= 2
+                THEN CAST(cum_hits AS DOUBLE) / rank ELSE 0.0
+           END AS ap_term
+    FROM ideal
+    """,
+)
+def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation over a deterministic retrieval run:
+    for the 5 highest-volume query tokens, docs are ranked by exact term
+    frequency (tf DESC, doc_id tie-break, top-10), each hit carries a
+    hash-derived graded relevance 0–3, and the output emits the additive
+    per-rank pieces of the two standard IR metrics — DCG gains
+    (rel · 1/log₂(rank+1)), the ideal-permutation slot terms (the same
+    retrieved relevances re-sorted rel DESC — summing them gives the
+    IDCG@10 of the retrieved set), and average-precision terms
+    (precision-at-rank when the doc is relevant, rel ≥ 2). The caller
+    sums per token: NDCG = Σgain/Σideal, AP = Σap_term/Σ(rel≥2) — the
+    offline eval loop for [[q_bm25_topk]] / [[q_rrf_fusion]] retrieval.
+
+    Bit-exact discipline: ranks and relevances are exact integers, the
+    1/log₂ weights are identical decimal LITERALS on both engines
+    (never engine-computed — ln is ~1 ulp cross-engine), each term is
+    one int×literal multiply or one exact-int divide, and terms are
+    emitted per rank (never pre-summed) per the PSI-terms rule. Scale:
+    tf is one map-side-combinable aggregate; the top-10 window runs per
+    query token only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = toks.groupBy("token", "doc_id").agg(
+        lng(F.count("*")).alias("tf")
+    )
+    queries = (
+        tf.groupBy("token")
+        .agg(lng(F.sum("tf")).alias("total"))
+        .orderBy(F.col("total").desc(), "token")
+        .limit(5)
+        .select("token")
+    )
+    ranked = (
+        tf.join(F.broadcast(queries), "token")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("token").orderBy(
+                    F.col("tf").desc(), "doc_id"
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 10)
+        .withColumn(
+            "rel",
+            (
+                F.col("doc_id") * 31
+                + F.ascii(F.substring("token", 1, 1))
+            )
+            % 4,
+        )
+    )
+    ideal = ranked.select(
+        "token",
+        "doc_id",
+        "rank",
+        "rel",
+        F.row_number()
+        .over(W.partitionBy("token").orderBy(F.col("rel").desc(), "doc_id"))
+        .alias("ideal_rank"),
+        F.sum(F.when(F.col("rel") >= 2, 1).otherwise(0))
+        .over(W.partitionBy("token").orderBy("rank"))
+        .cast("long")
+        .alias("cum_hits"),
+    )
+    w_by_rank = F.lit(None).cast("double")
+    wi_by_rank = F.lit(None).cast("double")
+    for r, w in enumerate(_DCG_W):
+        w_by_rank = F.when(F.col("rank") == r + 1, float(w)).otherwise(
+            w_by_rank
+        )
+        wi_by_rank = F.when(
+            F.col("ideal_rank") == r + 1, float(w)
+        ).otherwise(wi_by_rank)
+    return ideal.select(
+        "token",
+        "rank",
+        "doc_id",
+        lng(F.col("rel")).alias("rel"),
+        (F.col("rel") * w_by_rank).alias("gain_term"),
+        (F.col("rel") * wi_by_rank).alias("ideal_slot_term"),
+        F.when(
+            F.col("rel") >= 2,
+            F.col("cum_hits").cast("double") / F.col("rank"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ap_term"),
     )
