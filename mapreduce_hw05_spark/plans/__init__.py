@@ -239,6 +239,9 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_stream_bootstrap",
     "q_clustering_coefficient",
     "q_ranking_eval",
+    "q_array_hof",
+    "q_referential_integrity",
+    "q_kfold_nb_accuracy",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

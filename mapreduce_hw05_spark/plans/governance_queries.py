@@ -406,3 +406,87 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeded.select(
         "cohort", "n_true", F.round(noise, 9).alias("noise_q9")
     ).orderBy("cohort")
+
+
+# --------------------------------------------------------------------------
+# gov-ext — referential-integrity audit across the FK chain
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS relation,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_orphans
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           CAST(count(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT CAST(count(*) AS BIGINT) FROM customer),
+           CAST(count(*) AS BIGINT)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                      WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey)
+    ORDER BY relation
+    """,
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the four load-bearing FK
+    relations of the star schema: row count and orphan count (child keys
+    with no parent) per relation — the first gate a warehouse ingest
+    runs, complementing the column-level checks in
+    [[q_dq_expectations]]. All-zero orphans is the expected fixture
+    result; the contract's value is that the plan REPORTS rather than
+    assumes it.
+
+    Each orphan probe is one LEFT ANTI join on the key — hash-joinable,
+    map-side-combinable counts, and the small parents (nation, customer,
+    part at fixture scale) broadcast. Pure integers, no rounding. At
+    100 TB each relation is one shuffle (or zero for broadcast-able
+    parents); the four audits share nothing and can run as one union
+    DAG.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+
+    def audit(name, child, child_key, parent, parent_key):
+        orphans = child.join(
+            parent,
+            child[child_key] == parent[parent_key],
+            "left_anti",
+        ).agg(F.count("*").cast("long").alias("n_orphans"))
+        total = child.agg(F.count("*").cast("long").alias("n_rows"))
+        return total.crossJoin(orphans).select(
+            F.lit(name).alias("relation"), "n_rows", "n_orphans"
+        )
+
+    out = (
+        audit("lineitem.l_orderkey->orders", li, "l_orderkey",
+              orders, "o_orderkey")
+        .unionAll(audit("orders.o_custkey->customer", orders, "o_custkey",
+                        customer, "c_custkey"))
+        .unionAll(audit("customer.c_nationkey->nation", customer,
+                        "c_nationkey", nation, "n_nationkey"))
+        .unionAll(audit("lineitem.l_partkey->part", li, "l_partkey",
+                        part, "p_partkey"))
+    )
+    return out.orderBy("relation")

@@ -1127,3 +1127,221 @@ def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("ap_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# ml-ext — 5-fold cross-validated NB accuracy WITHOUT refits
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_kfold_nb_accuracy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, doc_id % 5 AS fold,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), flc AS (
+        SELECT fold, lang, token, count(*) AS c
+        FROM toks GROUP BY 1, 2, 3
+    ), tot AS (
+        SELECT lang, token, sum(c) AS ctot FROM flc GROUP BY 1, 2
+    ), folds AS (
+        SELECT unnest(generate_series(0, 4)) AS fold
+    ), model AS (
+        SELECT f.fold, t.lang, t.token,
+               t.ctot - coalesce(x.c, 0) AS cm
+        FROM folds f CROSS JOIN tot t
+        LEFT JOIN flc x
+          ON x.fold = f.fold AND x.lang = t.lang AND x.token = t.token
+        WHERE t.ctot - coalesce(x.c, 0) > 0
+    ), vf AS (
+        SELECT fold, count(DISTINCT token) AS v FROM model GROUP BY fold
+    ), ctk AS (
+        SELECT fold, lang, sum(cm) AS nt FROM model GROUP BY 1, 2
+    ), dl AS (
+        SELECT lang, count(DISTINCT doc_id) AS ndl FROM toks GROUP BY lang
+    ), dlf AS (
+        SELECT fold, lang, count(DISTINCT doc_id) AS ndf
+        FROM toks GROUP BY 1, 2
+    ), cd AS (
+        SELECT f.fold, d.lang, d.ndl - coalesce(x.ndf, 0) AS ndm
+        FROM folds f CROSS JOIN dl d
+        LEFT JOIN dlf x ON x.fold = f.fold AND x.lang = d.lang
+        WHERE d.ndl - coalesce(x.ndf, 0) > 0
+    ), nd AS (
+        SELECT fold, sum(ndm) AS n FROM cd GROUP BY fold
+    ), priors AS (
+        SELECT cd.fold, cd.lang,
+               ln(cd.ndm * 1.0 / nd.n) AS log_prior,
+               ln(1.0 / (ctk.nt + vf.v)) AS default_ll
+        FROM cd
+        JOIN nd ON cd.fold = nd.fold
+        JOIN ctk ON ctk.fold = cd.fold AND ctk.lang = cd.lang
+        JOIN vf ON vf.fold = cd.fold
+    ), lik AS (
+        SELECT m.fold, m.lang, m.token,
+               ln((m.cm + 1.0) / (ctk.nt + vf.v)) AS ll
+        FROM model m
+        JOIN ctk ON ctk.fold = m.fold AND ctk.lang = m.lang
+        JOIN vf ON vf.fold = m.fold
+    ), tf AS (
+        SELECT fold, doc_id, token, count(*) AS f
+        FROM toks GROUP BY 1, 2, 3
+    ), tfk AS (
+        SELECT t.* FROM tf t
+        WHERE EXISTS (SELECT 1 FROM model m
+                      WHERE m.fold = t.fold AND m.token = t.token)
+    ), scores AS (
+        SELECT t.doc_id, t.fold, p.lang,
+               p.log_prior + sum(t.f * coalesce(l.ll, p.default_ll))
+                   AS score
+        FROM tfk t
+        JOIN priors p ON p.fold = t.fold
+        LEFT JOIN lik l ON l.fold = t.fold AND l.lang = p.lang
+                        AND l.token = t.token
+        GROUP BY t.doc_id, t.fold, p.lang, p.log_prior
+    ), pred AS (
+        SELECT doc_id, fold, lang AS pred
+        FROM scores
+        QUALIFY row_number()
+            OVER (PARTITION BY doc_id
+                  ORDER BY round(score, 6) DESC, lang) = 1
+    )
+    SELECT CAST(p.fold AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN p.pred = d.lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN p.pred = d.lang THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS accuracy
+    FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY p.fold ORDER BY fold
+    """,
+)
+def q_kfold_nb_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated Naive Bayes language-ID accuracy computed
+    WITHOUT refitting: (fold, lang, token) counts are aggregated ONCE,
+    and each fold's leave-one-out model is the total minus the fold's
+    own counts — the subtraction trick that turns k-fold CV from k
+    corpus passes into one (the same mergeable-statistics insight as
+    the jackknife, applied to a classifier). Each held-out fifth is
+    scored against its own-fold model; output is per-fold test size,
+    correct count, and accuracy (exact-int divide).
+
+    All model tables are (5 × V × C)-sized, so the per-fold smoothing
+    denominators (fold vocabulary V_f, class token totals) come from
+    model-sized aggregates. Scoring follows [[q_nb_classify]]'s
+    round(score, 6)-before-argmax discipline (per-doc log-likelihood
+    sums are the one order-dependent float reduction; rounding absorbs
+    the ~1e-13 drift). Docs whose tokens are all outside their fold's
+    vocabulary drop out identically on both engines. At 100 TB: two
+    corpus-sized aggregates (token counts, doc-label distincts), one
+    corpus-sized scoring join against a broadcast model — fold
+    parallelism is free because fold is just a column.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id", "lang").withColumn(
+        "fold", F.col("doc_id") % 5
+    )
+    flc = toks.groupBy("fold", "lang", "token").agg(
+        F.count("*").alias("c")
+    )
+    tot = flc.groupBy("lang", "token").agg(F.sum("c").alias("ctot"))
+    folds = spark.range(0, 5).select(F.col("id").alias("fold"))
+    model = (
+        folds.crossJoin(tot)
+        .join(flc, ["fold", "lang", "token"], "left")
+        .select(
+            "fold",
+            "lang",
+            "token",
+            (F.col("ctot") - F.coalesce(F.col("c"), F.lit(0))).alias("cm"),
+        )
+        .filter(F.col("cm") > 0)
+        .persist()
+    )
+    vf = model.groupBy("fold").agg(F.countDistinct("token").alias("v"))
+    ctk = model.groupBy("fold", "lang").agg(F.sum("cm").alias("nt"))
+    dl = toks.groupBy("lang").agg(F.countDistinct("doc_id").alias("ndl"))
+    dlf = toks.groupBy("fold", "lang").agg(
+        F.countDistinct("doc_id").alias("ndf")
+    )
+    cd = (
+        folds.crossJoin(dl)
+        .join(dlf, ["fold", "lang"], "left")
+        .select(
+            "fold",
+            "lang",
+            (F.col("ndl") - F.coalesce(F.col("ndf"), F.lit(0))).alias(
+                "ndm"
+            ),
+        )
+        .filter(F.col("ndm") > 0)
+    )
+    nd = cd.groupBy("fold").agg(F.sum("ndm").alias("n"))
+    priors = (
+        cd.join(nd, "fold")
+        .join(ctk, ["fold", "lang"])
+        .join(vf, "fold")
+        .select(
+            "fold",
+            "lang",
+            F.log(F.col("ndm") * 1.0 / F.col("n")).alias("log_prior"),
+            F.log(1.0 / (F.col("nt") + F.col("v"))).alias("default_ll"),
+        )
+    )
+    lik = (
+        model.join(ctk, ["fold", "lang"])
+        .join(vf, "fold")
+        .select(
+            "fold",
+            "lang",
+            "token",
+            F.log((F.col("cm") + 1.0) / (F.col("nt") + F.col("v"))).alias(
+                "ll"
+            ),
+        )
+    )
+    tf = toks.groupBy("fold", "doc_id", "token").agg(
+        F.count("*").alias("f")
+    )
+    tfk = tf.join(
+        model.select("fold", "token").distinct(),
+        ["fold", "token"],
+        "left_semi",
+    )
+    scores = (
+        tfk.join(F.broadcast(priors), "fold")
+        .join(F.broadcast(lik), ["fold", "lang", "token"], "left")
+        .groupBy("doc_id", "fold", "lang")
+        .agg(
+            (
+                F.first("log_prior")
+                + F.sum(
+                    F.col("f")
+                    * F.coalesce(F.col("ll"), F.col("default_ll"))
+                )
+            ).alias("score")
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("lang")
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fold", F.col("lang").alias("pred"))
+    )
+    correct = F.when(F.col("pred") == F.col("lang"), 1).otherwise(0)
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("fold").cast("long").alias("fold"))
+        .agg(
+            lng(F.count("*")).alias("n_test"),
+            lng(F.sum(correct)).alias("n_correct"),
+            (
+                F.sum(correct).cast("double") / F.count("*")
+            ).alias("accuracy"),
+        )
+        .orderBy("fold")
+    )

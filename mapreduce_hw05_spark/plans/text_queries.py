@@ -533,3 +533,70 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
+# --------------------------------------------------------------------------
+# f-6b (ext) — higher-order array function battery (filter/exists/zip_with)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_array_hof",
+    oracle="""
+    SELECT CAST(label AS BIGINT) AS label,
+           count(*) AS n_vecs,
+           CAST(sum(len(list_filter(embedding, x -> x > 0))) AS BIGINT)
+               AS total_pos,
+           CAST(sum(CASE WHEN len(list_filter(embedding, x -> x > 0.5))
+                              > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_any_large,
+           CAST(sum(CASE WHEN len(list_filter(embedding, x -> x >= -1.0))
+                              = len(embedding)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_all_bounded,
+           round(avg(list_reduce(
+               list_transform(
+                   list_zip(embedding, list_reverse(embedding)),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+               ),
+               (a, b) -> a + b
+           )), 6) AS avg_self_rev_dot
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function battery over the embedding column —
+    the lambda-capability surface beyond [[q_array_ops]]'s
+    size/element_at/aggregate: ``filter`` (positive-component count),
+    ``exists`` (any component > 0.5), ``forall`` (all ≥ −1), and
+    ``zip_with`` + ``reverse`` (dot product of the vector with its own
+    reversal, an order-sensitive kernel that proves element pairing).
+
+    Cross-engine note: Spark's exists/forall are expressed in DuckDB as
+    len(list_filter(...)) predicates — same semantics. The zip_with dot
+    is an ORDERED fold on both engines (aggregate HOF vs list_reduce
+    over the same construction order), so the doubles are identical
+    pre-rounding; avg() is a multi-doc sum, hence round 6 like its
+    sibling. All lambdas run inside codegen — no Python in the path.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = F.col("embedding")
+    pos_count = F.size(F.filter(d, lambda x: x > 0))
+    any_large = F.exists(d, lambda x: x > 0.5)
+    all_bounded = F.forall(d, lambda x: x >= -1.0)
+    self_rev_dot = F.aggregate(
+        F.zip_with(
+            d,
+            F.reverse(d),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return emb.groupBy(lng(F.col("label")).alias("label")).agg(
+        F.count("*").alias("n_vecs"),
+        lng(F.sum(pos_count)).alias("total_pos"),
+        lng(F.sum(any_large.cast("int"))).alias("n_any_large"),
+        lng(F.sum(all_bounded.cast("int"))).alias("n_all_bounded"),
+        ratio(F.avg(self_rev_dot)).alias("avg_self_rev_dot"),
+    )
