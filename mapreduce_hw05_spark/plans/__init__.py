@@ -242,6 +242,9 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_array_hof",
     "q_referential_integrity",
     "q_kfold_nb_accuracy",
+    "q_forward_fill",
+    "q_weighted_median",
+    "q_seasonal_index",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -2500,3 +2500,74 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     return bootstrap_finish(bootstrap_weighted_sums(ev))
+
+
+# --------------------------------------------------------------------------
+# an-32 (ext) — hour-of-day seasonal index of mean purchase value
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_seasonal_index",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(count(*) AS BIGINT) AS n_h,
+               CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s_h
+        FROM events GROUP BY 1, 2
+    ), t AS (
+        SELECT event_type, CAST(sum(n_h) AS BIGINT) AS n_t,
+               CAST(sum(s_h) AS BIGINT) AS s_t
+        FROM h GROUP BY 1
+    )
+    SELECT h.event_type, h.hr, h.n_h,
+           CAST(h.s_h * t.n_t AS DOUBLE)
+               / CAST(h.n_h * t.s_t AS DOUBLE) AS seasonal_index
+    FROM h JOIN t ON h.event_type = t.event_type
+    ORDER BY h.event_type, h.hr
+    """,
+)
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal index of the mean event value per type:
+    (hourly mean) / (overall mean), i.e. (s_h·n_t)/(n_h·s_t) — 1.0
+    means the hour is typical, 1.3 means values run 30% hot. The
+    multiplicative-seasonality profile that deseasonalizes a series
+    before trend fitting (the classical-decomposition counterpart of
+    the count-based [[q_fano_factor]] and the additive [[q_ewma_hourly]]
+    smoothing).
+
+    Bit-exact with ZERO rounding: both numerator and denominator are
+    exact BIGINT products (≤ ~1e15 at sf0.1; BIGINT holds to ~9e18, and
+    past 2⁵³ the int→double casts still round identically on both
+    engines because the integers are identical), and the index is one
+    IEEE divide. Scale: one map-side-combinable (type × 24)-cell
+    aggregate plus a broadcast marginal join — the MI/chi-square plan
+    shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(
+        lng(F.count("*")).alias("n_h"),
+        lng(
+            F.sum(F.floor(F.col("value") * 1000 + 0.5).cast("long"))
+        ).alias("s_h"),
+    )
+    h = h.persist()
+    t = h.groupBy("event_type").agg(
+        lng(F.sum("n_h")).alias("n_t"), lng(F.sum("s_h")).alias("s_t")
+    )
+    return (
+        h.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "hr",
+            "n_h",
+            (
+                (F.col("s_h") * F.col("n_t")).cast("double")
+                / (F.col("n_h") * F.col("s_t")).cast("double")
+            ).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "hr")
+    )

@@ -1189,3 +1189,180 @@ def q_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     return moments_finish(type_moment_stats(ev))
+
+
+# --------------------------------------------------------------------------
+# ts-5 (ext) — gap-aware forward fill (last_value IGNORE NULLS)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_forward_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events WHERE event_type = 'purchase'
+    ), hours AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ), actual AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ), spine AS (
+        SELECT h.hour, coalesce(a.n, 0) AS n, a.cents
+        FROM hours h LEFT JOIN actual a ON h.hour = a.hour
+    )
+    SELECT CAST(epoch_us(hour) // 1000000 AS BIGINT) AS hour_epoch,
+           n,
+           CAST(last_value(cents IGNORE NULLS)
+                    OVER (ORDER BY hour
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)
+                AS BIGINT) AS filled_cents,
+           (cents IS NULL) AS is_gap
+    FROM spine
+    ORDER BY hour_epoch
+    """,
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill over the gap-filled hourly purchase series: missing
+    hours (inserted by the calendar spine, like [[q_gapfill_hourly]])
+    carry the LAST OBSERVED hourly revenue via ``last_value … IGNORE
+    NULLS`` — the null-skipping window-frame semantics this suite didn't
+    exercise yet (coalesce-style gap fill substitutes a constant;
+    forward fill propagates state down the frame). First-hour
+    observations guarantee the fill is total on this fixture.
+
+    Exact integers everywhere (cent-quantized BIGINT sums, counts, a
+    boolean gap flag) — nothing to round. Scale: one hourly aggregate,
+    a broadcast spine join, and a single unbounded-preceding window —
+    the fill is one sequential pass per ordering key (here a global
+    series; a per-entity fill would partition the window and
+    parallelize).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    actual = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        lng(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        ).alias("cents"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    spine = hours.join(actual, "hour", "left").select(
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        "cents",
+    )
+    w = W.orderBy("hour").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return spine.select(
+        F.unix_timestamp("hour").alias("hour_epoch"),
+        "n",
+        F.last("cents", ignorenulls=True).over(w).cast("long").alias(
+            "filled_cents"
+        ),
+        F.col("cents").isNull().alias("is_gap"),
+    ).orderBy("hour_epoch")
+
+
+# --------------------------------------------------------------------------
+# agg-ext — weighted median (orders-weighted customer balance) per nation
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_weighted_median",
+    oracle="""
+    WITH wts AS (
+        SELECT c.c_nationkey AS nk, c.c_custkey AS cust,
+               CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(count(o.o_orderkey) AS BIGINT) AS w
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+    ), cum AS (
+        SELECT nk, cust, cents, w,
+               CAST(sum(w) OVER (PARTITION BY nk
+                                 ORDER BY cents, cust) AS BIGINT) AS cw,
+               CAST(sum(w) OVER (PARTITION BY nk) AS BIGINT) AS tw
+        FROM wts
+    ), med AS (
+        SELECT nk, tw, cents,
+               row_number() OVER (PARTITION BY nk
+                                  ORDER BY cents, cust) AS rn
+        FROM cum WHERE 2 * cw >= tw
+        QUALIFY rn = 1
+    )
+    SELECT n.n_name AS n_name, m.tw AS total_weight,
+           m.cents AS median_cents
+    FROM med m JOIN nation n ON m.nk = n.n_nationkey
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-count-WEIGHTED median of customer account balance per
+    nation: the smallest balance whose cumulative weight reaches half
+    the nation's total order count — the robust center for populations
+    where entities carry different mass ([[q_median_exact]] weights
+    every customer equally). Pure integers (cent-quantized balances,
+    BIGINT weights, deterministic (cents, custkey) order) — no rounding,
+    no interpolation ambiguity.
+
+    The plan is the standard distributed weighted-quantile shape: one
+    per-customer rollup, one partitioned cumulative-sum window, and the
+    2·cumw ≥ total threshold pick. At 100 TB the window sort is
+    per-nation; a high-cardinality group key would swap in the
+    two-pass histogram approach ([[q_decision_stump]]'s split search)
+    to avoid the global sort per key.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    wts = (
+        customer.join(
+            orders, orders.o_custkey == customer.c_custkey
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_custkey").alias("cust"),
+            F.floor(F.col("c_acctbal") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .agg(F.count("o_orderkey").cast("long").alias("w"))
+    )
+    w_cum = W.partitionBy("nk").orderBy("cents", "cust")
+    cum = wts.select(
+        "nk",
+        "cust",
+        "cents",
+        "w",
+        F.sum("w").over(w_cum).cast("long").alias("cw"),
+        F.sum("w").over(W.partitionBy("nk")).cast("long").alias("tw"),
+    )
+    med = (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(w_cum))
+        .filter(F.col("rn") == 1)
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return med.join(
+        F.broadcast(nation), F.col("nk") == F.col("n_nationkey")
+    ).select(
+        "n_name",
+        F.col("tw").alias("total_weight"),
+        F.col("cents").alias("median_cents"),
+    )
