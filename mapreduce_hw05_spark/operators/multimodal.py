@@ -283,3 +283,119 @@ def resample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
 
     audio = media.filter(F.col("media_meta.kind") == "audio")
     return audio.mapInPandas(kernel, schema=_RESAMPLED_SCHEMA)
+
+
+_VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_voiced", T.LongType()),
+        T.StructField("voiced_mask", T.StringType()),
+        T.StructField("total_energy", T.LongType()),
+    ]
+)
+
+
+def vad_energy(
+    media: DataFrame, frame: int = 16, threshold: int = 260000
+) -> DataFrame:
+    """Energy-threshold voice-activity detection: decode each audio
+    payload, split into non-overlapping ``frame``-sample windows, mark a
+    frame voiced when its exact integer energy Σs² exceeds
+    ``threshold`` → (doc_id, n_frames, n_voiced, voiced_mask,
+    total_energy) with the mask as a '10…' string in frame order.
+
+    Same mapInPandas contract as :func:`resample_audio`: metadata prunes
+    non-audio rows before Python, Arrow feeds the batches, NumPy does a
+    single reshape+square+sum per payload. A real deployment swaps the
+    energy gate for a WebRTC/Silero VAD inside the same kernel; the
+    plumbing (schema, pruning, batch shape) is what this operator
+    locks down.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, nf, nv, masks, te = [], [], [], [], []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_meta"]
+            ):
+                arr = decode_media(payload, meta["format"]).astype(np.int64)
+                usable = arr[: (arr.size // frame) * frame]
+                frames = usable.reshape(-1, frame)
+                energy = (frames * frames).sum(axis=1)
+                voiced = energy > threshold
+                ids.append(doc_id)
+                nf.append(frames.shape[0])
+                nv.append(int(voiced.sum()))
+                masks.append("".join("1" if v else "0" for v in voiced))
+                te.append(int(energy.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "n_frames": np.asarray(nf, dtype=np.int64),
+                    "n_voiced": np.asarray(nv, dtype=np.int64),
+                    "voiced_mask": masks,
+                    "total_energy": np.asarray(te, dtype=np.int64),
+                }
+            )
+
+    audio = media.filter(F.col("media_meta.kind") == "audio")
+    return audio.mapInPandas(kernel, schema=_VAD_SCHEMA)
+
+
+_SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_cuts", T.LongType()),
+        T.StructField("cut_mask", T.StringType()),
+        T.StructField("total_l1", T.LongType()),
+    ]
+)
+
+
+def scene_cuts(media: DataFrame, threshold: int = 1360) -> DataFrame:
+    """Shot-boundary detection on video payloads: decode, split into the
+    metadata's ``n_frames`` equal frames, compute the exact L1 pixel
+    difference between consecutive frames, and mark a cut where the
+    difference exceeds ``threshold`` → (doc_id, n_frames, n_cuts,
+    cut_mask, total_l1) with the mask over the n_frames−1 transitions.
+
+    The frame-difference gate is the classic first-pass shot detector
+    (FFmpeg's scdet / PySceneDetect's content-detector shape); a real
+    deployment swaps in HSV histograms inside the same kernel. Same
+    mapInPandas plumbing as the other multimodal kernels.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, nf, nc, masks, tl = [], [], [], [], []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_meta"]
+            ):
+                arr = decode_media(payload, meta["format"]).astype(np.int64)
+                k = int(meta["n_frames"])
+                frames = arr[: (arr.size // k) * k].reshape(k, -1)
+                l1 = np.abs(np.diff(frames, axis=0)).sum(axis=1)
+                cuts = l1 > threshold
+                ids.append(doc_id)
+                nf.append(k)
+                nc.append(int(cuts.sum()))
+                masks.append("".join("1" if c else "0" for c in cuts))
+                tl.append(int(l1.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "n_frames": np.asarray(nf, dtype=np.int64),
+                    "n_cuts": np.asarray(nc, dtype=np.int64),
+                    "cut_mask": masks,
+                    "total_l1": np.asarray(tl, dtype=np.int64),
+                }
+            )
+
+    video = media.filter(F.col("media_meta.kind") == "video")
+    return video.mapInPandas(kernel, schema=_SCENE_SCHEMA)

@@ -245,6 +245,8 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_forward_fill",
     "q_weighted_median",
     "q_seasonal_index",
+    "q_audio_vad",
+    "q_scene_cuts",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

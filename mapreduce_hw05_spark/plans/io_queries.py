@@ -652,3 +652,123 @@ def q_resample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# mm-5 (ext) — energy-threshold voice-activity detection on audio payloads
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_audio_vad",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, repeat(sha256(text), 4) AS hx
+        FROM documents WHERE doc_id % 3 = 1
+    ), pos AS (
+        SELECT doc_id, hx, unnest(generate_series(0, 127)) AS i FROM m
+    ), samp AS (
+        SELECT doc_id, i // 16 AS f,
+               (strpos('0123456789abcdef', substring(hx, i * 2 + 1, 1)) - 1)
+                   * 16
+               + strpos('0123456789abcdef', substring(hx, i * 2 + 2, 1)) - 1
+                   AS v
+        FROM pos
+    ), fr AS (
+        SELECT doc_id, f, CAST(sum(v * v) AS BIGINT) AS e
+        FROM samp GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN e > 260000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_voiced,
+           string_agg(CASE WHEN e > 260000 THEN '1' ELSE '0' END,
+                      '' ORDER BY f) AS voiced_mask,
+           CAST(sum(e) AS BIGINT) AS total_energy
+    FROM fr GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over the audio payloads: 16-sample
+    frames, a frame is voiced when its exact integer energy Σs² exceeds
+    the uniform-noise midpoint (16·127.5² ≈ 260 k) — the first stage of
+    every speech-data pipeline (silence stripping before ASR /
+    diarization), completing the multimodal kernel family next to
+    [[q_resample_audio]]. Output is the per-clip voiced mask in frame
+    order plus counts and total energy — all integers, no rounding.
+
+    The oracle re-derives every sample from the sha256 hex and gates on
+    the identical threshold; the engine path is the Arrow-batched
+    mapInPandas kernel (metadata prunes non-audio rows BEFORE Python).
+    A production VAD swaps the energy gate for a learned model inside
+    the same kernel signature.
+    """
+    from mapreduce_hw05_spark.operators.multimodal import (
+        attach_fake_media,
+        vad_energy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vad_energy(attach_fake_media(docs)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# mm-6 (ext) — shot-boundary (scene cut) detection on video payloads
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_scene_cuts",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, repeat(sha256(text), 4) AS hx
+        FROM documents WHERE doc_id % 3 = 2
+    ), pos AS (
+        SELECT doc_id, hx, unnest(generate_series(0, 127)) AS i FROM m
+    ), samp AS (
+        SELECT doc_id, i,
+               (strpos('0123456789abcdef', substring(hx, i * 2 + 1, 1)) - 1)
+                   * 16
+               + strpos('0123456789abcdef', substring(hx, i * 2 + 2, 1)) - 1
+                   AS v
+        FROM pos
+    ), d AS (
+        SELECT a.doc_id, a.i // 16 AS t, abs(a.v - b.v) AS ad
+        FROM samp a
+        JOIN samp b ON b.doc_id = a.doc_id AND b.i = a.i - 16
+        WHERE a.i >= 16
+    ), tr AS (
+        SELECT doc_id, t, CAST(sum(ad) AS BIGINT) AS l1
+        FROM d GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN l1 > 1360 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cuts,
+           string_agg(CASE WHEN l1 > 1360 THEN '1' ELSE '0' END,
+                      '' ORDER BY t) AS cut_mask,
+           CAST(sum(l1) AS BIGINT) AS total_l1
+    FROM tr GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the video payloads: exact L1 pixel
+    difference between consecutive frames, cut where the difference
+    exceeds the uniform-noise midpoint (16·85 = 1360) — the
+    frame-difference first pass every video ingest runs (keyframe
+    selection for captioning / dedup), closing the multimodal family
+    (features / frame-sample / resize / resample / VAD / scene cut).
+    Output is the per-clip transition mask plus counts — all integers.
+
+    The oracle re-derives each of the 8×16-byte frames from the sha256
+    hex and diffs adjacent positions with a self-join; the engine path
+    is one NumPy ``diff`` inside the Arrow-batched mapInPandas kernel,
+    with non-video rows pruned by metadata before Python.
+    """
+    from mapreduce_hw05_spark.operators.multimodal import (
+        attach_fake_media,
+        scene_cuts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return scene_cuts(attach_fake_media(docs)).orderBy("doc_id")
