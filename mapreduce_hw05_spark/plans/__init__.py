@@ -247,6 +247,7 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_seasonal_index",
     "q_audio_vad",
     "q_scene_cuts",
+    "q_square_count",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

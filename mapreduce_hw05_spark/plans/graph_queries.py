@@ -1456,3 +1456,76 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("coef").desc(), "node")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# g-ext — 4-cycle (square) census via wedge pairing
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_square_count",
+    oracle="""
+    WITH pairs AS (
+        SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), edges AS (
+        SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ), wedge AS (
+        SELECT a.dst AS a, b.dst AS b, CAST(count(*) AS BIGINT) AS w
+        FROM edges a JOIN edges b ON a.src = b.src AND a.dst < b.dst
+        GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_endpoint_pairs,
+           CAST(sum(w) AS BIGINT) AS n_wedges,
+           CAST(sum(w * (w - 1)) // 2 AS BIGINT) AS n_wedge_pairs,
+           CAST(sum(w * (w - 1)) // 4 AS BIGINT) AS n_squares
+    FROM wedge
+    """,
+)
+def q_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-cycle (square) census of the support-≥2 co-purchase graph via
+    wedge pairing: two wedges sharing BOTH endpoints close a square, so
+    #C₄ = ½·Σ_{a<b} C(w_ab, 2) where w_ab is the common-neighbor count
+    — the square-motif companion to [[q_triangle_count]] (triangles
+    measure transitivity, squares measure bipartite-style co-purchase
+    redundancy; their ratio is a standard graph-shape fingerprint).
+    Each square has exactly two endpoint diagonals, hence the halving —
+    the sum is even by construction, so the integer division is exact.
+
+    Pure BIGINT arithmetic, no rounding. Scale: one wedge self-join
+    through each middle node (per-middle deg² — the triangle-count
+    shape, support-thresholded; hub salting applies identically) and
+    one wedge-sized aggregate. Never materializes candidate squares.
+    """
+    from mapreduce_hw05_spark.operators.graph import (
+        cooccurrence_edges_min_support,
+        undirected,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    und = undirected(cooccurrence_edges_min_support(li, 2))
+    a = und.select(F.col("src").alias("m"), F.col("dst").alias("a"))
+    b = und.select(F.col("src").alias("m"), F.col("dst").alias("b"))
+    wedge = (
+        a.join(b, "m")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    # Σ w(w−1) stays in exact BIGINT; halve/quarter AFTER the sum with
+    # integer division (a per-row float /2 would make the sum inexact).
+    wp = F.col("w") * (F.col("w") - 1)
+    return wedge.agg(
+        F.count("*").cast("long").alias("n_endpoint_pairs"),
+        lng(F.sum("w")).alias("n_wedges"),
+        # shiftright = exact integer //2, //4 (a float /2 would round
+        # past 2^53); the sum is non-negative by construction
+        F.shiftright(lng(F.sum(wp)), 1).cast("long").alias(
+            "n_wedge_pairs"
+        ),
+        F.shiftright(lng(F.sum(wp)), 2).cast("long").alias("n_squares"),
+    )
