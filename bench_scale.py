@@ -172,6 +172,8 @@ def run_scale(spark: SparkSession, scale: int) -> dict[str, float]:
         "q_near_dup_shingle_lsh",
         "q_near_dup_lsh",
         "q_nb_classify",
+        "q_kfold_nb_accuracy",
+        "q_contamination_fraction",
     ]
     for name in contract_ops:
         t0 = time.time()

@@ -44,6 +44,12 @@ BNLJ_ALLOWED = {
     "q_acf_lags",          # 1-row global-moments build side (scalar subquery)
     "q_chi_square",        # 1-row contingency-totals build side
     "q_epoch_mixture_plan",  # 1-row token-budget build side
+    "q_benford_digits",    # 1-row digit-total build side
+    "q_kcore_rounds",      # 1-row × 1-row per-round survivor stats
+    "q_kfold_nb_accuracy",  # 5-row fold spine × model-sized totals
+    "q_link_prediction_eval",  # 1-row n_test × 1-row n_hits
+    "q_mutual_information",  # 1-row corpus-total build side
+    "q_referential_integrity",  # 1-row total × 1-row orphan count (×4)
 }
 
 _BATCH_QUERIES = sorted(
