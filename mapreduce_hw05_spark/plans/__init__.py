@@ -248,6 +248,8 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_audio_vad",
     "q_scene_cuts",
     "q_square_count",
+    "q_lift_deciles",
+    "q_growth_accounting",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -2571,3 +2571,209 @@ def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hr")
     )
+
+
+# --------------------------------------------------------------------------
+# an-33 (ext) — decile lift table (acctbal score vs 1995 purchase outcome)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_lift_deciles",
+    oracle="""
+    WITH outcome AS (
+        SELECT DISTINCT o_custkey AS cust FROM orders
+        WHERE year(o_orderdate) = 1995
+    ), scored AS (
+        SELECT c.c_custkey AS cust,
+               ntile(10) OVER (ORDER BY
+                   CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) DESC,
+                   c.c_custkey) AS decile,
+               CASE WHEN o.cust IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM customer c LEFT JOIN outcome o ON c.c_custkey = o.cust
+    ), per AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(hit) AS BIGINT) AS n_hits
+        FROM scored GROUP BY decile
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_all,
+               CAST(sum(n_hits) AS BIGINT) AS hits_all
+        FROM per
+    )
+    SELECT p.decile, p.n, p.n_hits,
+           CAST(p.n_hits AS DOUBLE) / p.n AS response_rate,
+           CAST(p.n_hits * t.n_all AS DOUBLE)
+               / CAST(p.n * t.hits_all AS DOUBLE) AS lift
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.decile
+    """,
+)
+def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the standard model-validation readout for a
+    targeting score: customers ranked by account balance (the "model
+    score") into deciles, per-decile response rate against the
+    did-they-order-in-1995 outcome, and lift = decile rate / overall
+    rate. Decile 1 lift ≫ 1 means the score concentrates responders —
+    the campaign-analytics twin of [[q_ranking_eval]]'s IR metrics and
+    [[q_nb_auc]]'s threshold-free AUC.
+
+    Deterministic ntile (cent-quantized balance DESC, custkey
+    tie-break), exact BIGINT counts, and both ratios are exact-int
+    divides (lift = (hits_d·N)/(n_d·H), one IEEE op) — no rounding.
+    Scale: one semi-joinable outcome probe, a global ntile window (the
+    one global sort; at 100 TB swap for percentile-boundary bucketing
+    from [[q_approx_quantile]]'s sketch), and a 10-row marginal join.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    outcome = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .select(F.col("o_custkey").alias("cust"))
+        .distinct()
+        .withColumn("hit_flag", F.lit(1))
+    )
+    w = Window.orderBy(
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").desc(),
+        "c_custkey",
+    )
+    scored = customer.join(
+        outcome, customer.c_custkey == outcome.cust, "left"
+    ).select(
+        F.ntile(10).over(w).alias("decile"),
+        F.coalesce(F.col("hit_flag"), F.lit(0)).alias("hit"),
+    )
+    per = scored.groupBy("decile").agg(
+        lng(F.count("*")).alias("n"), lng(F.sum("hit")).alias("n_hits")
+    )
+    tot = per.agg(
+        lng(F.sum("n")).alias("n_all"),
+        lng(F.sum("n_hits")).alias("hits_all"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n")).alias(
+                "response_rate"
+            ),
+            (
+                (F.col("n_hits") * F.col("n_all")).cast("double")
+                / (F.col("n") * F.col("hits_all")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# an-34 (ext) — weekly growth accounting (new / retained / resurrected)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_growth_accounting",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '1970-01-01', ts) // 7
+                    AS BIGINT) AS week
+        FROM events
+    ), seq AS (
+        SELECT user_id, week,
+               lag(week) OVER (PARTITION BY user_id ORDER BY week)
+                   AS prev_week,
+               lead(week) OVER (PARTITION BY user_id ORDER BY week)
+                   AS next_week
+        FROM active
+    )
+    SELECT week,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(sum(CASE WHEN prev_week IS NOT NULL
+                          AND prev_week < week - 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected,
+           CAST(sum(CASE WHEN next_week IS NULL
+                          OR next_week > week + 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churning_out
+    FROM seq GROUP BY week ORDER BY week
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the canonical product-analytics
+    decomposition of active users: per week, how many are NEW (first
+    week ever), RETAINED (also active the prior week), RESURRECTED
+    (active before, but skipped ≥1 week), and CHURNING OUT (not active
+    next week) — so n_active = new + retained + resurrected, and WoW
+    change reconciles exactly. The state-transition complement to
+    [[q_cohort_retention]]'s fixed-cohort matrix and
+    [[q_rolling_dau]]'s windowed counts.
+
+    Weeks are epoch-day // 7 (identical integer arithmetic on both
+    engines — date_trunc('week') ISO conventions never enter). All
+    counts exact; one distinct, one per-user lag/lead window, one
+    weekly rollup. At 100 TB: the distinct and the window both key on
+    user_id — a single shuffle reused by both, then the weekly
+    aggregate is map-side-combinable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    active = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) / 7
+        )
+        .cast("long")
+        .alias("week"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    seq = active.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_week"),
+        F.lead("week").over(w).alias("next_week"),
+    )
+    return (
+        seq.groupBy("week")
+        .agg(
+            lng(F.count("*")).alias("n_active"),
+            lng(
+                F.sum(
+                    F.when(F.col("prev_week").isNull(), 1).otherwise(0)
+                )
+            ).alias("n_new"),
+            lng(
+                F.sum(
+                    F.when(
+                        F.col("prev_week") == F.col("week") - 1, 1
+                    ).otherwise(0)
+                )
+            ).alias("n_retained"),
+            lng(
+                F.sum(
+                    F.when(
+                        F.col("prev_week").isNotNull()
+                        & (F.col("prev_week") < F.col("week") - 1),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("n_resurrected"),
+            lng(
+                F.sum(
+                    F.when(
+                        F.col("next_week").isNull()
+                        | (F.col("next_week") > F.col("week") + 1),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("n_churning_out"),
+        )
+        .orderBy("week")
+    )

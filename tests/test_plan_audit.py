@@ -50,6 +50,7 @@ BNLJ_ALLOWED = {
     "q_link_prediction_eval",  # 1-row n_test × 1-row n_hits
     "q_mutual_information",  # 1-row corpus-total build side
     "q_referential_integrity",  # 1-row total × 1-row orphan count (×4)
+    "q_lift_deciles",      # 1-row grand-total build side
 }
 
 _BATCH_QUERIES = sorted(
