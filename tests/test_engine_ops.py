@@ -1891,3 +1891,67 @@ def test_hits_matches_python(spark, seed):
     got_a, got_h = hits(df, rounds=rounds)
     assert {r["node"]: r["aq"] for r in got_a.collect()} == aq
     assert {r["node"]: r["hq"] for r in got_h.collect()} == hq
+
+
+def test_kfold_matches_explicit_refits(spark, tmp_path):
+    """The leave-one-fold-out count-subtraction CV must equal the naive
+    5× refit: for every fold, fit nb_fit on the other folds' tokens and
+    score the held-out fold (round-6 argmax, label tie-break) — the
+    per-fold (n_test, n_correct) must match q_kfold_nb_accuracy exactly.
+    Corpus is seeded with class-skewed vocabularies so scores are far
+    from ties."""
+    import random
+
+    from pyspark.sql import Window
+
+    from mapreduce_hw05_spark.operators.naive_bayes import nb_fit, nb_score
+    from mapreduce_hw05_spark.operators.text import tokenize
+    from mapreduce_hw05_spark.plans import QUERIES
+
+    rng = random.Random(7)
+    vocab = {
+        "en": ["the", "cat", "sat", "mat", "dog"],
+        "fr": ["le", "chat", "sur", "tapis", "chien"],
+        "de": ["die", "katze", "auf", "matte", "hund"],
+    }
+    common = ["data", "spark", "query"]
+    rows = []
+    for doc_id in range(60):
+        lang = ["en", "fr", "de"][doc_id % 3]
+        words = [rng.choice(vocab[lang] + common) for _ in range(12)]
+        rows.append((doc_id, lang, "s%d" % (doc_id % 4), " ".join(words)))
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["fold"]: (r["n_test"], r["n_correct"])
+        for r in QUERIES["q_kfold_nb_accuracy"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    want = {}
+    for f in range(5):
+        train = tokenize(
+            docs.filter(F.col("doc_id") % 5 != f), "text", "doc_id", "lang"
+        ).select("doc_id", F.col("lang").alias("label"), "token")
+        priors, lik = nb_fit(train)
+        test = tokenize(
+            docs.filter(F.col("doc_id") % 5 == f), "text", "doc_id"
+        )
+        scores = nb_score(test, priors, lik)
+        w = Window.partitionBy("doc_id").orderBy(
+            F.round(F.col("score"), 6).desc(), F.col("label")
+        )
+        pred = (
+            scores.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("label").alias("pred"))
+        )
+        joined = pred.join(docs.select("doc_id", "lang"), "doc_id")
+        n_test = joined.count()
+        n_correct = joined.filter(F.col("pred") == F.col("lang")).count()
+        want[f] = (n_test, n_correct)
+    assert got == want
