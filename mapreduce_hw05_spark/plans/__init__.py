@@ -250,6 +250,7 @@ DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
     "q_square_count",
     "q_lift_deciles",
     "q_growth_accounting",
+    "q_target_encoding",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

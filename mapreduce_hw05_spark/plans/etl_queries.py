@@ -564,3 +564,81 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         lng(F.sum("doc_id")).alias("id_checksum"),
         lng(F.sum("n_chars")).alias("sum_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# feat-ext — leave-one-out target encoding of order priority
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_target_encoding",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderpriority AS cat,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+        FROM orders
+    ), g AS (
+        SELECT cat, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s
+        FROM t GROUP BY cat
+    ), loo AS (
+        SELECT t.cat, g.n, g.s,
+               CAST(floor(CAST(g.s - t.y AS DOUBLE) / (g.n - 1))
+                    AS BIGINT) AS enc_floor_cents
+        FROM t JOIN g ON t.cat = g.cat
+    )
+    SELECT cat, CAST(any_value(n) AS BIGINT) AS n_rows,
+           CAST(any_value(s) AS BIGINT) AS sum_cents,
+           CAST(sum(enc_floor_cents) AS BIGINT) AS loo_checksum,
+           CAST(min(enc_floor_cents) AS BIGINT) AS loo_min,
+           CAST(max(enc_floor_cents) AS BIGINT) AS loo_max
+    FROM loo GROUP BY cat ORDER BY cat
+    """,
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    revenue — the standard high-cardinality categorical feature for
+    tabular models: each row's encoding is the category's mean target
+    EXCLUDING the row itself, (S_cat − y_row)/(n_cat − 1), which kills
+    the self-leakage that makes plain mean-encoding overfit. Emitted as
+    per-category audit aggregates (row count, exact target sum, and the
+    checksum/min/max of the floored per-row encodings) so the contract
+    stays small while pinning every row's value.
+
+    Bit-exact: targets are cent-quantized BIGINT, the LOO ratio is one
+    exact-int divide and one floor (both engine-identical), and the
+    checksum re-sums exact integers. Scale: one category aggregate + a
+    broadcast join back to the rows — the same two-pass shape as
+    [[q_grouped_map_zscore]]; no per-row Python anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("y"),
+    )
+    g = t.groupBy("cat").agg(
+        F.count("*").cast("long").alias("n"),
+        lng(F.sum("y")).alias("s"),
+    )
+    loo = t.join(F.broadcast(g), "cat").select(
+        "cat",
+        "n",
+        "s",
+        F.floor(
+            (F.col("s") - F.col("y")).cast("double") / (F.col("n") - 1)
+        )
+        .cast("long")
+        .alias("enc_floor_cents"),
+    )
+    return (
+        loo.groupBy("cat")
+        .agg(
+            lng(F.any_value("n")).alias("n_rows"),
+            lng(F.any_value("s")).alias("sum_cents"),
+            lng(F.sum("enc_floor_cents")).alias("loo_checksum"),
+            lng(F.min("enc_floor_cents")).alias("loo_min"),
+            lng(F.max("enc_floor_cents")).alias("loo_max"),
+        )
+        .orderBy("cat")
+    )
