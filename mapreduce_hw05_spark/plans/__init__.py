@@ -139,118 +139,132 @@ DRIVER_WINDOW = DRIVER_WINDOW_R4[:50]
 
 #: Round-5 rotation, pre-staged (VERDICT r3 item 4). Two parts:
 #:
-#: 1. ``DRIVER_WINDOW_R5_PENDING`` — contracts with NO driver row yet:
-#:    the 8-entry R4 tail, plus ANY contract added during/after round 4
-#:    (append new contract names here or the rotation-coverage test in
+#: 1. ``DRIVER_WINDOW_R5_PENDING`` — contracts with NO driver row yet
+#:    (now 106 after the round-4 additions; append ANY new contract
+#:    here or the rotation-coverage test in
 #:    ``tests/test_registry_window.py`` fails).
 #: 2. ``DRIVER_WINDOW_R5_REVERIFY`` — highest-value re-verifications:
 #:    the r1-green relational/window/set core has not been driver-checked
 #:    since round 1 (the engine under it has been rewritten several times
-#:    since). Curated to 42 so PENDING(8) + REVERIFY(42) = 50; if PENDING
-#:    grows past 8, trim REVERIFY from the end at r5 swap time.
+#:    since). With PENDING > 50, REVERIFY and the PENDING tail roll to
+#:    r6+ windows.
 #:
 #: The r5 swap is:
 #: ``DRIVER_WINDOW = (DRIVER_WINDOW_R5_PENDING + DRIVER_WINDOW_R5_REVERIFY)[:50]``
-DRIVER_WINDOW_R5_PENDING = list(DRIVER_WINDOW_R4[50:]) + [
-    # contracts added during round 4
-    "q_containment_near_dup",
-    "q_count_min",
+DRIVER_WINDOW_R5_PENDING = [
+    # CURATED RISK-FIRST ORDER (r4 session 4): the r5 swap takes
+    # PENDING[:50], so never-driver-verified ENGINE machinery runs
+    # first — streaming-executed sinks, multimodal kernels, graph
+    # iteration, ML/eval — then the exactness-delicate stats chains.
+    # The single-agg shapes and the two TPC-H tails (long-green in
+    # local parity) roll to r6 with DRIVER_WINDOW_R5_REVERIFY's
+    # remainder. Membership is unchanged; only the order is curated.
     "q_stream_near_dup_filter",
     "q_stream_count_min",
+    "q_stream_band_join",
+    "q_stream_ewma",
+    "q_stream_anomaly",
+    "q_stream_cusum",
+    "q_stream_jackknife",
+    "q_stream_chi_square",
+    "q_stream_acf",
+    "q_stream_fano",
+    "q_stream_psi",
+    "q_stream_moments",
+    "q_stream_bootstrap",
+    "q_frame_sample",
+    "q_resize_images",
+    "q_resample_audio",
+    "q_audio_vad",
+    "q_scene_cuts",
+    "q_label_propagation",
+    "q_sssp_cheapest",
+    "q_link_prediction",
+    "q_ppr_seeds",
+    "q_assortativity",
+    "q_modularity",
+    "q_hits_scores",
+    "q_kcore_rounds",
+    "q_link_prediction_eval",
+    "q_clustering_coefficient",
+    "q_square_count",
+    "q_nb_classify",
+    "q_item_item_cosine",
+    "q_decision_stump",
+    "q_tree_depth2",
+    "q_nb_auc",
+    "q_nb_confusion",
+    "q_als_user_step",
+    "q_ranking_eval",
+    "q_kfold_nb_accuracy",
+    "q_lift_deciles",
+    "q_ewma_hourly",
+    "q_ab_test_stats",
+    "q_anomaly_hours",
+    "q_drift_psi",
+    "q_ks_test",
+    "q_acf_lags",
+    "q_holt_linear",
+    "q_cusum_changepoint",
+    "q_jackknife_mean",
+    "q_chi_square",
+    "q_fano_factor",
+    "q_benford_digits",
+    "q_theil_deciles",
+    "q_dp_noisy_counts",
+    "q_spearman_corr",
+    "q_mutual_information",
+    "q_welch_ttest",
+    "q_skew_kurtosis",
+    "q_poisson_bootstrap",
+    "q_containment_near_dup",
+    "q_count_min",
     "q_near_dup_shingle_lsh",
     "q_ann_pq_topk",
     "q_paragraph_dedup",
+    "q_bm25_topk",
+    "q_hard_negatives",
+    "q_phrase_search",
+    "q_bigram_lm_score",
+    "q_rrf_fusion",
+    "q_keyword_tagging",
+    "q_feature_hashing",
+    "q_contamination_fraction",
+    "q_prefix_filter_pairs",
+    "q_target_encoding",
+    "q_tpch_q2_mincost",
+    "q_tpch_q20_semi_chain",
+    "q_histogram_totalprice",
+    "q_iqr_outliers",
+    "q_regression_stats",
+    "q_winsorized_mean",
+    "q_percent_of_total",
+    "q_mom_growth",
     "q_shard_manifest",
     "q_token_budget_mix",
     "q_quality_filter_per_lang",
     "q_tpch_q11_important",
     "q_tpch_q12_priority",
-    "q_frame_sample",
-    "q_resize_images",
     "q_band_join_balances",
     "q_interval_overlap_join",
-    "q_bm25_topk",
-    "q_stream_band_join",
-    "q_label_propagation",
-    "q_sssp_cheapest",
-    "q_nb_classify",
-    "q_ewma_hourly",
-    "q_ab_test_stats",
-    "q_anomaly_hours",
-    "q_resample_audio",
-    "q_item_item_cosine",
-    "q_decision_stump",
-    "q_drift_psi",
-    "q_tree_depth2",
-    "q_nb_auc",
-    "q_hard_negatives",
-    "q_phrase_search",
-    "q_stream_ewma",
-    "q_bigram_lm_score",
-    "q_ks_test",
-    "q_acf_lags",
-    "q_holt_linear",
-    "q_cusum_changepoint",
     "q_gini_concentration",
-    "q_link_prediction",
-    "q_rrf_fusion",
-    "q_keyword_tagging",
-    "q_nb_confusion",
-    "q_stream_anomaly",
-    "q_als_user_step",
-    "q_stream_cusum",
     "q_association_rules",
     "q_mad_outliers",
     "q_attribution_last_touch",
     "q_survival_km",
     "q_resource_allocation",
     "q_top_paths",
-    "q_jackknife_mean",
-    "q_feature_hashing",
-    "q_stream_jackknife",
-    "q_chi_square",
     "q_centroid_similarity",
-    "q_ppr_seeds",
-    "q_assortativity",
-    "q_stream_chi_square",
     "q_l_diversity",
     "q_epoch_mixture_plan",
     "q_span_corruption",
     "q_dedup_survivorship",
-    "q_modularity",
-    "q_fano_factor",
-    "q_stream_acf",
-    "q_stream_fano",
-    "q_stream_psi",
-    "q_benford_digits",
-    "q_hits_scores",
-    "q_theil_deciles",
-    "q_dp_noisy_counts",
-    "q_spearman_corr",
-    "q_mutual_information",
-    "q_welch_ttest",
-    "q_kcore_rounds",
-    "q_contamination_fraction",
-    "q_skew_kurtosis",
-    "q_stream_moments",
-    "q_link_prediction_eval",
-    "q_poisson_bootstrap",
-    "q_prefix_filter_pairs",
-    "q_stream_bootstrap",
-    "q_clustering_coefficient",
-    "q_ranking_eval",
     "q_array_hof",
     "q_referential_integrity",
-    "q_kfold_nb_accuracy",
     "q_forward_fill",
     "q_weighted_median",
     "q_seasonal_index",
-    "q_audio_vad",
-    "q_scene_cuts",
-    "q_square_count",
-    "q_lift_deciles",
     "q_growth_accounting",
-    "q_target_encoding",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [
