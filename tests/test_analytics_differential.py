@@ -362,3 +362,129 @@ def test_welch_ttest_matches_python(spark):
     [r] = QUERIES["q_welch_ttest"](spark, SF_DIR).collect()
     got = (r["n1"], r["n2"], r["m1"], r["m2"], r["t_stat"], r["welch_df"])
     assert got == want  # fixed-shape IEEE chain → exact doubles
+
+
+def test_theil_deciles_matches_python(spark):
+    from mapreduce_hw05_spark.plans import QUERIES
+
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    customer = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    nation = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    orders["cents"] = (orders["o_totalprice"] * 100 + 0.5).apply(
+        math.floor
+    ).astype("int64")
+    rev = orders.groupby("o_custkey")["cents"].sum()
+    nk = customer.set_index("c_custkey").loc[rev.index, "c_nationkey"]
+    names = nation.set_index("n_nationkey")["n_name"]
+    want = {}
+    for nat, g in pd.DataFrame(
+        {"cust": rev.index.to_numpy(), "nk": nk.to_numpy(),
+         "cents": rev.to_numpy()}
+    ).groupby("nk"):
+        rows = sorted(zip(g["cents"], g["cust"]))
+        m = len(rows)
+        # SQL-standard ntile: first (m % 10) buckets get ceil(m/10)
+        big, small = m % 10, m // 10
+        deciles = []
+        i = 0
+        for d in range(1, 11):
+            size = small + (1 if d <= big else 0)
+            deciles.append((d, rows[i : i + size]))
+            i += size
+        n_tot = m
+        x_tot = sum(c for c, _ in rows)
+        for d, chunk in deciles:
+            if not chunk:
+                continue
+            n_g, x_g = len(chunk), sum(c for c, _ in chunk)
+            share_x = float(x_g) / x_tot
+            share_n = float(n_g) / n_tot
+            term = round(share_x * math.log(share_x / share_n), 9)
+            want[(names[nat], d)] = (n_g, x_g, term)
+    got = {
+        (r["n_name"], r["decile"]): (
+            r["n_customers"], r["x_g_cents"], r["theil_term"]
+        )
+        for r in QUERIES["q_theil_deciles"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_growth_accounting_matches_python(spark):
+    from mapreduce_hw05_spark.plans import QUERIES
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    epoch = pd.Timestamp("1970-01-01")
+    ev["week"] = ((ev["ts"].dt.floor("d") - epoch).dt.days // 7).astype(
+        "int64"
+    )
+    weeks = defaultdict(set)
+    for u, w in set(zip(ev["user_id"], ev["week"])):
+        weeks[u].add(w)
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for u, ws in weeks.items():
+        ordered = sorted(ws)
+        for i, w in enumerate(ordered):
+            prev = ordered[i - 1] if i else None
+            nxt = ordered[i + 1] if i + 1 < len(ordered) else None
+            a = agg[w]
+            a[0] += 1
+            if prev is None:
+                a[1] += 1
+            elif prev == w - 1:
+                a[2] += 1
+            else:
+                a[3] += 1
+            if nxt is None or nxt > w + 1:
+                a[4] += 1
+    want = {w: tuple(v) for w, v in agg.items()}
+    got = {
+        r["week"]: (
+            r["n_active"], r["n_new"], r["n_retained"],
+            r["n_resurrected"], r["n_churning_out"],
+        )
+        for r in QUERIES["q_growth_accounting"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_lift_deciles_matches_python(spark):
+    from mapreduce_hw05_spark.plans import QUERIES
+
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    customer = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    responders = set(
+        orders.loc[
+            pd.to_datetime(orders["o_orderdate"]).dt.year == 1995,
+            "o_custkey",
+        ]
+    )
+    rows = sorted(
+        zip(
+            (-(customer["c_acctbal"] * 100 + 0.5).apply(math.floor)).astype(
+                "int64"
+            ),
+            customer["c_custkey"],
+        )
+    )
+    m = len(rows)
+    big, small = m % 10, m // 10
+    want = {}
+    i = 0
+    hits_all = sum(1 for _, c in rows if c in responders)
+    for d in range(1, 11):
+        size = small + (1 if d <= big else 0)
+        chunk = rows[i : i + size]
+        i += size
+        n, h = len(chunk), sum(1 for _, c in chunk if c in responders)
+        want[d] = (
+            n,
+            h,
+            float(h) / n,
+            float(h * m) / float(n * hits_all),
+        )
+    got = {
+        r["decile"]: (r["n"], r["n_hits"], r["response_rate"], r["lift"])
+        for r in QUERIES["q_lift_deciles"](spark, SF_DIR).collect()
+    }
+    assert got == want
