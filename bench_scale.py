@@ -242,6 +242,7 @@ def run_graphs(spark: SparkSession, edge_counts: list[int]) -> dict:
     their broadcast-ranks / star regimes."""
     from mapreduce_hw05_spark.operators.graph import (
         connected_components,
+        kcore_rounds,
         label_propagation,
         link_prediction_common_neighbors,
         pagerank,
@@ -290,6 +291,8 @@ def run_graphs(spark: SparkSession, edge_counts: list[int]) -> dict:
             ("label_propagation", lambda e: label_propagation(undirected(e), rounds=4)),
             ("sssp", _sssp),
             ("link_prediction", _link_pred),
+            ("kcore_rounds", lambda e: kcore_rounds(
+                e.select("src", "dst").distinct(), k=3, rounds=3)),
         ):
             t0 = time.time()
             _noop(fn(edges))

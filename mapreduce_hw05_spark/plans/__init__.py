@@ -265,6 +265,7 @@ DRIVER_WINDOW_R5_PENDING = [
     "q_weighted_median",
     "q_seasonal_index",
     "q_growth_accounting",
+    "q_weighted_median_hist",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -1286,9 +1286,9 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@contract(
-    "q_weighted_median",
-    oracle="""
+#: Shared by the one-pass window plan and the two-pass histogram plan —
+#: same semantics, so the same oracle proves them result-identical.
+WEIGHTED_MEDIAN_ORACLE_SQL = """
     WITH wts AS (
         SELECT c.c_nationkey AS nk, c.c_custkey AS cust,
                CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
@@ -1311,8 +1311,10 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name AS n_name, m.tw AS total_weight,
            m.cents AS median_cents
     FROM med m JOIN nation n ON m.nk = n.n_nationkey
-    """,
-)
+    """
+
+
+@contract("q_weighted_median", oracle=WEIGHTED_MEDIAN_ORACLE_SQL)
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-count-WEIGHTED median of customer account balance per
     nation: the smallest balance whose cumulative weight reaches half
@@ -1365,4 +1367,46 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("tw").alias("total_weight"),
         F.col("cents").alias("median_cents"),
+    )
+
+
+@contract("q_weighted_median_hist", oracle=WEIGHTED_MEDIAN_ORACLE_SQL)
+def q_weighted_median_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME weighted median computed by the TWO-PASS HISTOGRAM scale
+    path ([[q_weighted_median]]'s docstring names it; this contract
+    makes it real): pass 1 histograms each nation's cent-quantized
+    balances into 256 integer-bounded buckets and locates the bucket
+    holding the weighted midpoint from the ≤256-row cumulative profile;
+    pass 2 sorts ONLY that bucket. Result-identical to the one-pass
+    window plan by construction — both run against the same oracle —
+    while replacing the per-group full sort with two scans plus a
+    bucket-sized sort, the shape that survives a 10⁹-row group.
+    """
+    from mapreduce_hw05_spark.operators.quantiles import (
+        weighted_median_two_pass,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    wts = (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_custkey").alias("cust"),
+            F.floor(F.col("c_acctbal") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .agg(F.count("o_orderkey").cast("long").alias("w"))
+    )
+    med = weighted_median_two_pass(
+        wts, key="nk", val="cents", weight="w", tiebreak="cust"
+    )
+    return med.join(
+        F.broadcast(nation), F.col("nk") == F.col("n_nationkey")
+    ).select(
+        "n_name",
+        "total_weight",
+        F.col("median_val").alias("median_cents"),
     )

@@ -1955,3 +1955,45 @@ def test_kfold_matches_explicit_refits(spark, tmp_path):
         n_correct = joined.filter(F.col("pred") == F.col("lang")).count()
         want[f] = (n_test, n_correct)
     assert got == want
+
+
+def test_weighted_median_two_pass_matches_bruteforce(spark):
+    """The two-pass histogram weighted median must equal the brute-force
+    definition (smallest v whose cumulative weight in (v, tiebreak)
+    order reaches half the total) on random integer data — including
+    groups that are constant-valued (single bucket), single-row, and
+    heavily tied."""
+    import random
+
+    from mapreduce_hw05_spark.operators.quantiles import (
+        weighted_median_two_pass,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for key in range(6):
+        n = [1, 2, 7, 40, 200, 33][key]
+        for i in range(n):
+            v = 500 if key == 3 else rng.randrange(-1000, 1000)
+            rows.append((key, v, rng.randrange(1, 9), i))
+    df = spark.createDataFrame(rows, "k long, v long, w long, tb long")
+    got = {
+        r["k"]: (r["total_weight"], r["median_val"])
+        for r in weighted_median_two_pass(
+            df, key="k", val="v", weight="w", tiebreak="tb", buckets=16
+        ).collect()
+    }
+    want = {}
+    by_key = {}
+    for k, v, w, tb in rows:
+        by_key.setdefault(k, []).append((v, tb, w))
+    for k, items in by_key.items():
+        items.sort()
+        tw = sum(w for _, _, w in items)
+        cum = 0
+        for v, _, w in items:
+            cum += w
+            if 2 * cum >= tw:
+                want[k] = (tw, v)
+                break
+    assert got == want
