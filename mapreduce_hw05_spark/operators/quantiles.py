@@ -108,3 +108,121 @@ def weighted_median_two_pass(
         F.col("tw").alias("total_weight"),
         F.col("v").alias("median_val"),
     )
+
+
+def weighted_quantiles_two_pass(
+    wts: DataFrame,
+    key: str,
+    val: str,
+    weight: str,
+    tiebreak: str,
+    quantiles: tuple[tuple[str, int, int], ...] = (
+        ("p10", 1, 10),
+        ("p50", 5, 10),
+        ("p90", 9, 10),
+    ),
+    buckets: int = 256,
+) -> DataFrame:
+    """Exact weighted quantiles per ``key`` for SEVERAL probabilities in
+    ONE histogram pass → (key, quantile, total_weight, value): for each
+    (name, num, den), the smallest ``val`` whose cumulative weight w
+    satisfies w·den ≥ num·total (pure integer comparison — no float
+    probability ever multiplies a weight). The profile pass is shared
+    across quantiles; pass 2 sorts only the union of each quantile's
+    target bucket, so adding a quantile costs one more ≤bucket-sized
+    sort, not another scan — the generalization of
+    :func:`weighted_median_two_pass` (median = ("p50", 1, 2)).
+    """
+    wts = wts.select(
+        F.col(key).alias("k"),
+        F.col(val).cast("long").alias("v"),
+        F.col(weight).cast("long").alias("w"),
+        F.col(tiebreak).alias("tb"),
+    ).persist()
+    bounds = wts.groupBy("k").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.sum("w").cast("long").alias("tw"),
+    )
+    width = F.col("hi") - F.col("lo") + 1
+    with_b = (
+        wts.join(F.broadcast(bounds), "k")
+        .withColumn(
+            "b",
+            F.floor(
+                ((F.col("v") - F.col("lo")) * buckets).cast("double")
+                / width
+            ).cast("long"),
+        )
+        .select("k", "v", "w", "tb", "b")
+    )
+    hist = with_b.groupBy("k", "b").agg(
+        F.sum("w").cast("long").alias("bw")
+    )
+    cum_w = (
+        W.partitionBy("k").orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    )
+    profile = (
+        hist.join(F.broadcast(bounds.select("k", "tw")), "k")
+        .withColumn("cum", F.sum("bw").over(cum_w).cast("long"))
+        .persist()
+    )
+    spark = wts.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            list(quantiles), "qname string, qnum long, qden long"
+        )
+    )
+    targets = (
+        profile.crossJoin(qdf)
+        .filter(F.col("cum") * F.col("qden") >= F.col("qnum") * F.col("tw"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("k", "qname").orderBy("b")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("k").alias("t_k"),
+            F.col("qname").alias("t_q"),
+            F.col("qnum").alias("t_qnum"),
+            F.col("qden").alias("t_qden"),
+            F.col("b").alias("t_b"),
+            (F.col("cum") - F.col("bw")).alias("offset"),
+            F.col("tw").alias("t_tw"),
+        )
+    )
+    in_bucket = with_b.join(
+        F.broadcast(targets),
+        (F.col("k") == F.col("t_k")) & (F.col("b") == F.col("t_b")),
+    ).select(
+        "k", "v", "w", "tb",
+        F.col("t_q").alias("qname"),
+        F.col("t_qnum").alias("qnum"),
+        F.col("t_qden").alias("qden"),
+        "offset",
+        F.col("t_tw").alias("tw"),
+    )
+    cum_in = W.partitionBy("k", "qname").orderBy("v", "tb").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    pick = (
+        in_bucket.withColumn(
+            "cum", F.col("offset") + F.sum("w").over(cum_in).cast("long")
+        )
+        .filter(F.col("cum") * F.col("qden") >= F.col("qnum") * F.col("tw"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("k", "qname").orderBy("v", "tb")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return pick.select(
+        F.col("k").alias(key),
+        F.col("qname").alias("quantile"),
+        F.col("tw").alias("total_weight"),
+        F.col("v").alias("quantile_val"),
+    )

@@ -266,6 +266,7 @@ DRIVER_WINDOW_R5_PENDING = [
     "q_seasonal_index",
     "q_growth_accounting",
     "q_weighted_median_hist",
+    "q_weighted_percentiles_hist",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -1410,3 +1410,79 @@ def q_weighted_median_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_weight",
         F.col("median_val").alias("median_cents"),
     )
+
+
+@contract(
+    "q_weighted_percentiles_hist",
+    oracle="""
+    WITH wts AS (
+        SELECT c.c_nationkey AS nk, c.c_custkey AS cust,
+               CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(count(o.o_orderkey) AS BIGINT) AS w
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+    ), cum AS (
+        SELECT nk, cust, cents,
+               CAST(sum(w) OVER (PARTITION BY nk
+                                 ORDER BY cents, cust) AS BIGINT) AS cw,
+               CAST(sum(w) OVER (PARTITION BY nk) AS BIGINT) AS tw
+        FROM wts
+    ), q AS (
+        SELECT unnest(['p10', 'p50', 'p90']) AS quantile,
+               unnest([1, 5, 9]) AS qn
+    ), pick AS (
+        SELECT c.nk, q.quantile, c.tw, c.cents,
+               row_number() OVER (PARTITION BY c.nk, q.quantile
+                                  ORDER BY c.cents, c.cust) AS rn
+        FROM cum c CROSS JOIN q
+        WHERE c.cw * 10 >= q.qn * c.tw
+        QUALIFY rn = 1
+    )
+    SELECT n.n_name AS n_name, p.quantile,
+           p.tw AS total_weight, p.cents AS quantile_cents
+    FROM pick p JOIN nation n ON p.nk = n.n_nationkey
+    """,
+)
+def q_weighted_percentiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-weighted p10/p50/p90 of customer balance per nation via the
+    MULTI-quantile two-pass histogram: ONE shared profile pass locates
+    all three target buckets, pass 2 sorts only those buckets — adding
+    a quantile costs a bucket-sized sort, not a scan. The oracle
+    computes the identical pure-integer definition (smallest value with
+    cum·10 ≥ qn·total, (cents, custkey) order) through the one-pass
+    window, so this contract proves the scale path result-identical to
+    the textbook plan across three probabilities at once.
+
+    All integers; the quantile probabilities live as integer num/den
+    pairs so no float ever multiplies a weight. Generalizes
+    [[q_weighted_median_hist]].
+    """
+    from mapreduce_hw05_spark.operators.quantiles import (
+        weighted_quantiles_two_pass,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    wts = (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_custkey").alias("cust"),
+            F.floor(F.col("c_acctbal") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .agg(F.count("o_orderkey").cast("long").alias("w"))
+    )
+    out = weighted_quantiles_two_pass(
+        wts, key="nk", val="cents", weight="w", tiebreak="cust"
+    )
+    return out.join(
+        F.broadcast(nation), F.col("nk") == F.col("n_nationkey")
+    ).select(
+        "n_name",
+        "quantile",
+        "total_weight",
+        F.col("quantile_val").alias("quantile_cents"),
+    )

@@ -1997,3 +1997,43 @@ def test_weighted_median_two_pass_matches_bruteforce(spark):
                 want[k] = (tw, v)
                 break
     assert got == want
+
+
+def test_weighted_quantiles_two_pass_matches_bruteforce(spark):
+    """Multi-quantile two-pass must equal brute force for p10/p50/p90 on
+    random data, including a group so small every quantile shares one
+    bucket."""
+    import random
+
+    from mapreduce_hw05_spark.operators.quantiles import (
+        weighted_quantiles_two_pass,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    for key in range(4):
+        n = [1, 3, 60, 500][key]
+        for i in range(n):
+            rows.append((key, rng.randrange(-50, 5000), rng.randrange(1, 6), i))
+    df = spark.createDataFrame(rows, "k long, v long, w long, tb long")
+    got = {
+        (r["k"], r["quantile"]): (r["total_weight"], r["quantile_val"])
+        for r in weighted_quantiles_two_pass(
+            df, key="k", val="v", weight="w", tiebreak="tb", buckets=8
+        ).collect()
+    }
+    want = {}
+    by_key = {}
+    for k, v, w, tb in rows:
+        by_key.setdefault(k, []).append((v, tb, w))
+    for k, items in by_key.items():
+        items.sort()
+        tw = sum(w for _, _, w in items)
+        for qname, qn, qd in (("p10", 1, 10), ("p50", 5, 10), ("p90", 9, 10)):
+            cum = 0
+            for v, _, w in items:
+                cum += w
+                if cum * qd >= qn * tw:
+                    want[(k, qname)] = (tw, v)
+                    break
+    assert got == want
