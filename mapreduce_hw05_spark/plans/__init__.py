@@ -267,6 +267,8 @@ DRIVER_WINDOW_R5_PENDING = [
     "q_growth_accounting",
     "q_weighted_median_hist",
     "q_weighted_percentiles_hist",
+    "q_quantile_normalize",
+    "q_asof_nearest",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

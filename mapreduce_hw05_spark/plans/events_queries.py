@@ -1486,3 +1486,70 @@ def q_weighted_percentiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_weight",
         F.col("quantile_val").alias("quantile_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# j-9c (ext) — NEAREST as-of join (closest click in either direction)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_asof_nearest",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ), x AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT max(c.ts) FROM c
+                WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS prev_ts,
+               (SELECT min(c.ts) FROM c
+                WHERE c.user_id = p.user_id AND c.ts > p.ts) AS next_ts
+        FROM p
+    )
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS purchase_ts_us,
+           CAST(CASE
+               WHEN prev_ts IS NULL THEN epoch_us(next_ts)
+               WHEN next_ts IS NULL THEN epoch_us(prev_ts)
+               WHEN epoch_us(ts) - epoch_us(prev_ts)
+                    <= epoch_us(next_ts) - epoch_us(ts)
+                   THEN epoch_us(prev_ts)
+               ELSE epoch_us(next_ts)
+           END AS BIGINT) AS nearest_click_ts_us
+    FROM x
+    """,
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase joined to the same user's NEAREST click in either
+    direction (ties to the earlier click) — the "closest", not "latest
+    prior", as-of variant that quote/trade matching and sensor
+    alignment want; [[q_asof_join]] is the backward-only sibling.
+
+    The engine reads BOTH directions from one union + one (ts, side)
+    sort per user — ``last ignorenulls`` over the preceding frame and
+    ``first ignorenulls`` over the strictly-following frame — then
+    picks the winner with exact integer microsecond gaps; the oracle
+    states the same definition as two correlated extrema. One key
+    shuffle total at any scale, same envelope as a sort-merge join.
+    """
+    from mapreduce_hw05_spark.operators.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join_nearest(
+        purchases, clicks, on=["user_id"], ts_col="ts", carry_cols=[]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.unix_micros("ts_near").alias("nearest_click_ts_us"),
+    )

@@ -1345,3 +1345,65 @@ def q_kfold_nb_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# --------------------------------------------------------------------------
+# norm-ext — cross-source quantile normalization of document lengths
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_quantile_normalize",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, len(text) AS n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY len(text), doc_id) AS rnk
+        FROM documents
+    )
+    SELECT rnk AS rank,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS sum_len,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS normalized_len
+    FROM ranked GROUP BY rnk ORDER BY rnk
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources — the batch-effect
+    remover (canonical in bioinformatics, equally applicable to mixing
+    text sources with different length distributions): rank documents
+    within each source by length, then the normalized value at rank r
+    is the MEAN of the r-th order statistics across sources. Replacing
+    each doc's length by ``normalized_len[rank]`` gives every source
+    the identical marginal distribution while preserving within-source
+    order — what a data-mixing pipeline wants before length-stratified
+    sampling ([[q_token_budget_mix]]).
+
+    Exact: integer lengths, deterministic (len, doc_id) ranks, BIGINT
+    rank-sums, one exact-int divide for the mean. Scale: one window
+    rank per source plus a rank-keyed aggregate — both shuffle on
+    bounded keys; at 100 TB the per-source rank becomes the two-pass
+    histogram rank ([[q_weighted_percentiles_hist]]'s machinery) and
+    the rank aggregate is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        F.row_number()
+        .over(
+            W.partitionBy("source").orderBy(F.length("text"), "doc_id")
+        )
+        .alias("rank"),
+    )
+    return (
+        ranked.groupBy("rank")
+        .agg(
+            lng(F.count("*")).alias("n_sources"),
+            lng(F.sum("n_chars")).alias("sum_len"),
+            (
+                F.sum("n_chars").cast("double") / F.count("*")
+            ).alias("normalized_len"),
+        )
+        .orderBy("rank")
+    )
