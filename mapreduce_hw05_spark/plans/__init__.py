@@ -269,6 +269,8 @@ DRIVER_WINDOW_R5_PENDING = [
     "q_weighted_percentiles_hist",
     "q_quantile_normalize",
     "q_asof_nearest",
+    "q_equi_depth_histogram",
+    "q_join_skew_report",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

@@ -928,3 +928,135 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "event_type string, n_events long, cms_equals_exact boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# stat-ext — equi-depth histogram of order totals (optimizer statistics)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_equi_depth_histogram",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               ntile(16) OVER (ORDER BY
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+                   o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(cents) AS lo_cents,
+           max(cents) AS hi_cents,
+           CAST(count(DISTINCT cents) AS BIGINT) AS n_distinct
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bucket EQUI-DEPTH histogram of order totals — the
+    cost-based-optimizer statistic (every warehouse's ANALYZE builds
+    these): equal ROW counts per bucket, so selectivity estimates stay
+    accurate under skew where the equi-WIDTH [[q_histogram_totalprice]]
+    collapses into one hot bar. Emits per-bucket row count, exact
+    [lo, hi] boundaries, and the distinct-value count (the other half
+    of a CBO's selectivity model).
+
+    Deterministic ntile (cents, orderkey tie-break), exact integers
+    only. The global ntile is the one full sort — at 100 TB ANALYZE
+    does exactly what [[q_weighted_percentiles_hist]] does instead:
+    two-pass histogram boundary location, then this same per-bucket
+    aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    t = orders.select(
+        cents.alias("cents"),
+        F.ntile(16)
+        .over(W.orderBy(cents, "o_orderkey"))
+        .alias("bucket"),
+    )
+    return (
+        t.groupBy("bucket")
+        .agg(
+            lng(F.count("*")).alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            lng(F.countDistinct("cents")).alias("n_distinct"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# skew-ext — join-key skew advisor (who needs salting?)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_join_skew_report",
+    oracle="""
+    WITH per_key AS (
+        SELECT 'lineitem.l_partkey' AS join_key, l_partkey AS k,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 2
+        UNION ALL
+        SELECT 'lineitem.l_orderkey', l_orderkey, CAST(count(*) AS BIGINT)
+        FROM lineitem GROUP BY 2
+        UNION ALL
+        SELECT 'orders.o_custkey', o_custkey, CAST(count(*) AS BIGINT)
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'events.user_id', user_id, CAST(count(*) AS BIGINT)
+        FROM events GROUP BY 2
+    )
+    SELECT join_key,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           max(c) AS max_rows,
+           CAST(max(c) * count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+               AS skew_ratio
+    FROM per_key GROUP BY join_key ORDER BY join_key
+    """,
+)
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW ADVISOR over the star schema's four busiest join
+    columns: per key column, the key cardinality, total rows, the
+    hottest key's row count, and skew_ratio = max/mean — the number
+    that decides whether a shuffle join needs the salting utilities
+    ([[q_salted_join_contract]]) or AQE skew splitting (ratio ≈ 1 =
+    uniform; ≫ 1 = one reducer drowns). Running this BEFORE a big join
+    is how a pipeline picks its strategy at 100 TB instead of finding
+    out from a straggler.
+
+    Exact integers; the ratio is (max·n_keys)/Σc — one exact-int
+    divide. Each per-key profile is a map-side-combinable aggregate;
+    the four profiles share nothing and union into one DAG.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+
+    def profile(name, df, col):
+        per = df.groupBy(F.col(col).alias("k")).agg(
+            F.count("*").cast("long").alias("c")
+        )
+        return per.agg(
+            F.lit(name).alias("join_key"),
+            lng(F.count("*")).alias("n_keys"),
+            lng(F.sum("c")).alias("n_rows"),
+            F.max("c").alias("max_rows"),
+            (
+                (F.max("c") * F.count("*")).cast("double")
+                / F.sum("c").cast("double")
+            ).alias("skew_ratio"),
+        )
+
+    out = (
+        profile("lineitem.l_partkey", li, "l_partkey")
+        .unionAll(profile("lineitem.l_orderkey", li, "l_orderkey"))
+        .unionAll(profile("orders.o_custkey", orders, "o_custkey"))
+        .unionAll(profile("events.user_id", ev, "user_id"))
+    )
+    return out.orderBy("join_key")
