@@ -271,6 +271,8 @@ DRIVER_WINDOW_R5_PENDING = [
     "q_asof_nearest",
     "q_equi_depth_histogram",
     "q_join_skew_report",
+    "q_bitmap_activity",
+    "q_funnel_windowed",
 ]
 
 DRIVER_WINDOW_R5_REVERIFY = [

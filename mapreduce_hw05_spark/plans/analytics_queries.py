@@ -2777,3 +2777,160 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------------
+# an-35 (ext) — bitmap-index aggregation (bit_or activity bitmaps)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_bitmap_activity",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(hour(ts) AS BIGINT) AS hr,
+               bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER))
+                   AS bitmap
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(bit_count(bit_or(bitmap)) AS BIGINT) AS slots_ever,
+           CAST(sum(bit_count(bitmap)) AS BIGINT) AS slot_hours,
+           CAST(bit_count(bit_and(bitmap)) AS BIGINT) AS slots_always
+    FROM b GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_bitmap_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index aggregation — the roaring-bitmap pattern reduced to
+    its BIGINT core: per (event_type, hour) a 63-slot user-activity
+    bitmap built with ``bit_or(1 << user_id % 63)``, then re-aggregated
+    per type with bit_or (slots active in ANY hour), bit_and (slots
+    active in EVERY hour), and popcounts. Bitmap aggregates are how
+    engines make COUNT(DISTINCT)-over-segments and audience-overlap
+    queries mergeable — a bitmap is a tiny, unionable set summary,
+    the exact-ID cousin of the HLL in [[q_hll_rollup]].
+
+    Exact integer/bit arithmetic only (shift, or, and, popcount —
+    identical two's-complement semantics on both engines; 63 slots
+    keeps the top bit clear). Both aggregation levels are map-side
+    combinable: bitmaps merge with OR like sums merge with +.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # the DataFrame-API shiftleft only takes a literal bit count; the
+    # SQL form accepts a column
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+    b = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.bit_or(bit).alias("bitmap"))
+    return (
+        b.groupBy("event_type")
+        .agg(
+            lng(F.count("*")).alias("n_hours"),
+            F.bit_count(F.bit_or("bitmap")).cast("long").alias(
+                "slots_ever"
+            ),
+            lng(F.sum(F.bit_count("bitmap"))).alias("slot_hours"),
+            F.bit_count(F.bit_and("bitmap")).cast("long").alias(
+                "slots_always"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# an-36 (ext) — time-bounded funnel (view → click ≤24h → purchase ≤24h)
+# --------------------------------------------------------------------------
+
+
+@contract(
+    "q_funnel_windowed",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS v_us
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, CAST(epoch_us(min(e.ts)) AS BIGINT) AS c_us
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND CAST(epoch_us(e.ts) AS BIGINT) > v.v_us
+          AND CAST(epoch_us(e.ts) AS BIGINT) <= v.v_us + 86400000000
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, CAST(epoch_us(min(e.ts)) AS BIGINT) AS p_us
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(epoch_us(e.ts) AS BIGINT) > c.c_us
+          AND CAST(epoch_us(e.ts) AS BIGINT) <= c.c_us + 86400000000
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_24h,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_24h,
+           CAST((SELECT count(*) FROM c) AS DOUBLE)
+               / (SELECT count(*) FROM v) AS view_to_click,
+           CAST((SELECT count(*) FROM p) AS DOUBLE)
+               / (SELECT count(*) FROM c) AS click_to_purchase
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED funnel: first view → first click within 24 h of it
+    → first purchase within 24 h of that click. The unbounded
+    [[q_funnel_steps]] credits conversions weeks later; real funnel
+    metrics expire each step, which both shrinks the join (the time
+    band is a pushdown-able predicate) and changes the answer. Exact
+    integer microsecond bounds; two conversion ratios as exact-int
+    divides.
+
+    Scale: each step is one min-aggregate plus one band-predicated
+    equi-join on user_id — at 100 TB the 24 h band makes these
+    range-prunable where the unbounded funnel must scan a user's whole
+    history.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("v_us")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("us") > F.col("v_us"))
+            & (F.col("us") <= F.col("v_us") + 86400000000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("us") > F.col("c_us"))
+            & (F.col("us") <= F.col("c_us") + 86400000000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    nv = v.agg(F.count("*").cast("long").alias("n_view"))
+    nc = c.agg(F.count("*").cast("long").alias("n_click_24h"))
+    np_ = p.agg(F.count("*").cast("long").alias("n_purchase_24h"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click_24h",
+            "n_purchase_24h",
+            (
+                F.col("n_click_24h").cast("double") / F.col("n_view")
+            ).alias("view_to_click"),
+            (
+                F.col("n_purchase_24h").cast("double")
+                / F.col("n_click_24h")
+            ).alias("click_to_purchase"),
+        )
+    )
