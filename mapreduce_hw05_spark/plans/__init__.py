@@ -97,7 +97,8 @@ DRIVER_WINDOW_R2 = [
 #: window froze). Highest-risk first — streaming sink, custom-operator
 #: machinery, null-semantics, sketches, TPC-H remainder. The 8 tail
 #: entries (single-aggregate shapes and two TPC-H queries with
-#: long-green local parity) roll to r5 via ``DRIVER_WINDOW_R5_PENDING``.
+#: long-green local parity) rolled to the pending pool (now
+#: ``DRIVER_WINDOW_R6_PENDING``).
 #: Every window name MUST have a SQL oracle — the driver records
 #: ``err: no_oracle`` for rows-only contracts instead of rows-checking.
 DRIVER_WINDOW_R4 = [
@@ -132,150 +133,87 @@ DRIVER_WINDOW_R4 = [
     "q_winsorized_mean", "q_percent_of_total", "q_mom_growth",
 ]
 
-#: The correctness driver verifies the FIRST 50 registered queries only
-#: (registration-order prefix of ``queries()``). Round-4 window = the
-#: pre-curated head of the R4 rotation list (VERDICT r3 item 1).
-DRIVER_WINDOW = DRIVER_WINDOW_R4[:50]
-
-#: Round-5 rotation, pre-staged (VERDICT r3 item 4). Two parts:
-#:
-#: 1. ``DRIVER_WINDOW_R5_PENDING`` — contracts with NO driver row yet
-#:    (now 106 after the round-4 additions; append ANY new contract
-#:    here or the rotation-coverage test in
-#:    ``tests/test_registry_window.py`` fails).
-#: 2. ``DRIVER_WINDOW_R5_REVERIFY`` — highest-value re-verifications:
-#:    the r1-green relational/window/set core has not been driver-checked
-#:    since round 1 (the engine under it has been rewritten several times
-#:    since). With PENDING > 50, REVERIFY and the PENDING tail roll to
-#:    r6+ windows.
-#:
-#: The r5 swap is:
-#: ``DRIVER_WINDOW = (DRIVER_WINDOW_R5_PENDING + DRIVER_WINDOW_R5_REVERIFY)[:50]``
-DRIVER_WINDOW_R5_PENDING = [
-    # CURATED RISK-FIRST ORDER (r4 session 4): the r5 swap takes
-    # PENDING[:50], so never-driver-verified ENGINE machinery runs
-    # first — streaming-executed sinks, multimodal kernels, graph
-    # iteration, ML/eval — then the exactness-delicate stats chains.
-    # The single-agg shapes and the two TPC-H tails (long-green in
-    # local parity) roll to r6 with DRIVER_WINDOW_R5_REVERIFY's
-    # remainder. Membership is unchanged; only the order is curated.
-    "q_stream_near_dup_filter",
-    "q_stream_count_min",
-    "q_stream_band_join",
-    "q_stream_ewma",
-    "q_stream_anomaly",
-    "q_stream_cusum",
-    "q_stream_jackknife",
-    "q_stream_chi_square",
-    "q_stream_acf",
-    "q_stream_fano",
-    "q_stream_psi",
-    "q_stream_moments",
-    "q_stream_bootstrap",
-    "q_frame_sample",
-    "q_resize_images",
-    "q_resample_audio",
-    "q_audio_vad",
-    "q_scene_cuts",
-    "q_label_propagation",
-    "q_sssp_cheapest",
-    "q_link_prediction",
-    "q_ppr_seeds",
-    "q_assortativity",
-    "q_modularity",
-    "q_hits_scores",
-    "q_kcore_rounds",
-    "q_link_prediction_eval",
-    "q_clustering_coefficient",
-    "q_square_count",
-    "q_nb_classify",
-    "q_item_item_cosine",
-    "q_decision_stump",
-    "q_tree_depth2",
-    "q_nb_auc",
-    "q_nb_confusion",
-    "q_als_user_step",
-    "q_ranking_eval",
-    "q_kfold_nb_accuracy",
-    "q_lift_deciles",
-    "q_ewma_hourly",
-    "q_ab_test_stats",
-    "q_anomaly_hours",
-    "q_drift_psi",
-    "q_ks_test",
-    "q_acf_lags",
-    "q_holt_linear",
-    "q_cusum_changepoint",
-    "q_jackknife_mean",
-    "q_chi_square",
-    "q_fano_factor",
-    "q_benford_digits",
-    "q_theil_deciles",
-    "q_dp_noisy_counts",
-    "q_spearman_corr",
-    "q_mutual_information",
-    "q_welch_ttest",
-    "q_skew_kurtosis",
-    "q_poisson_bootstrap",
-    "q_containment_near_dup",
-    "q_count_min",
-    "q_near_dup_shingle_lsh",
-    "q_ann_pq_topk",
-    "q_paragraph_dedup",
-    "q_bm25_topk",
-    "q_hard_negatives",
-    "q_phrase_search",
-    "q_bigram_lm_score",
-    "q_rrf_fusion",
-    "q_keyword_tagging",
-    "q_feature_hashing",
-    "q_contamination_fraction",
-    "q_prefix_filter_pairs",
-    "q_target_encoding",
-    "q_tpch_q2_mincost",
-    "q_tpch_q20_semi_chain",
-    "q_histogram_totalprice",
-    "q_iqr_outliers",
-    "q_regression_stats",
-    "q_winsorized_mean",
-    "q_percent_of_total",
-    "q_mom_growth",
-    "q_shard_manifest",
-    "q_token_budget_mix",
-    "q_quality_filter_per_lang",
-    "q_tpch_q11_important",
-    "q_tpch_q12_priority",
-    "q_band_join_balances",
-    "q_interval_overlap_join",
-    "q_gini_concentration",
-    "q_association_rules",
-    "q_mad_outliers",
-    "q_attribution_last_touch",
-    "q_survival_km",
-    "q_resource_allocation",
-    "q_top_paths",
-    "q_centroid_similarity",
-    "q_l_diversity",
-    "q_epoch_mixture_plan",
-    "q_span_corruption",
-    "q_dedup_survivorship",
-    "q_array_hof",
-    "q_referential_integrity",
-    "q_forward_fill",
-    "q_weighted_median",
-    "q_seasonal_index",
-    "q_growth_accounting",
-    "q_weighted_median_hist",
-    "q_weighted_percentiles_hist",
-    "q_quantile_normalize",
-    "q_asof_nearest",
-    "q_equi_depth_histogram",
-    "q_join_skew_report",
-    "q_bitmap_activity",
-    "q_funnel_windowed",
+#: Round-5 window (VERDICT r4 item 1): the risk-first head of the r4
+#: pending list — 13 streaming-executed sinks, 5 multimodal kernels,
+#: 11 graph-iteration contracts, 10 ML/eval, 11 exactness-delicate
+#: stats chains. Frozen once CORRECTNESS_r05.json lands (the rotation
+#: test then pins it the way R2–R4 are pinned).
+DRIVER_WINDOW_R5 = [
+    "q_stream_near_dup_filter", "q_stream_count_min", "q_stream_band_join",
+    "q_stream_ewma", "q_stream_anomaly", "q_stream_cusum",
+    "q_stream_jackknife", "q_stream_chi_square", "q_stream_acf",
+    "q_stream_fano", "q_stream_psi", "q_stream_moments",
+    "q_stream_bootstrap", "q_frame_sample", "q_resize_images",
+    "q_resample_audio", "q_audio_vad", "q_scene_cuts",
+    "q_label_propagation", "q_sssp_cheapest", "q_link_prediction",
+    "q_ppr_seeds", "q_assortativity", "q_modularity", "q_hits_scores",
+    "q_kcore_rounds", "q_link_prediction_eval", "q_clustering_coefficient",
+    "q_square_count", "q_nb_classify", "q_item_item_cosine",
+    "q_decision_stump", "q_tree_depth2", "q_nb_auc", "q_nb_confusion",
+    "q_als_user_step", "q_ranking_eval", "q_kfold_nb_accuracy",
+    "q_lift_deciles", "q_ewma_hourly", "q_ab_test_stats",
+    "q_anomaly_hours", "q_drift_psi", "q_ks_test", "q_acf_lags",
+    "q_holt_linear", "q_cusum_changepoint", "q_jackknife_mean",
+    "q_chi_square", "q_fano_factor",
 ]
 
-DRIVER_WINDOW_R5_REVERIFY = [
+#: The correctness driver verifies the FIRST 50 registered queries only
+#: (registration-order prefix of ``queries()``).
+DRIVER_WINDOW = DRIVER_WINDOW_R5
+
+#: ---------------------------------------------------------------------
+#: ROTATION SCHEDULE r5 → r8 (VERDICT r4 item 5). Every registered
+#: contract gets a driver-green CORRECTNESS row; the coverage test
+#: (`tests/test_registry_window.py`) enforces no-contract-left-behind.
+#:
+#:   r5 (ACTIVE): ``DRIVER_WINDOW_R5`` — the 50 riskiest
+#:       never-driver-verified contracts (see list above).
+#:   r6: ``DRIVER_WINDOW_R6_PENDING[:50]`` — the 64 remaining
+#:       never-driver-verified contracts, exactness-delicate stats and
+#:       pair-emitting near-dup at the head. New r5 contracts APPEND
+#:       here (kept ≤ 70 total per VERDICT r4 item 2 — hardening over
+#:       new surface this round).
+#:   r7: ``DRIVER_WINDOW_R6_PENDING[50:] + DRIVER_WINDOW_R7_REVERIFY``
+#:       [:50] — pending tail (~14–20) then the r1-core re-verification
+#:       head (joins first: the highest-churn plan surface).
+#:   r8: ``DRIVER_WINDOW_R7_REVERIFY`` remainder (~8–14) + next
+#:       re-verification tranche (r2 similarity/UDF core), keeping every
+#:       window at 50.
+#: ---------------------------------------------------------------------
+
+#: Never-driver-verified contracts remaining after the r5 swap (64).
+#: Append ANY new contract here or the rotation-coverage test fails.
+DRIVER_WINDOW_R6_PENDING = [
+    "q_benford_digits", "q_theil_deciles", "q_dp_noisy_counts",
+    "q_spearman_corr", "q_mutual_information", "q_welch_ttest",
+    "q_skew_kurtosis", "q_poisson_bootstrap", "q_containment_near_dup",
+    "q_count_min", "q_near_dup_shingle_lsh", "q_ann_pq_topk",
+    "q_paragraph_dedup", "q_bm25_topk", "q_hard_negatives",
+    "q_phrase_search", "q_bigram_lm_score", "q_rrf_fusion",
+    "q_keyword_tagging", "q_feature_hashing", "q_contamination_fraction",
+    "q_prefix_filter_pairs", "q_target_encoding", "q_tpch_q2_mincost",
+    "q_tpch_q20_semi_chain", "q_histogram_totalprice", "q_iqr_outliers",
+    "q_regression_stats", "q_winsorized_mean", "q_percent_of_total",
+    "q_mom_growth", "q_shard_manifest", "q_token_budget_mix",
+    "q_quality_filter_per_lang", "q_tpch_q11_important",
+    "q_tpch_q12_priority", "q_band_join_balances",
+    "q_interval_overlap_join", "q_gini_concentration",
+    "q_association_rules", "q_mad_outliers", "q_attribution_last_touch",
+    "q_survival_km", "q_resource_allocation", "q_top_paths",
+    "q_centroid_similarity", "q_l_diversity", "q_epoch_mixture_plan",
+    "q_span_corruption", "q_dedup_survivorship", "q_array_hof",
+    "q_referential_integrity", "q_forward_fill", "q_weighted_median",
+    "q_seasonal_index", "q_growth_accounting", "q_weighted_median_hist",
+    "q_weighted_percentiles_hist", "q_quantile_normalize",
+    "q_asof_nearest", "q_equi_depth_histogram", "q_join_skew_report",
+    "q_bitmap_activity", "q_funnel_windowed",
+]
+
+#: r1-core re-verification set (r7/r8 windows): the r1-green
+#: relational/window/set core has not been driver-checked since round 1
+#: while the engine under it kept being rewritten. Joins first — the
+#: highest-churn plan surface.
+DRIVER_WINDOW_R7_REVERIFY = [
     # relational core (joins first — the highest-churn plan surface)
     "q_join_orders_customer", "q_join_lineitem_part_bcast",
     "q_join_dim_chain", "q_join_left_outer",
@@ -324,6 +262,7 @@ __all__ = [
     "DRIVER_WINDOW_R2",
     "DRIVER_WINDOW_R3",
     "DRIVER_WINDOW_R4",
-    "DRIVER_WINDOW_R5_PENDING",
-    "DRIVER_WINDOW_R5_REVERIFY",
+    "DRIVER_WINDOW_R5",
+    "DRIVER_WINDOW_R6_PENDING",
+    "DRIVER_WINDOW_R7_REVERIFY",
 ]
