@@ -70,6 +70,17 @@ class SpaceSaving:
             self._heap = [(c, i is None, i) for i, c in self.counts.items()]
             heapq.heapify(self._heap)
 
+    def _ingest(self, item, count: int, err: int) -> None:
+        """Install a (count, err) pair AND its heap snapshot. Every
+        assembly path (merge, merge_summary_rows) must go through this
+        — a bare ``counts[item] =`` leaves the heap missing that item's
+        snapshot, and a later offer()-driven eviction could then evict
+        a non-minimum counter, breaking the space-saving error bound
+        (ADVICE r4)."""
+        self.counts[item] = count
+        self.errs[item] = err
+        self._push(item, count)
+
     def offer(self, item, weight: int = 1) -> None:
         """Add ``weight`` occurrences of ``item`` (weights let callers
         pre-aggregate a batch with value_counts before offering)."""
@@ -87,8 +98,9 @@ class SpaceSaving:
         # overestimation error (the classic space-saving step)
         while True:
             if not self._heap:
-                # summaries assembled by direct counts[]= assignment
-                # (merge paths) have no snapshots — build them on demand
+                # defensive only: every assembly path pushes snapshots
+                # via _ingest, so a non-empty counts with an empty heap
+                # shouldn't happen — rebuild rather than crash if it does
                 self._heap = [(c, i is None, i) for i, c in self.counts.items()]
                 heapq.heapify(self._heap)
             count, _, cand = self._heap[0]
@@ -120,7 +132,7 @@ class SpaceSaving:
             merged, key=lambda i: (-merged[i][0], _ord(i))
         )[: self.k]
         for it in keep:
-            out.counts[it], out.errs[it] = merged[it]
+            out._ingest(it, *merged[it])
         return out
 
     def top(self, n: int) -> list[tuple]:
@@ -201,8 +213,7 @@ def merge_summary_rows(
     by_part: dict = {}
     for row in partials:
         sk = by_part.setdefault(row["__part_id"], SpaceSaving(k))
-        sk.counts[row[item_col]] = row["count"]
-        sk.errs[row[item_col]] = row["err"]
+        sk._ingest(row[item_col], row["count"], row["err"])
     merged = SpaceSaving(k)
     for pid in sorted(by_part):
         merged = merged.merge(by_part[pid])

@@ -52,15 +52,16 @@ def weighted_median_two_pass(
         F.max("v").alias("hi"),
         F.sum("w").cast("long").alias("tw"),
     )
-    width = F.col("hi") - F.col("lo") + 1
     with_b = (
         wts.join(F.broadcast(bounds), "k")
         .withColumn(
             "b",
-            F.floor(
-                ((F.col("v") - F.col("lo")) * buckets).cast("double")
-                / width
-            ).cast("long"),
+            # exact BIGINT arithmetic as documented (ADVICE r4: the
+            # earlier double division was monotone-consistent but its
+            # stated rationale was wrong and it silently lost precision
+            # past span*buckets >= 2^53); DIV is integer division, and
+            # v - lo >= 0 so DIV == floor division here
+            F.expr(f"(v - lo) * {int(buckets)} DIV (hi - lo + 1)"),
         )
         .select("k", "v", "w", "tb", "b")
     )
@@ -144,15 +145,16 @@ def weighted_quantiles_two_pass(
         F.max("v").alias("hi"),
         F.sum("w").cast("long").alias("tw"),
     )
-    width = F.col("hi") - F.col("lo") + 1
     with_b = (
         wts.join(F.broadcast(bounds), "k")
         .withColumn(
             "b",
-            F.floor(
-                ((F.col("v") - F.col("lo")) * buckets).cast("double")
-                / width
-            ).cast("long"),
+            # exact BIGINT arithmetic as documented (ADVICE r4: the
+            # earlier double division was monotone-consistent but its
+            # stated rationale was wrong and it silently lost precision
+            # past span*buckets >= 2^53); DIV is integer division, and
+            # v - lo >= 0 so DIV == floor division here
+            F.expr(f"(v - lo) * {int(buckets)} DIV (hi - lo + 1)"),
         )
         .select("k", "v", "w", "tb", "b")
     )

@@ -23,6 +23,17 @@ from mapreduce_hw05_spark.plans.common import lng, ratio, spread_small
 from mapreduce_hw05_spark.plans.registry import contract
 from mapreduce_hw05_spark.sources import load_table
 
+#: Hard caps on DRIVER-side materialization (VERDICT r4 item 3/4): any
+#: contract that must pull rows to the driver — PQ codebook training, a
+#: single-machine differential reference — takes a deterministic
+#: ``orderBy(id).limit(CAP)`` sample first, so the collect stays bounded
+#: no matter how large the fixture grows (the same gate class as
+#: ``operators.similarity.MAX_BROADCAST_REFERENCE_ROWS``). Both caps sit
+#: far above every test scale factor (embeddings ≤ 2000 rows at sf0.1),
+#: so results are unchanged at test scales.
+PQ_TRAIN_SAMPLE_ROWS = 65_536
+DIFFERENTIAL_SAMPLE_ROWS = 65_536
+
 #: float64 cosine between two FLOAT[] columns (DuckDB SQL fragment).
 _COS = """(
     list_sum(list_transform(list_zip({a}, {b}),
@@ -552,10 +563,20 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # training is sample-sized by design; the fixture IS the sample here
-    sample = np.stack(
-        [r["embedding"] for r in emb.select("embedding").collect()]
-    ).astype(np.float64)
+    # Codebook training is sample-sized by design, and the cap is
+    # ENFORCED, not assumed (VERDICT r4): a deterministic top-k by
+    # vec_id (TakeOrderedAndProject — distributed, no full sort) bounds
+    # the driver collect at PQ_TRAIN_SAMPLE_ROWS regardless of corpus
+    # size, mirroring MAX_BROADCAST_REFERENCE_ROWS. At the test scale
+    # factors (≤2000 vectors) the cap is above the table, so training
+    # still sees every row.
+    train_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(PQ_TRAIN_SAMPLE_ROWS)
+        .collect()  # sample-capped: ≤ PQ_TRAIN_SAMPLE_ROWS rows
+    )
+    sample = np.stack([r["embedding"] for r in train_rows]).astype(np.float64)
     books = train_pq_codebooks(sample, m=32, ksub=16)
     codes = pq_encode(emb, books)
     centroids = label_seeded_centroids(emb)
@@ -848,13 +869,23 @@ def q_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         fit_logreg_local,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "embedding", (F.col("label") >= 5).cast("double").alias("y")
-    ).persist()
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("label") >= 5).cast("double").alias("y")
+    )
+    n_rows = base.count()
+    # The differential (distributed fit vs NumPy reference) runs on a
+    # deterministic capped sample so the single-machine side survives
+    # fixture growth (VERDICT r4 item 4). The cap sits above every test
+    # scale factor, so both implementations still see every row here.
+    emb = (
+        base.orderBy("vec_id")
+        .limit(DIFFERENTIAL_SAMPLE_ROWS)
+        .drop("vec_id")
+        .persist()
+    )
     try:
         model = fit_logreg(emb, "embedding", "y", n_iters=20, lr=1.0)
-        n_rows = emb.count()
-        pdf = emb.toPandas()
+        pdf = emb.toPandas()  # sample-capped: ≤ DIFFERENTIAL_SAMPLE_ROWS
     finally:
         emb.unpersist()
     x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)

@@ -996,12 +996,13 @@ def stream_near_dup_filter_foreachbatch(
     answer: every doc whose id never appears as the larger id of a true
     ≥-threshold pair — which is what the contract's SQL oracle
     recomputes. Scale: state grows with the corpus (it is the corpus
-    index); the bucket join prunes by key, and the verify side's
-    index-token-array table is SEMI-JOIN-PRUNED to the ids the batch's
-    candidates actually touch before it broadcasts — the broadcast is
-    bounded by the batch's candidate fan-out, not the corpus. Past
-    that bound, the fan-out join replaces the broadcast (same knob as
-    lsh_jaccard_pairs).
+    index); the bucket join prunes by key, and BOTH verify-side token
+    tables are pruned before broadcasting — the index side (id1) is
+    SEMI-JOIN-PRUNED to the ids the batch's candidates actually touch,
+    and the probe side (id2) reads only this batch's own partition —
+    so the broadcasts are bounded by candidate fan-out and batch size
+    respectively, never the corpus. Past those bounds, the fan-out
+    join replaces the broadcast (same knob as lsh_jaccard_pairs).
     """
     import os
 
@@ -1069,7 +1070,15 @@ def stream_near_dup_filter_foreachbatch(
             all_toks.join(touched, id_col, "left_semi")
             .withColumnsRenamed({id_col: "id1", "toks": "toks1"})
         )
-        d2 = all_toks.withColumnsRenamed({id_col: "id2", "toks": "toks2"})
+        # id2 always comes from THIS batch (the probe side of the band
+        # join is filtered to b == batch_id), so the probe-side token
+        # table reads only the current batch's partition — bounded by
+        # batch size, never the corpus index (ADVICE r4: the previous
+        # all_toks read grew with the corpus).
+        d2 = (
+            spark.read.parquet(os.path.join(toks_root, f"b={batch_id}"))
+            .withColumnsRenamed({id_col: "id2", "toks": "toks2"})
+        )
         n_common = F.size(F.array_intersect("toks1", "toks2"))
         jac = n_common.cast("double") / (
             F.size("toks1") + F.size("toks2") - n_common

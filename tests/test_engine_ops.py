@@ -1176,6 +1176,47 @@ def test_space_saving_guarantees_under_eviction():
         assert tc <= c <= tc + e + threshold, (it, tc, c, e)
 
 
+def test_space_saving_offer_after_merge_evicts_true_minimum():
+    """ADVICE r4: a summary assembled by the merge paths (direct count
+    installation, not offer()) must still evict the TRUE minimum when it
+    later receives offer() calls — a stale/partial eviction heap would
+    evict a non-minimum counter and break the space-saving error bound."""
+    from mapreduce_hw05_spark.operators.heavy_hitters import (
+        SpaceSaving,
+        merge_summary_rows,
+    )
+
+    k = 3
+    rows = [
+        {"item": "big", "__part_id": 0, "count": 100, "err": 0},
+        {"item": "mid", "__part_id": 0, "count": 50, "err": 0},
+        {"item": "small", "__part_id": 1, "count": 1, "err": 0},
+    ]
+    sk = merge_summary_rows(rows, "item", k)
+    # re-offer an existing item so the heap is non-empty but would be
+    # INCOMPLETE without snapshot installation at assembly time
+    sk.offer("big", 1)
+    # full summary + new item -> must evict "small" (the true minimum),
+    # newcomer inherits its count as err
+    sk.offer("new", 1)
+    reported = {it: (c, e) for it, c, e in sk.top(k)}
+    assert "small" not in reported
+    assert reported["big"] == (101, 0)
+    assert reported["mid"] == (50, 0)
+    assert reported["new"] == (2, 1)
+
+    # same trap via merge(): merged output later offered new items
+    a, b = SpaceSaving(2), SpaceSaving(2)
+    a.offer("x", 10), a.offer("y", 4)
+    b.offer("x", 5)
+    m = a.merge(b)  # counts installed directly inside merge
+    m.offer("x", 1)  # non-empty heap; y's snapshot must also exist
+    m.offer("z", 1)  # must evict y (min=4), not x
+    got = {it: (c, e) for it, c, e in m.top(2)}
+    assert got["x"] == (16, 0)
+    assert got["z"] == (5, 4)
+
+
 def test_space_saving_partials_merge_matches_exact_counts(spark):
     """Distributed partials over a small-vocabulary corpus merge to
     EXACT token counts (no eviction anywhere), independent of input
