@@ -96,7 +96,7 @@ def learn_bpe(docs: DataFrame, text_col: str, n_merges: int) -> list[tuple]:
             pair_counts(seqs)
             .orderBy(F.desc("weight"), "a", "b")
             .limit(1)
-            .collect()
+            .collect()  # bounded: one winning pair per round
         )
         if not top:
             break

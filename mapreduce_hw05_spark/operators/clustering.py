@@ -25,7 +25,7 @@ def label_seeded_centroids(
         .groupBy("cluster", "pos")
         .agg(F.avg(F.col("col").cast("double")).alias("v"))
         .orderBy("cluster", "pos")
-        .toPandas()
+        .toPandas()  # model-sized: k x d per-label means
     )
     k = means["cluster"].nunique()
     dim = means["pos"].nunique()
@@ -104,7 +104,7 @@ def kmeans_parallel_init(
         emb.select(id_col, vec_col)
         .orderBy(id_col)
         .limit(1)
-        .collect()
+        .collect()  # bounded: single seed row
     )
     if not first_rows:
         raise ValueError("kmeans_parallel_init: empty input DataFrame")
@@ -130,7 +130,7 @@ def kmeans_parallel_init(
         new_rows = (
             emb.join(picked_ids, id_col)
             .select(vec_col)
-            .collect()
+            .collect()  # model-sized: <= l new centroid candidates per round
         )
         if new_rows:
             centers = np.unique(
@@ -146,7 +146,7 @@ def kmeans_parallel_init(
         assign_clusters(emb, centers, id_col, vec_col)
         .groupBy("cluster")
         .agg(F.count("*").alias("w"))
-        .collect()
+        .collect()  # model-sized: one weight row per candidate centroid
     )
     w = np.zeros(len(centers))
     for r in weights_df:
@@ -205,7 +205,7 @@ def kmeans(
             .select("cluster", F.posexplode(vec_col))
             .groupBy("cluster", "pos")
             .agg(F.avg(F.col("col").cast("double")).alias("v"))
-            .toPandas()
+            .toPandas()  # model-sized: k x d centroid update
         )
         if obs is not None:
             inertia_out.append(float(obs.get["inertia"]))

@@ -185,6 +185,6 @@ def count_min_from_df(
     data-sized; at extreme partition counts the same associative merge
     runs as a tree reduce over the blob column."""
     merged = CountMinSketch(depth, width, seed)
-    for row in count_min_partials(df, item_col, depth, width, seed).collect():
+    for row in count_min_partials(df, item_col, depth, width, seed).collect():  # bounded: one d x w matrix per partition
         merged = merged.merge(CountMinSketch.deserialize(bytes(row["sketch"])))
     return merged

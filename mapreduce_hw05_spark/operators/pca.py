@@ -40,7 +40,7 @@ def _sum_array_column(partials: DataFrame, col: str) -> np.ndarray:
         partials.select(F.posexplode(col).alias("pos", "v"))
         .groupBy("pos")
         .agg(F.sum("v").alias("s"))
-        .collect()
+        .collect()  # model-sized: one row per vector dimension
     )
     out = np.zeros(len(rows))
     for r in rows:
@@ -67,7 +67,7 @@ def covariance(df: DataFrame, vec_col: str) -> tuple[np.ndarray, np.ndarray, int
     partials = df.select(vec_col).mapInPandas(gram, _PARTIAL_SCHEMA)
     partials = partials.persist()
     try:
-        n = partials.agg(F.sum("n")).collect()[0][0]
+        n = partials.agg(F.sum("n")).collect()[0][0]  # driver-sized: single scalar
         s = _sum_array_column(partials, "s")
         g = _sum_array_column(partials, "g")
     finally:

@@ -67,7 +67,7 @@ def _reference_matrix(df: DataFrame, id_col: str, vec_col: str, normalize: bool)
             "OOM the driver — use operators.ann.ivf_knn_candidates (IVF) "
             "or LSH banding instead"
         )
-    pdf = df.select(id_col, vec_col).toPandas()
+    pdf = df.select(id_col, vec_col).toPandas()  # bounded: gated by MAX_BROADCAST_REFERENCE_ROWS above
     ids = pdf[id_col].to_numpy(dtype=np.int64)
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     return ids, _l2_normalize(mat) if normalize else mat

@@ -823,7 +823,7 @@ def q_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blobs = {
         r["event_type"]: ThetaSketch.deserialize(bytes(r["sketch"]))
-        for r in theta_sketch_by_key(ev, ["event_type"], "user_id").collect()
+        for r in theta_sketch_by_key(ev, ["event_type"], "user_id").collect()  # bounded: one sketch row per event_type
     }
     clicks, purchases = blobs["click"], blobs["purchase"]
     est = {
@@ -918,7 +918,7 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = count_min_from_df(even, "event_type").merge(
         count_min_from_df(odd, "event_type")
     )
-    exact = ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()  # driver-sized: one row per event_type
     types = np.array([r["event_type"] for r in exact], dtype=object)
     ests = sk.query_many(types)
     return spark.createDataFrame(

@@ -28,6 +28,23 @@ def spread_small(df: DataFrame) -> DataFrame:
     return df.repartition(n)
 
 
+def snapshot_result(df: DataFrame) -> DataFrame:
+    """Materialize a DRIVER-SIZED final result as a local DataFrame.
+
+    Streaming contracts read their finished sink/state tables back and
+    re-wrap them so the returned plan no longer references temp views or
+    parquet dirs the contract cleans up. Only ever call this on a frame
+    that is small BY CONSTRUCTION (grouped final state, sketch summary,
+    top-k) — it is the one sanctioned result-normalization collect; the
+    driver-materialization audit test allowlists this helper and bans
+    bare ``collect()`` without a boundedness justification everywhere
+    else.
+    """
+    spark = df.sparkSession
+    # driver-sized: contract result normalization (small by construction)
+    return spark.createDataFrame(df.collect(), schema=df.schema)
+
+
 def money(col: Column) -> Column:
     """Round a currency-scale double aggregate (magnitude ≤ ~1e9).
 

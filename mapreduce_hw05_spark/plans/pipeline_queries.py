@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 from mapreduce_hw05_spark.operators.graph import connected_components
 from mapreduce_hw05_spark.operators.text import tokenize, word_shingles
-from mapreduce_hw05_spark.plans.common import lng, ratio, spread_small
+from mapreduce_hw05_spark.plans.common import (
+    lng,
+    ratio,
+    snapshot_result,
+    spread_small,
+)
 from mapreduce_hw05_spark.plans.registry import contract
 from mapreduce_hw05_spark.plans.similarity_queries import lsh_jaccard_pairs
 from mapreduce_hw05_spark.sources import load_table
@@ -411,7 +416,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe(docs, "text", n_merges=10)
-    wc = {r["word"]: r["cnt"] for r in word_counts(docs, "text").collect()}
+    wc = {r["word"]: r["cnt"] for r in word_counts(docs, "text").collect()}  # differential: single-machine BPE reference (distinct-word vocab)
     matches = merges == learn_bpe_local(wc, n_merges=10)
     return spark.createDataFrame(
         [(len(merges), matches)],
@@ -470,10 +475,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("roundtrip_exact"),
         ).first()
         got = {
-            r["word"]: list(r["tokens"]) for r in encoded.collect()
+            r["word"]: list(r["tokens"]) for r in encoded.collect()  # differential: distinct-word encodings vs local reference
         }
         want = encode_words_local(
-            {r["word"]: r["cnt"] for r in wc_df.collect()}, merges
+            {r["word"]: r["cnt"] for r in wc_df.collect()}, merges  # differential: distinct-word vocab for local reference
         )
         matches = got == want
     finally:
@@ -632,7 +637,7 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_exact, "source")
         .join(per_final, "source")
     )
-    out = spark.createDataFrame(result.collect(), schema=result.schema)
+    out = snapshot_result(result)
     survivors.unpersist()
     qual.unpersist()
     return out

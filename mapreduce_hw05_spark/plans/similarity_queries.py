@@ -19,7 +19,12 @@ from mapreduce_hw05_spark.operators.similarity import (
     minhash_signatures,
 )
 from mapreduce_hw05_spark.operators.text import tokenize
-from mapreduce_hw05_spark.plans.common import lng, ratio, spread_small
+from mapreduce_hw05_spark.plans.common import (
+    lng,
+    ratio,
+    snapshot_result,
+    spread_small,
+)
 from mapreduce_hw05_spark.plans.registry import contract
 from mapreduce_hw05_spark.sources import load_table
 
@@ -452,11 +457,11 @@ def _ann_recall_summary(
     oracle can assert as constants. A broken index (bad bucketing, lost
     candidates, wrong cosine) drops recall or emits out-of-range sims.
     """
-    ann = ann_pairs.collect()
+    ann = ann_pairs.collect()  # driver-sized: top-20 pairs
     exact = global_topk_pairs(
         cosine_pairs_topk_per_row(emb, emb, "vec_id", "embedding", k=20, mode="pairs"),
         k=20,
-    ).collect()
+    ).collect()  # driver-sized: top-20 pairs
     exact_set = {(r["id1"], r["id2"]) for r in exact}
     hit = sum((r["id1"], r["id2"]) in exact_set for r in ann)
     recall_ok = (hit / max(len(exact_set), 1)) >= recall_floor
@@ -990,7 +995,7 @@ def q_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("paths_agree", F.lit(bool(agree)))
         )
         # materialize before unpersist: the plan reads the cached input
-        return spark.createDataFrame(result.collect(), schema=result.schema)
+        return snapshot_result(result)
     finally:
         emb.unpersist()
 
@@ -1038,7 +1043,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") % 7 == 0)
-    labels = [r["label"] for r in emb.select("label").distinct().collect()]
+    labels = [r["label"] for r in emb.select("label").distinct().collect()]  # model-sized: distinct labels
     per_label = [
         cosine_pairs_topk_per_row(
             anchors.filter(F.col("label") == lab),

@@ -19,7 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_hw05_spark.plans.common import money
+from mapreduce_hw05_spark.plans.common import money, snapshot_result
 from mapreduce_hw05_spark.plans.analytics_queries import (
     ACF_ORACLE_SQL as _ACF_ORACLE_SQL_REF,
     BOOTSTRAP_ORACLE_SQL as _BOOTSTRAP_ORACLE_SQL_REF,
@@ -136,9 +136,7 @@ def q_stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.stop()
     # Materialize off the (session-scoped) memory sink so the caller gets
     # a plain DataFrame whose contents survive sink/table cleanup.
-    result = spark.createDataFrame(
-        spark.table(name).collect(), schema=spark.table(name).schema
-    )
+    result = snapshot_result(spark.table(name))
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
@@ -193,9 +191,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.processAllAvailable()
         finally:
             query.stop()
-    result = spark.createDataFrame(
-        spark.table(name).collect(), schema=spark.table(name).schema
-    )
+    result = snapshot_result(spark.table(name))
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
@@ -253,9 +249,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.processAllAvailable()
         finally:
             query.stop()
-    result = spark.createDataFrame(
-        spark.table(name).collect(), schema=spark.table(name).schema
-    )
+    result = snapshot_result(spark.table(name))
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
@@ -317,7 +311,7 @@ def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
-    result = spark.createDataFrame(agg.collect(), schema=agg.schema)
+    result = snapshot_result(agg)
     shutil.rmtree(root, ignore_errors=True)
     return result
 
@@ -374,9 +368,7 @@ def q_custom_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.processAllAvailable()
         finally:
             query.stop()
-    result = spark.createDataFrame(
-        spark.table(name).collect(), schema=spark.table(name).schema
-    )
+    result = snapshot_result(spark.table(name))
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
@@ -429,7 +421,7 @@ def q_stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 6).alias("last_value"),
         )
     )
-    result = spark.createDataFrame(final.collect(), schema=final.schema)
+    result = snapshot_result(final)
     shutil.rmtree(root, ignore_errors=True)
     return result
 
@@ -488,9 +480,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.processAllAvailable()
         finally:
             query.stop()
-    result = spark.createDataFrame(
-        spark.table(name).collect(), schema=spark.table(name).schema
-    )
+    result = snapshot_result(spark.table(name))
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
@@ -547,9 +537,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.processAllAvailable()
         finally:
             query.stop()
-    result = spark.createDataFrame(
-        spark.table(name).collect(), schema=spark.table(name).schema
-    )
+    result = snapshot_result(spark.table(name))
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
@@ -602,7 +590,7 @@ def q_stream_exactly_once_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_value", 2).alias("sum_value"),
     )
-    result = spark.createDataFrame(final.collect(), schema=final.schema)
+    result = snapshot_result(final)
     shutil.rmtree(root, ignore_errors=True)
     return result
 
@@ -650,7 +638,7 @@ def q_stream_compacted_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round("value", 6).alias("value"),
     )
-    result = spark.createDataFrame(final.collect(), schema=final.schema)
+    result = snapshot_result(final)
     shutil.rmtree(root, ignore_errors=True)
     return result
 
@@ -693,9 +681,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.processAllAvailable()
         finally:
             query.stop()
-    result = spark.createDataFrame(
-        spark.table(name).collect(), schema=spark.table(name).schema
-    )
+    result = snapshot_result(spark.table(name))
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
@@ -741,13 +727,13 @@ def q_stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.stop()
     est = {
         r["event_type"]: ThetaSketch.deserialize(bytes(r["sketch"])).estimate()
-        for r in spark.read.parquet(state).collect()
+        for r in spark.read.parquet(state).collect()  # bounded: one sketch row per event_type
     }
     exact = {
         r["event_type"]: r["n"]
         for r in events.groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
+        .collect()  # driver-sized: one row per event_type
     }
     rows = [
         (
@@ -829,7 +815,7 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT unix_timestamp(date_trunc('hour', TIMESTAMP '{bounds['max_ts']}'))"
     ).first()[0]
     final = spark.table(name).filter(F.col("hour_epoch") <= max_real_hour)
-    result = spark.createDataFrame(final.collect(), schema=final.schema)
+    result = snapshot_result(final)
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
@@ -925,7 +911,7 @@ def q_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             query.stop()
     sink = spark.table(name).filter(F.col("user_id") >= 0)
-    result = spark.createDataFrame(sink.collect(), schema=sink.schema)
+    result = snapshot_result(sink)
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
@@ -977,7 +963,7 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max_by("sum_value", "n_events").alias("sum_value"),
     )
-    result = spark.createDataFrame(final.collect(), schema=final.schema)
+    result = snapshot_result(final)
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
@@ -1034,7 +1020,7 @@ def q_stream_stream_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             query.stop()
     sink = spark.table(name).filter(F.col("user_id") >= 0)
-    result = spark.createDataFrame(sink.collect(), schema=sink.schema)
+    result = snapshot_result(sink)
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
@@ -1091,7 +1077,7 @@ def q_stream_stream_right(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             query.stop()
     sink = spark.table(name).filter(F.col("user_id") >= 0)
-    result = spark.createDataFrame(sink.collect(), schema=sink.schema)
+    result = snapshot_result(sink)
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
@@ -1138,9 +1124,8 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             query.stop()
     sk = SpaceSaving(k)
-    for r in spark.read.parquet(state).collect():
-        sk.counts[r["user_id"]] = r["count"]
-        sk.errs[r["user_id"]] = r["err"]
+    for r in spark.read.parquet(state).collect():  # bounded: persisted summary has <= k rows
+        sk._ingest(r["user_id"], r["count"], r["err"])
     rows = [(int(it), int(c)) for it, c, _e in sk.top(20)]
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, "user_id long, n_events long")
@@ -1192,7 +1177,7 @@ def q_stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.processAllAvailable()
         finally:
             query.stop()
-    rows = spark.read.parquet(state).collect()
+    rows = spark.read.parquet(state).collect()  # bounded: reservoir state has <= k rows
     shutil.rmtree(root, ignore_errors=True)
     n = len(rows)
     return spark.createDataFrame(
@@ -1272,7 +1257,7 @@ def q_stream_near_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("id_checksum"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
-    result = spark.createDataFrame(final.collect(), schema=final.schema)
+    result = snapshot_result(final)
     shutil.rmtree(root, ignore_errors=True)
     return result
 
@@ -1317,9 +1302,9 @@ def q_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.processAllAvailable()
         finally:
             query.stop()
-    blob = spark.read.parquet(state).collect()[0]["sketch"]
+    blob = spark.read.parquet(state).collect()[0]["sketch"]  # bounded: single serialized sketch blob
     sk = CountMinSketch.deserialize(bytes(blob))
-    exact = events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    exact = events.groupBy("event_type").agg(F.count("*").alias("n")).collect()  # driver-sized: one row per event_type
     types = np.array([r["event_type"] for r in exact], dtype=object)
     ests = sk.query_many(types)
     shutil.rmtree(root, ignore_errors=True)
@@ -1389,9 +1374,7 @@ def q_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.processAllAvailable()
         finally:
             query.stop()
-    result = spark.createDataFrame(
-        spark.table(name).collect(), schema=spark.table(name).schema
-    )
+    result = snapshot_result(spark.table(name))
     spark.catalog.dropTempView(name)
     shutil.rmtree(root, ignore_errors=True)
     return result
@@ -1439,7 +1422,7 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.stop()
     result = ewma_from_hourly(
         spark.read.parquet(state).select("event_type", "hour_epoch", "s", "n")
-    ).collect()
+    ).collect()  # driver-sized: grouped hourly state
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         result,
@@ -1491,7 +1474,7 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = anomaly_from_hourly(
         spark.read.parquet(state).select("event_type", "hour_epoch",
                                          "s", "s2", "n")
-    ).collect()
+    ).collect()  # driver-sized: grouped hourly state
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         result,
@@ -1539,7 +1522,7 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.stop()
     result = cusum_from_daily(
         spark.read.parquet(state).select("event_type", "day_epoch", "s")
-    ).collect()
+    ).collect()  # driver-sized: grouped hourly state
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         result,
@@ -1589,7 +1572,7 @@ def q_stream_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = jackknife_from_buckets(
         spark.read.parquet(state).select("event_type", "bucket",
                                          "s_b", "n_b")
-    ).collect()
+    ).collect()  # driver-sized: grouped hourly state
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         result,
@@ -1637,7 +1620,7 @@ def q_stream_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.stop()
     result = chi_square_from_contingency(
         spark.read.parquet(state).select("event_type", "par", "obs")
-    ).collect()
+    ).collect()  # driver-sized: grouped hourly state
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         result,
@@ -1687,7 +1670,7 @@ def q_stream_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.stop()
     result = acf_from_hourly_counts(
         spark.read.parquet(state).select("event_type", "hour_epoch", "x")
-    ).collect()
+    ).collect()  # driver-sized: grouped hourly state
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         result, "lag long, n_pairs long, acf double"
@@ -1735,7 +1718,7 @@ def q_stream_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.stop()
     result = fano_from_hourly_counts(
         spark.read.parquet(state).select("event_type", "hour_epoch", "x")
-    ).collect()
+    ).collect()  # driver-sized: grouped hourly state
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         result, "event_type string, n_hours long, n_events long, fano double"
@@ -1783,7 +1766,7 @@ def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.stop()
     result = psi_from_buckets(
         spark.read.parquet(state).select("bucket", "n_a", "n_b")
-    ).collect()
+    ).collect()  # driver-sized: grouped hourly state
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         result, "bucket long, n_a long, n_b long, psi_term double"
@@ -1833,7 +1816,7 @@ def q_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(state).select(
             "event_type", "n", "s1", "s2", "s3", "s4"
         )
-    ).collect()
+    ).collect()  # driver-sized: grouped hourly state
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         result,
@@ -1883,7 +1866,7 @@ def q_stream_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.stop()
     result = bootstrap_finish(
         spark.read.parquet(state).select("b", "n_eff", "sum_q")
-    ).collect()
+    ).collect()  # driver-sized: grouped hourly state
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         result,

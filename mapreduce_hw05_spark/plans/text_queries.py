@@ -243,7 +243,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 4096
     toks = tokenize(spread_small(load_table(spark, sf_dir, "documents")), "text")
-    rows = [r.asDict() for r in space_saving_partials(toks, "token", k).collect()]
+    rows = [r.asDict() for r in space_saving_partials(toks, "token", k).collect()]  # bounded: <= k rows per partition summary
     merged = merge_summary_rows(rows, "token", k)
     return spark.createDataFrame(
         [(it, int(c)) for it, c, _err in merged.top(20)],
@@ -305,7 +305,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     n_docs, avg_dl = doc_len.agg(
         F.count("*").cast("double"), F.avg("dl")
-    ).collect()[0]
+    ).collect()[0]  # driver-sized: single aggregate row
     tf = (
         toks.filter(F.col("token").isin("dup", "join", "scan"))
         .groupBy("doc_id", "token")
@@ -486,7 +486,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     n_docs, avg_dl = doc_len.agg(
         F.count("*").cast("double"), F.avg("dl")
-    ).collect()[0]
+    ).collect()[0]  # driver-sized: single aggregate row
     tf = (
         toks.filter(F.col("token").isin("dup", "join", "scan"))
         .groupBy("doc_id", "token")

@@ -550,7 +550,7 @@ def stream_sketch_rollup_foreachbatch(
         partials: dict[tuple, ThetaSketch] = {}
         for row in theta_sketch_partials(
             batch_df, key_cols, value_col, k
-        ).collect():
+        ).collect():  # bounded: one sketch row per key
             key = tuple(row[c] for c in key_cols)
             sk = ThetaSketch.deserialize(bytes(row["sketch"]))
             partials[key] = partials[key].union(sk) if key in partials else sk
@@ -840,7 +840,7 @@ def stream_heavy_hitters_foreachbatch(
             return
         rows = [
             r.asDict()
-            for r in space_saving_partials(batch_df, item_col, k).collect()
+            for r in space_saving_partials(batch_df, item_col, k).collect()  # bounded: <= k rows per partition summary
         ]
         merged = merge_summary_rows(rows, item_col, k)
         if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
@@ -923,7 +923,7 @@ def stream_weighted_reservoir_foreachbatch(
             (r[id_col], r[weight_col], r["sample_key"])
             for r in weighted_sample(
                 batch_df.select(id_col, weight_col), id_col, weight_col, k
-            ).collect()
+            ).collect()  # bounded: <= k sampled rows
         ]
         rows = {i: (i, w, key) for i, w, key in batch_top}
         if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
@@ -1146,7 +1146,7 @@ def stream_count_min_foreachbatch(
         merged = CountMinSketch(depth, width, seed)
         for row in count_min_partials(
             batch_df, item_col, depth, width, seed
-        ).collect():
+        ).collect():  # bounded: <= max_driver_keys state rows
             merged = merged.merge(
                 CountMinSketch.deserialize(bytes(row["sketch"]))
             )
