@@ -2040,6 +2040,43 @@ def test_weighted_median_two_pass_matches_bruteforce(spark):
     assert got == want
 
 
+def test_weighted_median_two_pass_huge_span_exact(spark):
+    """ADVICE r4: bucket ids are now exact BIGINT `DIV` arithmetic. A
+    value span past 2^45 with 256 buckets puts (v-lo)*buckets beyond
+    2^53 — where the old double-division path silently lost precision —
+    and the two-pass median must still equal brute force."""
+    import random
+
+    from mapreduce_hw05_spark.operators.quantiles import (
+        weighted_median_two_pass,
+    )
+
+    rng = random.Random(31)
+    base = 1 << 45
+    rows = []
+    for i in range(400):
+        # cluster values tightly around bucket edges of the huge span so
+        # a 1-ulp double bucket error would actually move rows
+        edge = base + (i % 16) * (base // 8)
+        rows.append((0, edge + rng.randrange(-3, 4), rng.randrange(1, 9), i))
+    rows.append((0, -base, 1, 400))  # stretch lo far below
+    df = spark.createDataFrame(rows, "k long, v long, w long, tb long")
+    got = weighted_median_two_pass(
+        df, key="k", val="v", weight="w", tiebreak="tb", buckets=256
+    ).collect()
+    items = sorted((v, tb, w) for _, v, w, tb in rows)
+    tw = sum(w for _, _, w in items)
+    cum = 0
+    for v, _, w in items:
+        cum += w
+        if 2 * cum >= tw:
+            want_v = v
+            break
+    assert [(r["k"], r["total_weight"], r["median_val"]) for r in got] == [
+        (0, tw, want_v)
+    ]
+
+
 def test_weighted_quantiles_two_pass_matches_bruteforce(spark):
     """Multi-quantile two-pass must equal brute force for p10/p50/p90 on
     random data, including a group so small every quantile shares one
