@@ -851,8 +851,7 @@ def stream_heavy_hitters_foreachbatch(
                 for rec in pq.read_table(
                     os.path.join(state_dir, part)
                 ).to_pylist():
-                    prev.counts[rec[item_col]] = rec["count"]
-                    prev.errs[rec[item_col]] = rec["err"]
+                    prev._ingest(rec[item_col], rec["count"], rec["err"])
             merged = prev.merge(merged)
         tmp = state_dir.rstrip("/") + ".next"
         shutil.rmtree(tmp, ignore_errors=True)
