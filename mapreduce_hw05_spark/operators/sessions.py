@@ -49,10 +49,15 @@ def session_stats(
     gap_seconds: int,
     tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Per-session rollup: event count + duration in seconds."""
+    """Per-session rollup: event count + duration, both as the exact
+    integer microseconds (``dur_us`` — what downstream aggregates should
+    sum: BIGINT sums are order-free and engine-identical) and as seconds
+    (``dur_secs`` — one exact-integer divide, safe per row but NOT safe
+    to multi-term-sum across engines)."""
     sessions = assign_sessions(df, entity_col, ts_col, gap_seconds, tiebreak_cols)
     dur_us = F.max(F.unix_micros(F.col(ts_col))) - F.min(F.unix_micros(F.col(ts_col)))
     return sessions.groupBy(entity_col, "session_id").agg(
         F.count("*").alias("n_events"),
+        dur_us.alias("dur_us"),
         (dur_us / 1_000_000.0).alias("dur_secs"),
     )

@@ -227,28 +227,57 @@ def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), per_session AS (
         SELECT user_id, session_id,
                count(*) AS n_events,
-               (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS dur_secs
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
         FROM numbered
         GROUP BY user_id, session_id
     )
     SELECT user_id,
            count(*) AS n_sessions,
-           round(avg(dur_secs), 6) AS avg_session_secs,
-           round(avg(n_events), 6) AS avg_events_per_session
+           CAST((2 * sum(dur_us) + count(*)) // (2 * count(*)) AS DOUBLE)
+               / 1000000.0 AS avg_session_secs,
+           CAST((2 * sum(n_events) * 1000000 + count(*))
+                // (2 * count(*)) AS DOUBLE)
+               / 1000000.0 AS avg_events_per_session
     FROM per_session
     GROUP BY user_id
     """,
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """30-min-gap sessions per user: session count, avg length, avg size."""
+    """30-min-gap sessions per user: session count, avg length, avg size.
+
+    Bit-exactness: both averages are EXACT-INTEGER half-up divisions at
+    microsecond/1e-6 precision — ``(2·sum + n) DIV (2·n)`` — followed by
+    one IEEE divide by 1e6, no ``round()`` anywhere. The r5 sf0.1 sweep
+    caught two divergence modes in the earlier round-6 shapes:
+    ``avg(dur_secs)`` (order-dependent double sum, 1 ulp off) and, after
+    switching to sum-then-round, an exact round-6 TIE (HALF_UP vs
+    multiply-round — the recorded negative-result class). Integer
+    half-up is the same quantity with the tie decided identically on
+    both engines by construction.
+    """
     ev = load_table(spark, sf_dir, "events")
     per_session = session_stats(
         ev, "user_id", "ts", gap_seconds=1800, tiebreak_cols=("event_id",)
     )
-    return per_session.groupBy("user_id").agg(
+    agg = per_session.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),
-        ratio(F.avg("dur_secs")).alias("avg_session_secs"),
-        ratio(F.avg("n_events")).alias("avg_events_per_session"),
+        F.sum("dur_us").alias("sum_us"),
+        F.sum("n_events").alias("sum_events"),
+    )
+    return agg.select(
+        "user_id",
+        "n_sessions",
+        (
+            F.expr("(2 * sum_us + n_sessions) DIV (2 * n_sessions)")
+            / F.lit(1_000_000.0)
+        ).alias("avg_session_secs"),
+        (
+            F.expr(
+                "(2 * sum_events * 1000000 + n_sessions)"
+                " DIV (2 * n_sessions)"
+            )
+            / F.lit(1_000_000.0)
+        ).alias("avg_events_per_session"),
     )
 
 
