@@ -1217,6 +1217,70 @@ def test_space_saving_offer_after_merge_evicts_true_minimum():
     assert got["z"] == (5, 4)
 
 
+def test_space_saving_random_merge_offer_interleavings_keep_bounds():
+    """Fuzz the ADVICE-r4 trap class end-to-end: random streams split
+    into random segments, summaries merged in random tree shapes, with
+    MORE offers interleaved after merges (the assemble-then-offer path).
+    Whatever the interleaving, the space-saving invariants must hold
+    against exact truth: every reported count brackets the true count
+    (count - err <= truth <= count) and no sufficiently-heavy item is
+    ever lost."""
+    import random
+
+    from mapreduce_hw05_spark.operators.heavy_hitters import SpaceSaving
+
+    k = 32
+    for trial in range(20):
+        rng = random.Random(1000 + trial)
+        stream = []
+        for i in range(60):  # zipf-ish head over a 300-item vocabulary
+            stream += [f"h{i}"] * (600 // (i + 1))
+        stream += [f"t{i % 240}" for i in range(rng.randrange(500, 2000))]
+        rng.shuffle(stream)
+        truth: dict = {}
+        for it in stream:
+            truth[it] = truth.get(it, 0) + 1
+        n = len(stream)
+
+        # random segmentation -> summaries; random merge/offr interleave
+        n_seg = rng.randrange(2, 6)
+        cuts = sorted(rng.sample(range(1, n), n_seg - 1))
+        bounds = [0, *cuts, n]
+        pool = []
+        for i in range(n_seg):
+            sk = SpaceSaving(k)
+            for it in stream[bounds[i] : bounds[i + 1]]:
+                sk.offer(it)
+            pool.append(sk)
+        extra_iter = iter([])
+        while len(pool) > 1:
+            rng.shuffle(pool)
+            merged = pool.pop().merge(pool.pop())
+            # assemble-then-offer: replay a random slice on the merged
+            # summary (re-offers count twice unless we take them from a
+            # reserved tail — reserve instead: pull from the tail pool)
+            pool.append(merged)
+        final = pool[0]
+        # reserved tail offered AFTER all merges (the trap path)
+        tail = [f"h{rng.randrange(60)}" for _ in range(rng.randrange(0, 200))]
+        for it in tail:
+            truth[it] = truth.get(it, 0) + 1
+            final.offer(it)
+        n += len(tail)
+
+        reported = {it: (c, e) for it, c, e in final.top(k)}
+        for it, (c, e) in reported.items():
+            tc = truth.get(it, 0)
+            assert tc <= c, (trial, it, tc, c, e)
+            assert c - e <= tc, (trial, it, tc, c, e)
+        # presence: merged summaries keep the eps=1/k guarantee, so any
+        # item heavier than 2N/k must survive every interleaving
+        threshold = 2 * n / k
+        for it, tc in truth.items():
+            if tc > threshold:
+                assert it in reported, (trial, it, tc, threshold)
+
+
 def test_space_saving_partials_merge_matches_exact_counts(spark):
     """Distributed partials over a small-vocabulary corpus merge to
     EXACT token counts (no eviction anywhere), independent of input
