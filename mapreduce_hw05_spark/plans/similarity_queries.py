@@ -196,6 +196,7 @@ def lsh_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
     max_bucket_size: int | None = None,
+    broadcast_doc_limit: int | None = None,
 ) -> DataFrame:
     """Token-Jaccard ≥ threshold pairs via the LSH fast path:
     signatures → banding → candidate pairs → exact verify on candidates
@@ -226,9 +227,17 @@ def lsh_jaccard_pairs(
     array_intersect over ~100-token arrays does the same exact math in
     one codegen stage (23 s). The token-array table is doc-count-sized
     (not corpus-sized) so it broadcasts far beyond fixture scale; past
-    that, fall back to the fan-out join — same result set, one extra
-    shuffle.
+    ``broadcast_doc_limit`` (default
+    ``operators.similarity.MAX_BROADCAST_TOKEN_DOCS``) the SAME joins
+    run shuffled — identical results, one extra exchange — routed on a
+    metadata-cheap ``docs.count()``, not left to prose (r5).
     """
+    from mapreduce_hw05_spark.operators.similarity import (
+        MAX_BROADCAST_TOKEN_DOCS,
+    )
+
+    if broadcast_doc_limit is None:
+        broadcast_doc_limit = MAX_BROADCAST_TOKEN_DOCS
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=128)
     cands = lsh_candidate_pairs(
         sigs, "doc_id", num_bands=32, max_bucket_size=max_bucket_size
@@ -239,6 +248,9 @@ def lsh_jaccard_pairs(
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("token")).alias("toks"))
     )
+    maybe_b = (
+        F.broadcast if docs.count() <= broadcast_doc_limit else (lambda df: df)
+    )
     d1 = doc_toks.withColumnsRenamed({"doc_id": "id1", "toks": "toks1"})
     d2 = doc_toks.withColumnsRenamed({"doc_id": "id2", "toks": "toks2"})
     n_common = F.size(F.array_intersect("toks1", "toks2"))
@@ -246,8 +258,8 @@ def lsh_jaccard_pairs(
         F.size("toks1") + F.size("toks2") - n_common
     )
     return (
-        cands.join(F.broadcast(d1), "id1")
-        .join(F.broadcast(d2), "id2")
+        cands.join(maybe_b(d1), "id1")
+        .join(maybe_b(d2), "id2")
         .filter(jac >= threshold)
         .select("id1", "id2", ratio(jac).alias("jaccard"))
     )

@@ -970,6 +970,7 @@ def stream_near_dup_filter_foreachbatch(
     num_bands: int = 32,
     threshold: float = 0.8,
     shingle: int = 1,
+    max_broadcast_index_docs: int | None = None,
 ):
     """Online near-dup ADMISSION filter: documents arrive in id order;
     a document is admitted iff NO earlier-id document seen so far
@@ -1000,15 +1001,23 @@ def stream_near_dup_filter_foreachbatch(
     SEMI-JOIN-PRUNED to the ids the batch's candidates actually touch,
     and the probe side (id2) reads only this batch's own partition —
     so the broadcasts are bounded by candidate fan-out and batch size
-    respectively, never the corpus. Past those bounds, the fan-out
-    join replaces the broadcast (same knob as lsh_jaccard_pairs).
+    respectively, never the corpus. The routing past those bounds is
+    IMPLEMENTED (r5): once the persisted index holds more than
+    ``max_broadcast_index_docs`` documents (counted from parquet
+    footers, no data scan — the conservative envelope for both pruned
+    tables), the same verify joins run shuffled instead of broadcast —
+    identical results, one extra exchange per side.
     """
     import os
 
     from mapreduce_hw05_spark.operators.similarity import (
+        MAX_BROADCAST_TOKEN_DOCS,
         lsh_band_buckets,
         minhash_signatures,
     )
+
+    if max_broadcast_index_docs is None:
+        max_broadcast_index_docs = MAX_BROADCAST_TOKEN_DOCS
     from mapreduce_hw05_spark.operators.text import tokenize
 
     bands_root = os.path.join(state_root, "bands")
@@ -1082,9 +1091,26 @@ def stream_near_dup_filter_foreachbatch(
         jac = n_common.cast("double") / (
             F.size("toks1") + F.size("toks2") - n_common
         )
+        # route the verify joins on the persisted index size (parquet
+        # footers only): both pruned tables are subsets of the index,
+        # so index-docs <= cap makes the broadcasts safe; past it the
+        # same joins run shuffled with identical results
+        import pyarrow.parquet as pqt
+
+        index_docs = sum(
+            pqt.ParquetFile(os.path.join(root_, fpart)).metadata.num_rows
+            for root_, _dirs, files in os.walk(toks_root)
+            for fpart in files
+            if fpart.endswith(".parquet")
+        )
+        maybe_b = (
+            F.broadcast
+            if index_docs <= max_broadcast_index_docs
+            else (lambda df: df)
+        )
         dropped = (
-            cands.join(F.broadcast(d1), "id1")
-            .join(F.broadcast(d2), "id2")
+            cands.join(maybe_b(d1), "id1")
+            .join(maybe_b(d2), "id2")
             .filter(jac >= threshold)
             .select(F.col("id2").alias(id_col))
             .distinct()

@@ -283,3 +283,62 @@ def test_semantic_dedup_empty_input(spark):
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     out = semantic_dedup(emb, np.eye(3), 0.5).collect()
     assert out == []
+
+
+def test_lsh_verify_shuffled_route_matches_broadcast(spark):
+    """r5: the verify-join broadcast gate is IMPLEMENTED routing, not
+    prose — forcing the shuffled path (broadcast_doc_limit=0) must give
+    the exact same pair set as the default broadcast path."""
+    from mapreduce_hw05_spark.plans.similarity_queries import (
+        lsh_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    want = {
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in lsh_jaccard_pairs(docs, 0.8).collect()
+    }
+    got = {
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in lsh_jaccard_pairs(docs, 0.8, broadcast_doc_limit=0).collect()
+    }
+    assert got == want and want  # non-empty on this fixture
+
+
+def test_stream_near_dup_shuffled_route_matches_broadcast(spark, tmp_path):
+    """Same routing check for the streaming admission filter: with the
+    index-size gate forced to 0 (every batch takes the shuffled verify
+    path), the admitted set must equal the batch answer."""
+    import os
+
+    from mapreduce_hw05_spark.plans.similarity_queries import (
+        lsh_jaccard_pairs,
+    )
+    from mapreduce_hw05_spark.streaming import ops
+    from tests.test_streaming import _capture_foreach_batch
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    dropped = {r["id2"] for r in lsh_jaccard_pairs(docs, 0.8).collect()}
+    expect = {r["doc_id"] for r in docs.select("doc_id").collect()} - dropped
+
+    ordered = docs.orderBy("doc_id").localCheckpoint()
+    n = ordered.count()
+    chunks = [
+        ordered.limit(n // 2),
+        ordered.subtract(ordered.limit(n // 2)),
+    ]
+    state_root = str(tmp_path / "state")
+    apply_batch = _capture_foreach_batch(
+        ops.stream_near_dup_filter_foreachbatch,
+        "doc_id", "text", state_root, str(tmp_path / "ckpt"),
+        max_broadcast_index_docs=0,
+    )
+    for batch_id, chunk in enumerate(chunks):
+        apply_batch(chunk, batch_id)
+    admitted = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(state_root, "admitted")
+        ).collect()
+    }
+    assert admitted == expect
