@@ -65,17 +65,32 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two passes over the token stream: one token-keyed count (the LM), one
     doc-keyed average after a broadcast join of the LM onto the tokens.
     At 100 TB the vocab table is tiny relative to the corpus (Heaps' law)
-    so the join side stays broadcast-able; both aggregates are partial-agg
-    friendly. The per-doc NLL is rounded BEFORE the ≥5.0 flag test on both
-    engines so the flag is hash-stable.
+    so the join side stays broadcast-able — and the gate is IMPLEMENTED,
+    not assumed (r5): the same single setup action that computes the LM
+    normalizer also returns the vocab row count, and past
+    ``MAX_BROADCAST_MODEL_ROWS`` the scoring join runs shuffled with
+    identical results. The per-doc NLL is rounded BEFORE the ≥5.0 flag
+    test on both engines so the flag is hash-stable.
     """
+    from mapreduce_hw05_spark.operators import naive_bayes as nb
+
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(docs, "text", "doc_id")
     vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
-    total = toks.count()  # one scalar action; the LM normalizer
+    # one scalar action: vocab size (the broadcast gate) + the LM
+    # normalizer (sum of counts == total token occurrences)
+    stats = vocab.agg(
+        F.count("*").alias("v"), F.sum("cnt").alias("n")
+    ).first()
+    total = stats["n"]
+    maybe_b = (
+        F.broadcast
+        if stats["v"] <= nb.MAX_BROADCAST_MODEL_ROWS
+        else (lambda df: df)
+    )
     nll_term = -F.log(F.col("cnt") * F.lit(1.0) / F.lit(float(total)))
     per_doc = (
-        toks.join(F.broadcast(vocab), "token")
+        toks.join(maybe_b(vocab), "token")
         .groupBy("doc_id")
         .agg(F.round(F.avg(nll_term), 6).alias("nll"))
     )
@@ -713,9 +728,21 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
     c1 = c2.groupBy("w1").agg(F.sum("c").alias("n"))
     v = toks.select("w1").distinct().count()
+    # broadcast gate (r5, implemented not assumed): the bigram model is
+    # Heaps'-bounded but counted, not trusted — past the model cap both
+    # scoring joins run shuffled with identical results. The count is
+    # one agg over the already-checkpointed bigram rows; c1 <= c2 so
+    # one gate covers both tables.
+    from mapreduce_hw05_spark.operators import naive_bayes as nb
+
+    maybe_b = (
+        F.broadcast
+        if c2.count() <= nb.MAX_BROADCAST_MODEL_ROWS
+        else (lambda df: df)
+    )
     per_doc = (
-        bg.join(F.broadcast(c2), ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        bg.join(maybe_b(c2), ["w1", "w2"])
+        .join(maybe_b(c1), "w1")
         .groupBy("doc_id")
         .agg(
             F.round(

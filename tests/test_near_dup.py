@@ -342,3 +342,18 @@ def test_stream_near_dup_shuffled_route_matches_broadcast(spark, tmp_path):
         ).collect()
     }
     assert admitted == expect
+
+
+def test_lm_score_shuffled_route_matches_broadcast(spark, monkeypatch):
+    """r5: the LM scoring joins' broadcast gates are implemented routing
+    — forcing the shuffled path (model cap 0) must give identical
+    frames for both the unigram and bigram LM contracts."""
+    from mapreduce_hw05_spark.operators import naive_bayes as nb
+    from tests.conftest import compare_frames
+
+    for name in ("q_lm_score", "q_bigram_lm_score"):
+        want = QUERIES[name](spark, "/root/testdata/sf0.001").toPandas()
+        monkeypatch.setattr(nb, "MAX_BROADCAST_MODEL_ROWS", 0)
+        got = QUERIES[name](spark, "/root/testdata/sf0.001").toPandas()
+        monkeypatch.undo()
+        assert not compare_frames(got, want), name
