@@ -97,8 +97,8 @@ DRIVER_WINDOW_R2 = [
 #: window froze). Highest-risk first — streaming sink, custom-operator
 #: machinery, null-semantics, sketches, TPC-H remainder. The 8 tail
 #: entries (single-aggregate shapes and two TPC-H queries with
-#: long-green local parity) rolled to the pending pool (now
-#: ``DRIVER_WINDOW_R6_PENDING``).
+#: long-green local parity) rolled to the pending pool (drained through
+#: ``DRIVER_WINDOW_R6`` and ``DRIVER_WINDOW_R7_PENDING``).
 #: Every window name MUST have a SQL oracle — the driver records
 #: ``err: no_oracle`` for rows-only contracts instead of rows-checking.
 DRIVER_WINDOW_R4 = [
@@ -133,11 +133,8 @@ DRIVER_WINDOW_R4 = [
     "q_winsorized_mean", "q_percent_of_total", "q_mom_growth",
 ]
 
-#: Round-5 window (VERDICT r4 item 1): the risk-first head of the r4
-#: pending list — 13 streaming-executed sinks, 5 multimodal kernels,
-#: 11 graph-iteration contracts, 10 ML/eval, 11 exactness-delicate
-#: stats chains. Frozen once CORRECTNESS_r05.json lands (the rotation
-#: test then pins it the way R2–R4 are pinned).
+#: Frozen round-5 window (CORRECTNESS_r05.json verified — 50/50 green;
+#: pinned against the driver record by the rotation test like R2–R4).
 DRIVER_WINDOW_R5 = [
     "q_stream_near_dup_filter", "q_stream_count_min", "q_stream_band_join",
     "q_stream_ewma", "q_stream_anomaly", "q_stream_cusum",
@@ -157,37 +154,18 @@ DRIVER_WINDOW_R5 = [
     "q_chi_square", "q_fano_factor",
 ]
 
-#: The correctness driver verifies the FIRST 50 registered queries only
-#: (registration-order prefix of ``queries()``).
-DRIVER_WINDOW = DRIVER_WINDOW_R5
-
-#: ---------------------------------------------------------------------
-#: ROTATION SCHEDULE r5 → r8 (VERDICT r4 item 5). Every registered
-#: contract gets a driver-green CORRECTNESS row; the coverage test
-#: (`tests/test_registry_window.py`) enforces no-contract-left-behind.
-#:
-#:   r5 (ACTIVE): ``DRIVER_WINDOW_R5`` — the 50 riskiest
-#:       never-driver-verified contracts (see list above).
-#:   r6: ``DRIVER_WINDOW_R6_PENDING[:50]`` — the 64 remaining
-#:       never-driver-verified contracts, exactness-delicate stats and
-#:       pair-emitting near-dup at the head. New r5 contracts APPEND
-#:       here (kept ≤ 70 total per VERDICT r4 item 2 — hardening over
-#:       new surface this round).
-#:   r7: ``DRIVER_WINDOW_R6_PENDING[50:] + DRIVER_WINDOW_R7_REVERIFY``
-#:       [:50] — pending tail (~14–20) then the r1-core re-verification
-#:       head (joins first: the highest-churn plan surface).
-#:   r8: ``DRIVER_WINDOW_R7_REVERIFY`` remainder (~8–14) + next
-#:       re-verification tranche (r2 similarity/UDF core), keeping every
-#:       window at 50.
-#: ---------------------------------------------------------------------
-
-#: Never-driver-verified contracts remaining after the r5 swap (64).
-#: Append ANY new contract here or the rotation-coverage test fails.
-DRIVER_WINDOW_R6_PENDING = [
+#: Round-6 window (VERDICT r5 item 1): the head of the r5 pending pool —
+#: the 64 never-driver-verified contracts, exactness-delicate stats and
+#: pair-emitting near-dup first, with the two two-pass-histogram quantile
+#: contracts promoted into the head per VERDICT r5 item 8 (the most
+#: scale-load-bearing of the pending set). Frozen once
+#: CORRECTNESS_r06.json lands (pinned like R2–R5).
+DRIVER_WINDOW_R6 = [
     "q_benford_digits", "q_theil_deciles", "q_dp_noisy_counts",
     "q_spearman_corr", "q_mutual_information", "q_welch_ttest",
     "q_skew_kurtosis", "q_poisson_bootstrap", "q_containment_near_dup",
     "q_count_min", "q_near_dup_shingle_lsh", "q_ann_pq_topk",
+    "q_weighted_median_hist", "q_weighted_percentiles_hist",
     "q_paragraph_dedup", "q_bm25_topk", "q_hard_negatives",
     "q_phrase_search", "q_bigram_lm_score", "q_rrf_fusion",
     "q_keyword_tagging", "q_feature_hashing", "q_contamination_fraction",
@@ -201,10 +179,36 @@ DRIVER_WINDOW_R6_PENDING = [
     "q_association_rules", "q_mad_outliers", "q_attribution_last_touch",
     "q_survival_km", "q_resource_allocation", "q_top_paths",
     "q_centroid_similarity", "q_l_diversity", "q_epoch_mixture_plan",
+]
+
+#: The correctness driver verifies the FIRST 50 registered queries only
+#: (registration-order prefix of ``queries()``).
+DRIVER_WINDOW = DRIVER_WINDOW_R6
+
+#: ---------------------------------------------------------------------
+#: ROTATION SCHEDULE r6 → r8 (VERDICT r5 items 1, 5, 6). Every
+#: registered contract gets a driver-green CORRECTNESS row; the coverage
+#: test (`tests/test_registry_window.py`) enforces
+#: no-contract-left-behind.
+#:
+#:   r6 (ACTIVE): ``DRIVER_WINDOW_R6`` — the 50-head of the pending pool
+#:       (see list above; the two displaced tail entries join the r7
+#:       pending remainder).
+#:   r7: ``DRIVER_WINDOW_R7_PENDING + DRIVER_WINDOW_R7_REVERIFY[:50 -
+#:       len(pending)]`` — pending remainder (14 + ≤6 r6 additions) then
+#:       the r1-core re-verification head (joins first: the
+#:       highest-churn plan surface).
+#:   r8: ``DRIVER_WINDOW_R7_REVERIFY`` remainder + next re-verification
+#:       tranche (r2 similarity/UDF core), keeping every window at 50.
+#: ---------------------------------------------------------------------
+
+#: Never-driver-verified contracts remaining after the r6 swap (14).
+#: Append ANY new contract here or the rotation-coverage test fails
+#: (keep total ≤ 20 per VERDICT r5 item 5 so r7 clears the pool).
+DRIVER_WINDOW_R7_PENDING = [
     "q_span_corruption", "q_dedup_survivorship", "q_array_hof",
     "q_referential_integrity", "q_forward_fill", "q_weighted_median",
-    "q_seasonal_index", "q_growth_accounting", "q_weighted_median_hist",
-    "q_weighted_percentiles_hist", "q_quantile_normalize",
+    "q_seasonal_index", "q_growth_accounting", "q_quantile_normalize",
     "q_asof_nearest", "q_equi_depth_histogram", "q_join_skew_report",
     "q_bitmap_activity", "q_funnel_windowed",
 ]
@@ -263,6 +267,7 @@ __all__ = [
     "DRIVER_WINDOW_R3",
     "DRIVER_WINDOW_R4",
     "DRIVER_WINDOW_R5",
-    "DRIVER_WINDOW_R6_PENDING",
+    "DRIVER_WINDOW_R6",
+    "DRIVER_WINDOW_R7_PENDING",
     "DRIVER_WINDOW_R7_REVERIFY",
 ]
