@@ -67,6 +67,7 @@ def bloom_candidate_keys(
         F.expr("pos DIV 64").alias("bucket"),
         F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
     )
+    # bounded: bitmap is num_bits/64 mask rows
     hits = probed.join(F.broadcast(bitmap), "bucket", "left").withColumn(
         "hit", F.coalesce(F.col("mask").bitwiseAND(F.col("bit")) != 0, F.lit(False))
     )
@@ -93,6 +94,7 @@ def bloom_semi_join(
     cand = bloom_candidate_keys(
         probe.select(key_col).distinct(), key_col, bitmap, num_bits, num_hashes
     )
+    # bounded: ~ build-key count + fpp share of probe keys; exact semi below
     prefiltered = probe.join(F.broadcast(cand), key_col, "left_semi")
     return prefiltered.join(
         build.select(key_col).distinct(), key_col, "left_semi"

@@ -243,7 +243,9 @@ def triangle_count(
         a_u = adj.withColumnsRenamed({"nbrs": "nu"})
         a_v = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))
         return (
+            # bounded: inside the counted m_edges <= broadcast_edge_limit branch
             oriented.join(F.broadcast(a_u), "u")
+            # bounded: same counted branch
             .join(F.broadcast(a_v), "v")
             .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
             .agg(
@@ -781,6 +783,7 @@ def hits(
     def _normalize(raw: DataFrame, out: str) -> DataFrame:
         m = raw.agg(F.max("raw").cast("double").alias("m"))
         return (
+            # one-row: global max
             raw.crossJoin(F.broadcast(m))
             .select(
                 "node",

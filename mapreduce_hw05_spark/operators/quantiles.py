@@ -11,10 +11,10 @@ two scans plus a bucket-sized sort — the same shape distributed
 engines use for exact percentile pushdown (and the approach the
 decision-stump split search already uses for gain argmax).
 
-Everything stays in exact integer arithmetic (bucket ids are integer
-divides of BIGINT-quantized values), so the result is bit-identical to
-the one-pass window plan — proven by the contract that runs both
-against the same oracle.
+Everything stays in exact integer arithmetic (bucket ids are DECIMAL
+integer divides of BIGINT-quantized values — exact over the whole int64
+domain), so the result is bit-identical to the one-pass window plan —
+proven by the contract that runs both against the same oracle.
 """
 
 from __future__ import annotations
@@ -36,10 +36,13 @@ def weighted_median_two_pass(
     (val, tiebreak) order) reaches half the group total — identical
     semantics to the single-window plan, computed in two passes.
 
-    ``val`` must be integer-typed (quantize first); bucket ids are
-    ``(v - lo) * buckets // (hi - lo + 1)`` — exact BIGINT arithmetic
-    as long as span·buckets < 2⁵³ (≈3.5e10 cents at 256 buckets, far
-    past any currency column).
+    ``val`` must be integer-typed (pre-quantize doubles to BIGINT
+    first); bucket ids are ``(v - lo) * buckets // (hi - lo + 1)``
+    computed in DECIMAL(20,0) — unconditionally exact over the whole
+    int64 domain, including mixed-sign extremes where ``v - lo`` or
+    ``span * buckets`` would overflow BIGINT (ADVICE r5: the previous
+    pure-LONG ``DIV`` was exact only while span·buckets < 2⁶³ and could
+    wrap/error near the edge under ANSI).
     """
     wts = wts.select(
         F.col(key).alias("k"),
@@ -53,15 +56,19 @@ def weighted_median_two_pass(
         F.sum("w").cast("long").alias("tw"),
     )
     with_b = (
+        # label-sized: one bounds row per group key (few-key/huge-group shape)
         wts.join(F.broadcast(bounds), "k")
         .withColumn(
             "b",
-            # exact BIGINT arithmetic as documented (ADVICE r4: the
-            # earlier double division was monotone-consistent but its
-            # stated rationale was wrong and it silently lost precision
-            # past span*buckets >= 2^53); DIV is integer division, and
-            # v - lo >= 0 so DIV == floor division here
-            F.expr(f"(v - lo) * {int(buckets)} DIV (hi - lo + 1)"),
+            # DECIMAL(20,0) holds the full int64 range, so v - lo, the
+            # span, and span*buckets are unconditionally exact here —
+            # no 2^63 wrap for mixed-sign extremes (ADVICE r5; ANSI
+            # would error on the LONG overflow, non-ANSI would wrap).
+            # DIV on nonnegative operands == floor division → BIGINT.
+            F.expr(
+                f"(CAST(v AS DECIMAL(20,0)) - lo) * {int(buckets)}"
+                " DIV (CAST(hi AS DECIMAL(20,0)) - lo + 1)"
+            ),
         )
         .select("k", "v", "w", "tb", "b")
     )
@@ -70,6 +77,7 @@ def weighted_median_two_pass(
         W.partitionBy("k").orderBy("b").rowsBetween(W.unboundedPreceding, 0)
     )
     profile = hist.join(
+        # label-sized: one total-weight row per group key
         F.broadcast(bounds.select("k", "tw")), "k"
     ).withColumn("cum", F.sum("bw").over(cum_w).cast("long"))
     target = (
@@ -86,6 +94,7 @@ def weighted_median_two_pass(
         )
     )
     in_bucket = with_b.join(
+        # label-sized: one target-bucket row per group key
         F.broadcast(target),
         (F.col("k") == F.col("t_k")) & (F.col("b") == F.col("t_b")),
     ).select(
@@ -146,15 +155,19 @@ def weighted_quantiles_two_pass(
         F.sum("w").cast("long").alias("tw"),
     )
     with_b = (
+        # label-sized: one bounds row per group key (few-key/huge-group shape)
         wts.join(F.broadcast(bounds), "k")
         .withColumn(
             "b",
-            # exact BIGINT arithmetic as documented (ADVICE r4: the
-            # earlier double division was monotone-consistent but its
-            # stated rationale was wrong and it silently lost precision
-            # past span*buckets >= 2^53); DIV is integer division, and
-            # v - lo >= 0 so DIV == floor division here
-            F.expr(f"(v - lo) * {int(buckets)} DIV (hi - lo + 1)"),
+            # DECIMAL(20,0) holds the full int64 range, so v - lo, the
+            # span, and span*buckets are unconditionally exact here —
+            # no 2^63 wrap for mixed-sign extremes (ADVICE r5; ANSI
+            # would error on the LONG overflow, non-ANSI would wrap).
+            # DIV on nonnegative operands == floor division → BIGINT.
+            F.expr(
+                f"(CAST(v AS DECIMAL(20,0)) - lo) * {int(buckets)}"
+                " DIV (CAST(hi AS DECIMAL(20,0)) - lo + 1)"
+            ),
         )
         .select("k", "v", "w", "tb", "b")
     )
@@ -165,11 +178,13 @@ def weighted_quantiles_two_pass(
         W.partitionBy("k").orderBy("b").rowsBetween(W.unboundedPreceding, 0)
     )
     profile = (
+        # label-sized: one total-weight row per group key
         hist.join(F.broadcast(bounds.select("k", "tw")), "k")
         .withColumn("cum", F.sum("bw").over(cum_w).cast("long"))
         .persist()
     )
     spark = wts.sparkSession
+    # bounded: one row per requested quantile
     qdf = F.broadcast(
         spark.createDataFrame(
             list(quantiles), "qname string, qnum long, qden long"
@@ -196,6 +211,7 @@ def weighted_quantiles_two_pass(
         )
     )
     in_bucket = with_b.join(
+        # label-sized: one row per (group key, quantile)
         F.broadcast(targets),
         (F.col("k") == F.col("t_k")) & (F.col("b") == F.col("t_b")),
     ).select(

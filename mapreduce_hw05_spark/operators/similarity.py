@@ -59,6 +59,25 @@ MAX_BROADCAST_REFERENCE_ROWS = 4_000_000
 MAX_BROADCAST_TOKEN_DOCS = 1_000_000
 
 
+def maybe_broadcast(
+    df: DataFrame, n_rows: int, limit: int | None = None
+) -> DataFrame:
+    """Counted broadcast routing for row-count-proportional build sides
+    (per-doc token/shingle arrays, per-doc size tables): return the
+    broadcast-marked frame while ``n_rows`` fits under ``limit``, the
+    frame unchanged otherwise — identical results, one extra exchange.
+
+    ``limit`` defaults to :data:`MAX_BROADCAST_TOKEN_DOCS`, read at call
+    time so tests can monkeypatch it to 0 and prove the shuffled path is
+    result-identical. Static routing on a counted size, not bare AQE: a
+    static sort-merge join shuffle-writes the (corpus-sized) probe side
+    before AQE could convert it to a broadcast join (PERF.md negative
+    result, r5)."""
+    if limit is None:
+        limit = MAX_BROADCAST_TOKEN_DOCS
+    return F.broadcast(df) if n_rows <= limit else df
+
+
 def _reference_matrix(df: DataFrame, id_col: str, vec_col: str, normalize: bool):
     """Materialize the reference side as (ids, float64 matrix).
 

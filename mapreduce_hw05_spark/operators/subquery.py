@@ -65,6 +65,7 @@ def null_safe_not_in(
         "left_anti",
     )
     return (
+        # one-row: the inner-NULL / inner-empty guard aggregate
         anti.join(F.broadcast(guard), how="cross")
         .filter(
             (~F.col("__inner_has_null"))

@@ -117,6 +117,7 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
+        # dim-sized: region
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
@@ -221,6 +222,7 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("n_nationkey"), F.lit(7)).alias("nk"), "n_name"
     )
     return (
+        # dim-sized: nation
         c.join(F.broadcast(n), F.col("ck").eqNullSafe(F.col("nk")))
         .groupBy("n_name")
         .agg(lng(F.count("*")).alias("n_customers"))
@@ -535,6 +537,7 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
     out_of_range = (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))
     return (
+        # label-sized: one row per event_type
         ev.join(F.broadcast(bounds), "event_type")
         .groupBy("event_type")
         .agg(
@@ -638,7 +641,9 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     nat = (
         o.join(c, o.o_custkey == c.c_custkey)
+        # dim-sized: nation
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        # dim-sized: region
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(F.sum("o_totalprice").alias("rev"))
@@ -750,6 +755,7 @@ def q_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # True rank fraction of each sketch estimate, computed distributed:
     # frac_lt <= q+tol and frac_le >= q-tol ⇔ the estimate sits within
     # ±tol rank of the target quantile (the two-sided form is tie-safe).
+    # label-sized: one row per event_type
     probes = ev.join(F.broadcast(sk), "event_type")
     checks = []
     for q, col in [(0.5, "s50"), (0.9, "s90"), (0.99, "s99")]:

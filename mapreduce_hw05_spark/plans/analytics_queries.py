@@ -261,6 +261,7 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q1 - 1.5 * (q3 - q1), 6).alias("lo"),
         F.round(q3 + 1.5 * (q3 - q1), 6).alias("hi"),
     )
+    # label-sized: one row per l_returnflag
     joined = li.join(F.broadcast(bounds), "l_returnflag")
     is_out = (F.col("l_extendedprice") < F.col("lo")) | (
         F.col("l_extendedprice") > F.col("hi")
@@ -416,6 +417,7 @@ def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
         )
         .distinct()
+        # one-row: global max day
         .join(F.broadcast(hi), F.col("w") <= F.col("hi"))
     )
     return contrib.groupBy(
@@ -1234,6 +1236,7 @@ def acf_from_hourly_counts(h: DataFrame) -> DataFrame:
         lng(F.sum("xh")).alias("sh"),
         lng(F.sum("xt")).alias("st"),
     )
+    # one-row: global totals
     joined = perlag.crossJoin(F.broadcast(totals))
     acf = (
         F.col("c").cast("double")
@@ -1570,6 +1573,7 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     )
     return pernation.join(
+        # dim-sized: nation
         F.broadcast(nation), pernation.nk == nation.n_nationkey
     ).select(
         F.col("n_name").alias("n_name"),
@@ -1725,6 +1729,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.floor(F.col("value") * 1000).cast("long").alias("v")
     )
     med = q.groupBy("event_type").agg(F.median("v").alias("med_v"))
+    # label-sized: one row per event_type
     dev = q.join(F.broadcast(med), "event_type").select(
         "event_type",
         "med_v",
@@ -1732,6 +1737,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = dev.groupBy("event_type").agg(F.median("d").alias("mad_v"))
     return (
+        # label-sized: one row per event_type
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type", "med_v", "mad_v")
         .agg(
@@ -1808,8 +1814,11 @@ def chi_square_from_contingency(o: DataFrame) -> DataFrame:
     e = (F.col("r") * F.col("c")).cast("double") / F.col("n")
     term = (F.col("obs") - e) * (F.col("obs") - e) / e * 1000000000
     terms = (
+        # label-sized: one row per event_type
         o.join(F.broadcast(rt), "event_type")
+        # label-sized: one row per parity bucket
         .join(F.broadcast(ct), "par")
+        # one-row: global total
         .crossJoin(F.broadcast(tot))
         .select(
             "n",
@@ -1971,6 +1980,7 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_case = p_case.when(
             F.col("digit") == dig, F.lit(float(_BENFORD_P[dig]))
         )
+    # one-row: global total
     e = d.crossJoin(F.broadcast(tot)).select(
         "digit",
         "n_obs",
@@ -2074,8 +2084,10 @@ def q_theil_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     share_x = F.col("x_g").cast("double") / F.col("x")
     share_n = F.col("n_g").cast("double") / F.col("n")
     return (
+        # label-sized: one aggregate row per nation
         pergroup.join(F.broadcast(pernation), "nk")
         .join(
+            # dim-sized: nation
             F.broadcast(nation), F.col("nk") == F.col("n_nationkey")
         )
         .select(
@@ -2174,6 +2186,7 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n * (n * n - 1)
     ).cast("double")
     return agg.join(
+        # dim-sized: nation
         F.broadcast(nation), F.col("nk") == F.col("n_nationkey")
     ).select("n_name", "n_customers", "sum_d2", rho.alias("rho"))
 
@@ -2239,8 +2252,11 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("n_x") * F.col("n_y")).cast("double")
     )
     return (
+        # label-sized: one margin row per event_type
         cells.join(F.broadcast(mx), "event_type")
+        # label-sized: one margin row per hour-of-day
         .join(F.broadcast(my), "hr")
+        # one-row: global total
         .crossJoin(F.broadcast(tot))
         .select(
             "event_type", "hr", "n_xy", F.round(term, 9).alias("mi_term")
@@ -2559,6 +2575,7 @@ def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         lng(F.sum("n_h")).alias("n_t"), lng(F.sum("s_h")).alias("s_t")
     )
     return (
+        # label-sized: one row per event_type
         h.join(F.broadcast(t), "event_type")
         .select(
             "event_type",
@@ -2652,6 +2669,7 @@ def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         lng(F.sum("n_hits")).alias("hits_all"),
     )
     return (
+        # one-row: global total
         per.crossJoin(F.broadcast(tot))
         .select(
             "decile",

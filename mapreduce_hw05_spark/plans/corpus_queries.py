@@ -440,6 +440,7 @@ def q_epoch_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(n_tokens) div 2 AS BIGINT)").alias("total_budget"),
         F.count("*").alias("n_domains"),
     )
+    # one-row: global budget aggregate
     j = domain_tokens.crossJoin(F.broadcast(budget))
     target = F.expr("total_budget div n_domains")
     milli = F.least(

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_hw05_spark.operators.cdc import merge_upsert, scd2_intervals
 from mapreduce_hw05_spark.operators.profiling import profile
+from mapreduce_hw05_spark.operators.similarity import maybe_broadcast
 from mapreduce_hw05_spark.plans.common import lng, money
 from mapreduce_hw05_spark.plans.registry import contract
 from mapreduce_hw05_spark.sources import load_table
@@ -253,8 +254,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_hw05_spark.operators.text import chunk_documents, pack_sequences
 
     docs = load_table(spark, sf_dir, "documents")
+    # the doc→lang metadata table is doc-count-sized: counted broadcast
+    # routing (r6, same gate as the near-dup size tables)
     chunks = chunk_documents(docs, size=50, stride=40).join(
-        F.broadcast(docs.select("doc_id", "lang")), "doc_id"
+        maybe_broadcast(docs.select("doc_id", "lang"), docs.count()), "doc_id"
     )
     packed = pack_sequences(
         chunks, budget=512, group_col="lang", order_cols=["doc_id", "chunk_idx"]
@@ -301,6 +304,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(split == "0").select(h.alias("h"))
     train = docs.filter(split != "0").select("lang", "doc_id", h.alias("h"))
     return (
+        # bounded: held-out benchmark split (fixed suite at production scale)
         train.join(F.broadcast(bench), "h", "left_semi")
         .groupBy("lang")
         .agg(
@@ -621,6 +625,7 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         lng(F.sum("y")).alias("s"),
     )
+    # label-sized: one row per o_orderpriority
     loo = t.join(F.broadcast(g), "cat").select(
         "cat",
         "n",

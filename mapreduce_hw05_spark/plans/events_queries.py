@@ -1043,6 +1043,7 @@ def jackknife_from_buckets(per_bucket: DataFrame) -> DataFrame:
         F.count("*").alias("n_buckets"),
     )
     reps = (
+        # label-sized: one row per event_type
         per_bucket.join(F.broadcast(totals), "event_type")
         .filter(F.col("n") > F.col("n_b"))
         .select(
@@ -1391,6 +1392,7 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation = load_table(spark, sf_dir, "nation")
     return med.join(
+        # dim-sized: nation
         F.broadcast(nation), F.col("nk") == F.col("n_nationkey")
     ).select(
         "n_name",
@@ -1433,6 +1435,7 @@ def q_weighted_median_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         wts, key="nk", val="cents", weight="w", tiebreak="cust"
     )
     return med.join(
+        # dim-sized: nation
         F.broadcast(nation), F.col("nk") == F.col("n_nationkey")
     ).select(
         "n_name",
@@ -1508,6 +1511,7 @@ def q_weighted_percentiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         wts, key="nk", val="cents", weight="w", tiebreak="cust"
     )
     return out.join(
+        # dim-sized: nation
         F.broadcast(nation), F.col("nk") == F.col("n_nationkey")
     ).select(
         "n_name",

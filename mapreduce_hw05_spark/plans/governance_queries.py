@@ -128,6 +128,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     g1 = (
+        # dim-sized: nation
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", "c_mktsegment")
         .agg(F.count("*").alias("c"))
@@ -337,6 +338,7 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
+    # dim-sized: nation
     rows_s = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
         F.col("n_name").alias("qi_nation"),
         F.col("c_mktsegment").alias("qi_segment"),

@@ -533,7 +533,9 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("co"))
         .filter(F.col("co") >= 2)
     )
+    # contract-scale: per-node degree table; count-gate to shuffle at scale
     da = F.broadcast(deg.select(F.col("part"), F.col("d").alias("da")))
+    # contract-scale: same degree table
     db = F.broadcast(deg.select(F.col("part"), F.col("d").alias("db")))
     return (
         co.join(da, co.src == da.part)
@@ -1069,6 +1071,7 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = F.floor(
         (e_over_m - d_over_2m * d_over_2m) * 1000000000000
     ).cast("long")
+    # bounded: 8 communities (src % 8)
     terms = dc.join(F.broadcast(ec), "comm", "left").select(
         term.alias("q")
     )

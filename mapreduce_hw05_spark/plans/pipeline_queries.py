@@ -82,7 +82,12 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = vocab.agg(
         F.count("*").alias("v"), F.sum("cnt").alias("n")
     ).first()
-    total = stats["n"]
+    # ADVICE r5: on an empty corpus sum("cnt") is NULL → stats["n"] is
+    # None and float(None) would raise at the driver before the plan
+    # even launches. No token row flows through the join then, so the
+    # normalizer constant is never evaluated — any nonzero value keeps
+    # the (empty) result identical.
+    total = stats["n"] or 1
     maybe_b = (
         F.broadcast
         if stats["v"] <= nb.MAX_BROADCAST_MODEL_ROWS
@@ -159,6 +164,7 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         eligible.filter(split != "0"), 8, "text", "doc_id", "lang"
     )
     hits = (
+        # bounded: benchmark-split 8-gram set (fixed suite at production scale)
         train_grams.join(F.broadcast(bench_grams), "shingle", "left_semi")
         .select("doc_id", "lang")
         .distinct()
@@ -385,6 +391,7 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"), F.count("*").alias("n_sources")
     )
     share = F.col("n_chars") * F.lit(1.0) / F.col("total_chars")
+    # one-row: global totals
     return per_source.crossJoin(F.broadcast(tot)).select(
         "source",
         lng(F.col("n_docs")).alias("n_docs"),
@@ -935,6 +942,7 @@ def q_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         grams.filter(g_split != "0")
         .join(
+            # bounded: benchmark-split 8-gram set (fixed suite at production scale)
             F.broadcast(bench),
             grams["shingle"] == bench["gram"],
             "left",

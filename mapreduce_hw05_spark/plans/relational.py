@@ -171,6 +171,7 @@ def q_rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     return (
+        # dim-sized: nation
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .rollup("n_name", "c_mktsegment")
         .agg(
@@ -248,6 +249,7 @@ def q_join_lineitem_part_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
+        # contract-scale: j-2 exercises the broadcast-join strategy itself
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
@@ -287,7 +289,9 @@ def q_join_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
+        # dim-sized: nation
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        # dim-sized: region
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
@@ -420,6 +424,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (li.l_extendedprice <= p.p_retailprice * 1.1)
     )
     return (
+        # contract-scale: j-8 exercises the broadcast theta join (BNLJ allowlisted)
         li.join(F.broadcast(p), cond)
         .groupBy("p_brand")
         .agg(F.count("*").alias("n_in_band"))
@@ -446,6 +451,7 @@ def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = s.select(F.col("s_suppkey").alias("s1"), F.col("s_acctbal").alias("bal1"))
     b = s.select(F.col("s_acctbal").alias("bal2"))
     return (
+        # bounded: capped table per docstring - pure theta is broadcast-only here
         a.join(F.broadcast(b), F.col("bal2") > F.col("bal1"))
         .groupBy("s1")
         .agg(F.count("*").alias("n_richer"))
@@ -626,6 +632,7 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     global_avg = o.agg(F.avg("o_totalprice").alias("__avg"))
     return (
+        # one-row: global average
         o.join(F.broadcast(global_avg))
         .filter(F.col("o_totalprice") > F.col("__avg"))
         .groupBy("o_orderstatus")

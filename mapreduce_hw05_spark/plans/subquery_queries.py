@@ -207,6 +207,7 @@ def q_multi_supplier_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return (
+        # contract-scale: supplier dim hint (bench scale); count-gate at cluster scale
         shared.join(F.broadcast(s), shared.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(lng(F.count_distinct("l_orderkey")).alias("n_late_shared"))

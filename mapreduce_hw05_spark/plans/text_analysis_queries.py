@@ -328,6 +328,7 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = names.select(F.col("p_name").alias("name_b"))
     dist = F.levenshtein("name_a", "name_b")
     return (
+        # bounded: name-cardinality-sized (docstring: LSH is the high-card path)
         a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
         .filter(dist <= 3)
         .select("name_a", "name_b", lng(dist).alias("dist"))
@@ -499,10 +500,13 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         bc.filter(F.col("pair_n") >= 20)
+        # vocab-sized: unigram count table
         .join(F.broadcast(uni.select(F.col("tok"), F.col("n").alias("n1"))),
               F.col("w1") == F.col("tok")).drop("tok")
+        # vocab-sized: unigram count table
         .join(F.broadcast(uni.select(F.col("tok"), F.col("n").alias("n2"))),
               F.col("w2") == F.col("tok")).drop("tok")
+        # one-row: grand total
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", lng(F.col("pair_n")).alias("pair_n"),
                 ratio(F.log2(pmi)).alias("pmi"))
@@ -797,6 +801,7 @@ def q_keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = (
         tokenize(docs, "text", "doc_id")
+        # model-sized: keyword taxonomy
         .join(F.broadcast(taxonomy), F.col("token") == F.col("keyword"))
         .select("doc_id", "topic")
         .distinct()
@@ -1072,6 +1077,7 @@ def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token")
     )
     ranked = (
+        # model-sized: query term set
         tf.join(F.broadcast(queries), "token")
         .withColumn(
             "rank",
@@ -1311,7 +1317,9 @@ def q_kfold_nb_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     scores = (
+        # model-sized: per-fold class priors
         tfk.join(F.broadcast(priors), "fold")
+        # model-sized: fold x lang x token likelihoods (Heaps-bounded)
         .join(F.broadcast(lik), ["fold", "lang", "token"], "left")
         .groupBy("doc_id", "fold", "lang")
         .agg(

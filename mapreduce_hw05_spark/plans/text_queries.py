@@ -148,6 +148,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()  # scalar, computed once; fine to inline as literal
     doc_freq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     tf = toks.groupBy("source", "token").agg(F.count("*").alias("cnt"))
+    # vocab-sized: token document-frequency table
     scored = tf.join(F.broadcast(doc_freq), "token").select(
         "source",
         "token",
@@ -315,6 +316,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(avg_dl))
     return (
+        # vocab-sized: token document-frequency table
         tf.join(F.broadcast(df), "token")
         .join(doc_len, "doc_id")
         .groupBy("doc_id")
@@ -496,6 +498,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(avg_dl))
     bm25 = (
+        # vocab-sized: token document-frequency table
         tf.join(F.broadcast(df), "token")
         .join(doc_len, "doc_id")
         .groupBy("doc_id")

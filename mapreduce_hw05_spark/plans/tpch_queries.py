@@ -74,6 +74,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(money(F.sum(_rev())).alias("revenue"))
@@ -130,13 +131,17 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(
+            # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
+        # dim-sized: nation
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        # dim-sized: region
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(money(F.sum(_rev())).alias("revenue"))
@@ -195,9 +200,13 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # dim-sized: nation-derived
         .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        # dim-sized: nation-derived
         .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
         .filter(
             (
@@ -276,11 +285,17 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # dim-sized: nation-derived
         .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        # dim-sized: nation-derived
         .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        # dim-sized: region
         .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
         .groupBy(lng(F.year("o_orderdate")).alias("o_year"))
         .agg(ratio(F.sum(nat_rev) / F.sum(rev)).alias("mkt_share"))
@@ -330,7 +345,9 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # dim-sized: nation
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(money(F.sum(_rev())).alias("revenue"))
@@ -375,6 +392,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0)
     return (
+        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             ratio(F.lit(100.0) * F.sum(promo) / F.sum(_rev())).alias(
@@ -433,6 +451,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
+        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(bracket)
         .agg(
@@ -574,6 +593,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     return (
         flagged.filter(F.col("total_revenue") == F.col("__max_rev"))
+        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -620,6 +640,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("c_acctbal"), 6).alias("__thr"))
     )
     return (
+        # one-row: acctbal threshold
         c.join(F.broadcast(thr), F.col("c_acctbal") > F.col("__thr"))
         .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_nationkey")
@@ -664,8 +685,11 @@ def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     return (
+        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # dim-sized: nation
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -720,8 +744,10 @@ def q_tpch_q16_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
+        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(
+            # contract-scale: flagged-supplier hint at bench scale
             F.broadcast(bad_supp),
             li.l_suppkey == bad_supp.s_suppkey,
             "left_anti",
@@ -789,10 +815,13 @@ def q_tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eu = (
+        # dim-sized: nation
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        # dim-sized: region
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", "n_name")
     )
+    # contract-scale: EU supplier keys at bench scale
     eu_costs = costs.join(F.broadcast(eu), costs.suppkey == eu.s_suppkey)
     min_costs = eu_costs.groupBy("partkey").agg(F.min("unit_cost").alias("min_cost"))
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 9)
@@ -803,6 +832,7 @@ def q_tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (eu_costs.unit_cost == min_costs.min_cost),
         )
         .drop(min_costs.partkey)
+        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
         .join(F.broadcast(part), F.col("partkey") == part.p_partkey)
         .select(
             "p_partkey",
@@ -853,6 +883,7 @@ def q_tpch_q20_semi_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     heavy = (
+        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
@@ -864,6 +895,7 @@ def q_tpch_q20_semi_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier")
     return (
+        # dim-sized: nation
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
         .select("s_name", money(F.col("s_acctbal")).alias("s_acctbal"), "n_name")
@@ -971,6 +1003,7 @@ def q_tpch_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").isin(0, 1, 2)
     )
     per_part = (
+        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(money(F.sum(_rev())).alias("part_value"))

@@ -78,11 +78,17 @@ def dedup_events(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
 
 
 def enrich_with_users(events: DataFrame, customer_dim: DataFrame) -> DataFrame:
-    """Stream-static join: events ⋈ broadcast customer dim on user_id."""
-    dim = F.broadcast(
+    """Stream-static join: events ⋈ customer dim on user_id. The dim is
+    row-count-proportional, so the broadcast is counted, not assumed
+    (r6): past the gate the same join runs as a shuffled stream-static
+    join — identical results, one extra exchange per micro-batch."""
+    from mapreduce_hw05_spark.operators.similarity import maybe_broadcast
+
+    dim = maybe_broadcast(
         customer_dim.select(
             F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
-        )
+        ),
+        customer_dim.count(),
     )
     return events.join(dim, "user_id", "left")
 

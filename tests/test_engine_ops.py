@@ -2141,6 +2141,42 @@ def test_weighted_median_two_pass_huge_span_exact(spark):
     ]
 
 
+def test_weighted_median_two_pass_mixed_sign_extremes_exact(spark):
+    """ADVICE r5: bucket ids are DECIMAL(20,0) arithmetic, exact over
+    the whole int64 domain. With lo = -2^62 and hi = 2^62 the old LONG
+    path's ``v - lo`` hits 2^63 (ANSI arithmetic-overflow error; wrap
+    on non-ANSI) — the decimal path must return the exact median."""
+    from mapreduce_hw05_spark.operators.quantiles import (
+        weighted_median_two_pass,
+        weighted_quantiles_two_pass,
+    )
+
+    hi = 1 << 62
+    rows = [
+        (0, -hi, 1, 0),
+        (0, -7, 2, 1),
+        (0, 0, 1, 2),
+        (0, 9, 2, 3),
+        (0, hi, 1, 4),
+    ]
+    df = spark.createDataFrame(rows, "k long, v long, w long, tb long")
+    got = weighted_median_two_pass(
+        df, key="k", val="v", weight="w", tiebreak="tb", buckets=256
+    ).collect()
+    # cum weights in v order: 1, 3, 4, 6, 7; 2*cum >= 7 first at v=0
+    assert [(r["k"], r["total_weight"], r["median_val"]) for r in got] == [
+        (0, 7, 0)
+    ]
+    q = {
+        r["quantile"]: r["quantile_val"]
+        for r in weighted_quantiles_two_pass(
+            df, key="k", val="v", weight="w", tiebreak="tb", buckets=256
+        ).collect()
+    }
+    # w*10 >= {1,5,9}*7 first at cum {1,4,7} → v {-2^62, 0, 2^62}
+    assert q == {"p10": -hi, "p50": 0, "p90": hi}
+
+
 def test_weighted_quantiles_two_pass_matches_bruteforce(spark):
     """Multi-quantile two-pass must equal brute force for p10/p50/p90 on
     random data, including a group so small every quantile shares one

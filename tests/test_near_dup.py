@@ -344,6 +344,64 @@ def test_stream_near_dup_shuffled_route_matches_broadcast(spark, tmp_path):
     assert admitted == expect
 
 
+def test_shingle_lsh_shuffled_route_matches_broadcast(spark):
+    """r6 (VERDICT r5 item 2): the shingle-LSH verify join was the one
+    ungated doc-count-sized broadcast left — it now routes through the
+    shared verify helper, and forcing the shuffled path must reproduce
+    the broadcast path's pair set exactly."""
+    from mapreduce_hw05_spark.plans.similarity_queries import (
+        shingle_lsh_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    want = {
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in shingle_lsh_jaccard_pairs(docs, 0.8).collect()
+    }
+    got = {
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in shingle_lsh_jaccard_pairs(
+            docs, 0.8, broadcast_doc_limit=0
+        ).collect()
+    }
+    assert got == want
+
+
+def test_size_table_shuffled_route_matches_broadcast(spark, monkeypatch):
+    """r6 (VERDICT r5 item 2, watch class): the per-doc SIZE-table
+    broadcasts in the exact inverted-index near-dup family now route
+    through the counted ``maybe_broadcast`` gate — with the doc cap
+    forced to 0 (every size join shuffled) each contract's frame must
+    be identical."""
+    from mapreduce_hw05_spark.operators import similarity as sim
+    from tests.conftest import compare_frames
+
+    for name in (
+        "q_near_dup_jaccard",
+        "q_containment_near_dup",
+        "q_near_dup_ngram",
+        "q_prefix_filter_pairs",
+    ):
+        want = QUERIES[name](spark, "/root/testdata/sf0.001").toPandas()
+        monkeypatch.setattr(sim, "MAX_BROADCAST_TOKEN_DOCS", 0)
+        got = QUERIES[name](spark, "/root/testdata/sf0.001").toPandas()
+        monkeypatch.undo()
+        assert not compare_frames(got, want), name
+
+
+def test_lm_score_empty_corpus(spark, tmp_path):
+    """ADVICE r5: on an empty documents table sum(cnt) aggregates to
+    NULL and the old float(None) normalizer raised TypeError at the
+    driver — both LM contracts must now plan and return zero rows."""
+    empty = spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    empty.write.parquet(str(tmp_path / "documents.parquet"))
+    for name in ("q_lm_score", "q_bigram_lm_score"):
+        assert QUERIES[name](spark, str(tmp_path)).collect() == [], name
+
+
 def test_lm_score_shuffled_route_matches_broadcast(spark, monkeypatch):
     """r5: the LM scoring joins' broadcast gates are implemented routing
     — forcing the shuffled path (model cap 0) must give identical
