@@ -58,7 +58,16 @@ def random_chunks(df, ts_col: str, seed: int, duplicate_one: bool = False):
     return chunks
 
 
-SEEDS = [11, 23, 47]
+# CI keeps the three pinned seeds (deterministic, never flakes); the
+# periodic deeper sweep (PERF.md r3/r5/r6) overrides them via
+#   SPARK_GRAFT_CHUNK_SEEDS="101,211,307,..." python -m pytest ...
+# so fresh-seed batches are repeatable without editing this file.
+import os as _os
+
+SEEDS = [
+    int(s)
+    for s in _os.environ.get("SPARK_GRAFT_CHUNK_SEEDS", "11,23,47").split(",")
+]
 
 
 @pytest.mark.parametrize("seed", SEEDS)
