@@ -20,7 +20,7 @@ from mapreduce_hw05_spark.operators.graph import (
 )
 from mapreduce_hw05_spark.plans.common import lng
 from mapreduce_hw05_spark.plans.registry import contract
-from mapreduce_hw05_spark.sources import load_table
+from mapreduce_hw05_spark.sources import dim_broadcast, load_table
 
 # --------------------------------------------------------------------------
 # g-2 — triangle count (SQL-checkable 3-way self-join)
@@ -533,10 +533,14 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("co"))
         .filter(F.col("co") >= 2)
     )
-    # contract-scale: per-node degree table; count-gate to shuffle at scale
-    da = F.broadcast(deg.select(F.col("part"), F.col("d").alias("da")))
-    # contract-scale: same degree table
-    db = F.broadcast(deg.select(F.col("part"), F.col("d").alias("db")))
+    # one degree row per part key -> bounded by the part table; the
+    # file-stat gate drops the hint past MAX_BROADCAST_DIM_BYTES
+    da = dim_broadcast(
+        deg.select(F.col("part"), F.col("d").alias("da")), sf_dir, "part"
+    )
+    db = dim_broadcast(
+        deg.select(F.col("part"), F.col("d").alias("db")), sf_dir, "part"
+    )
     return (
         co.join(da, co.src == da.part)
         .drop("part")

@@ -20,7 +20,7 @@ from pyspark.sql import Window as W
 
 from mapreduce_hw05_spark.plans.common import lng, money, ratio
 from mapreduce_hw05_spark.plans.registry import contract
-from mapreduce_hw05_spark.sources import load_table
+from mapreduce_hw05_spark.sources import dim_broadcast, load_table
 
 # --------------------------------------------------------------------------
 # sq-1 — correlated EXISTS over a non-key predicate (TPC-H Q4 shape)
@@ -207,8 +207,7 @@ def q_multi_supplier_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return (
-        # contract-scale: supplier dim hint (bench scale); count-gate at cluster scale
-        shared.join(F.broadcast(s), shared.l_suppkey == s.s_suppkey)
+        shared.join(dim_broadcast(s, sf_dir, "supplier"), shared.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(lng(F.count_distinct("l_orderkey")).alias("n_late_shared"))
     )

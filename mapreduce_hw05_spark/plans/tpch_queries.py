@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_hw05_spark.plans.common import lng, money, ratio
 from mapreduce_hw05_spark.plans.registry import contract
-from mapreduce_hw05_spark.sources import load_table
+from mapreduce_hw05_spark.sources import dim_broadcast, load_table
 
 _REV_SQL = "l_extendedprice * (1 - l_discount)"
 
@@ -74,8 +74,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(dim_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(money(F.sum(_rev())).alias("revenue"))
         .select(
@@ -131,11 +130,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(dim_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .join(
-            # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
-            F.broadcast(supp),
+            dim_broadcast(supp, sf_dir, "supplier"),
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -200,10 +197,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(dim_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
+        .join(dim_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         # dim-sized: nation-derived
         .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
         # dim-sized: nation-derived
@@ -285,12 +280,9 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(dim_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
+        .join(dim_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
+        .join(dim_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         # dim-sized: nation-derived
         .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
         # dim-sized: nation-derived
@@ -345,8 +337,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(dim_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         # dim-sized: nation
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
@@ -392,8 +383,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0)
     return (
-        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(dim_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .agg(
             ratio(F.lit(100.0) * F.sum(promo) / F.sum(_rev())).alias(
                 "promo_revenue_pct"
@@ -451,8 +441,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(dim_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .filter(bracket)
         .agg(
             money(F.sum(_rev())).alias("revenue"),
@@ -593,8 +582,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     return (
         flagged.filter(F.col("total_revenue") == F.col("__max_rev"))
-        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(dim_broadcast(supp, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -685,10 +673,8 @@ def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(dim_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
+        .join(dim_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         # dim-sized: nation
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
@@ -744,11 +730,9 @@ def q_tpch_q16_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(dim_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .join(
-            # contract-scale: flagged-supplier hint at bench scale
-            F.broadcast(bad_supp),
+            dim_broadcast(bad_supp, sf_dir, "supplier"),
             li.l_suppkey == bad_supp.s_suppkey,
             "left_anti",
         )
@@ -821,8 +805,7 @@ def q_tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", "n_name")
     )
-    # contract-scale: EU supplier keys at bench scale
-    eu_costs = costs.join(F.broadcast(eu), costs.suppkey == eu.s_suppkey)
+    eu_costs = costs.join(dim_broadcast(eu, sf_dir, "supplier"), costs.suppkey == eu.s_suppkey)
     min_costs = eu_costs.groupBy("partkey").agg(F.min("unit_cost").alias("min_cost"))
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 9)
     return (
@@ -832,8 +815,7 @@ def q_tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (eu_costs.unit_cost == min_costs.min_cost),
         )
         .drop(min_costs.partkey)
-        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
-        .join(F.broadcast(part), F.col("partkey") == part.p_partkey)
+        .join(dim_broadcast(part, sf_dir, "part"), F.col("partkey") == part.p_partkey)
         .select(
             "p_partkey",
             "p_type",
@@ -883,8 +865,7 @@ def q_tpch_q20_semi_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     heavy = (
-        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(dim_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 50)
@@ -1003,8 +984,7 @@ def q_tpch_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").isin(0, 1, 2)
     )
     per_part = (
-        # contract-scale: dim hint at bench scale (drop hint -> stats/AQE at cluster scale)
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(dim_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(money(F.sum(_rev())).alias("part_value"))
     )

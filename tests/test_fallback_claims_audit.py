@@ -66,6 +66,9 @@ REGISTRY: dict[tuple[str, str], str | None] = {
     ("operators/naive_bayes.py", "<module>"): "MAX_BROADCAST_MODEL_ROWS",
     ("operators/graph.py", "pagerank"): "_PAGERANK_BROADCAST_NODE_LIMIT",
     ("operators/similarity.py", "<module>"): "maybe_broadcast",
+    # r6: the file-stat dim gate itself (its docstring states the
+    # past-the-cap behavior it implements)
+    ("sources/fixtures.py", "dim_broadcast"): "MAX_BROADCAST_DIM_BYTES",
 }
 
 

@@ -415,3 +415,33 @@ def test_lm_score_shuffled_route_matches_broadcast(spark, monkeypatch):
         got = QUERIES[name](spark, "/root/testdata/sf0.001").toPandas()
         monkeypatch.undo()
         assert not compare_frames(got, want), name
+
+
+def test_dim_broadcast_shuffled_route_matches_hinted(spark, monkeypatch):
+    """r6: the TPC-H proportional-dim hints route through the file-stat
+    gate (`sources.fixtures.dim_broadcast`) instead of a bare hint —
+    with the byte cap forced to 0 (no hint anywhere, planner-chosen
+    joins) each contract's frame must be identical."""
+    from mapreduce_hw05_spark.sources import fixtures as fx
+    from tests.conftest import compare_frames
+
+    for name in (
+        "q_tpch_q8",          # cust + part + supp hints in one plan
+        "q_tpch_q2_mincost",  # part + EU-supplier-keys hints
+        "q_item_item_cosine", # part-bounded degree tables
+        "q_multi_supplier_late",
+    ):
+        want = QUERIES[name](spark, "/root/testdata/sf0.001").toPandas()
+        monkeypatch.setattr(fx, "MAX_BROADCAST_DIM_BYTES", 0)
+        got = QUERIES[name](spark, "/root/testdata/sf0.001").toPandas()
+        monkeypatch.undo()
+        assert not compare_frames(got, want), name
+
+
+def test_table_bytes_stat_semantics():
+    """The gate's stat: real table > 0, missing path = -1 ("unknown,
+    assume big" — dim_broadcast must NOT hint then)."""
+    from mapreduce_hw05_spark.sources import table_bytes
+
+    assert table_bytes("/root/testdata/sf0.001", "part") > 0
+    assert table_bytes("/root/testdata/sf0.001", "no_such_table") == -1
