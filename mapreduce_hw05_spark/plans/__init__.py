@@ -198,8 +198,11 @@ DRIVER_WINDOW = DRIVER_WINDOW_R6
 #:       len(pending)]`` — pending remainder (14 + ≤6 r6 additions) then
 #:       the r1-core re-verification head (joins first: the
 #:       highest-churn plan surface).
-#:   r8: ``DRIVER_WINDOW_R7_REVERIFY`` remainder + next re-verification
-#:       tranche (r2 similarity/UDF core), keeping every window at 50.
+#:   r8: ``DRIVER_WINDOW_R7_REVERIFY`` remainder (6) +
+#:       ``DRIVER_WINDOW_R8_REVERIFY`` (44, pre-staged below) — the r2
+#:       similarity/UDF core, churn-first — keeping the window at 50.
+#:   r9+: remaining re-verifications (R2's 6 low-churn exclusions, the
+#:       r3 streaming/connector core) on the same pattern.
 #: ---------------------------------------------------------------------
 
 #: Never-driver-verified contracts remaining after the r6 swap (14).
@@ -241,6 +244,47 @@ DRIVER_WINDOW_R7_REVERIFY = [
     "q_date_funcs", "q_map_funcs",
 ]
 
+#: r2-core re-verification tranche (r8 window, pre-staged in r6): the
+#: r8 window is ``DRIVER_WINDOW_R7_REVERIFY[36:]`` (the 6 displaced by
+#: the r7 pending head) + these 44 — the r2-verified similarity / UDF /
+#: near-dup / streaming-batch-twin core, none driver-checked since r2.
+#: Curated churn-first: several of these had plan-level changes in
+#: r5/r6 (near-dup size-table gates, dim_broadcast on q_tpch_q3,
+#: q_pack_sequences doc-meta gate, q_stream_static_join dim count
+#: gate), so they re-verify before the low-churn scalar batteries.
+#: Excluded 6 of R2's 50 (lowest-churn single-agg/scalar shapes, all
+#: still in the local parity suite): q_decimal_exact,
+#: q_approx_distinct, q_language_id, q_quality_score,
+#: q_text_stats_by_lang, q_degree_distribution.
+DRIVER_WINDOW_R8_REVERIFY = [
+    # plans changed since their r2 driver check — re-verify first
+    "q_near_dup_jaccard", "q_near_dup_ngram", "q_pack_sequences",
+    "q_stream_static_join", "q_tpch_q3",
+    # similarity / ANN / ML core
+    "q_similarity_topk", "q_knn_accuracy", "q_near_dup_embedding",
+    "q_simhash_near_dup", "q_kmeans", "q_pca_variance",
+    # UDF surface (u-1..u-5)
+    "q_udf_python", "q_pandas_udf_cosine", "q_grouped_map_zscore",
+    "q_udaf_geomean", "q_udtf_tokens",
+    # graph capstones
+    "q_triangle_count", "q_connected_components", "q_pagerank",
+    # streaming batch-twins + CDC
+    "q_stream_batch_equiv", "q_stream_dedup", "q_stream_stateful_counts",
+    "q_stream_upsert_cdc", "q_cdc_merge", "q_scd2_history",
+    # text / dedup pipeline
+    "q_dedup_exact", "q_wordcount", "q_tfidf_top_terms",
+    "q_stratified_sample", "q_decontaminate",
+    # subquery semantics
+    "q_exists_shiplag", "q_correlated_avg_qty", "q_recursive_cte",
+    "q_lateral_topn",
+    # sketches / quantiles / sets
+    "q_grouping_sets", "q_median_exact", "q_approx_quantile",
+    "q_hll_rollup", "q_asof_join", "q_array_ops",
+    # sources / multimodal
+    "q_csv_roundtrip", "q_partitioned_pruning", "q_custom_datasource",
+    "q_multimodal_features",
+]
+
 
 def _reorder_registry() -> None:
     missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
@@ -270,4 +314,5 @@ __all__ = [
     "DRIVER_WINDOW_R6",
     "DRIVER_WINDOW_R7_PENDING",
     "DRIVER_WINDOW_R7_REVERIFY",
+    "DRIVER_WINDOW_R8_REVERIFY",
 ]

@@ -18,6 +18,7 @@ from mapreduce_hw05_spark.plans import (
     DRIVER_WINDOW_R6,
     DRIVER_WINDOW_R7_PENDING,
     DRIVER_WINDOW_R7_REVERIFY,
+    DRIVER_WINDOW_R8_REVERIFY,
     ORACLES,
     QUERIES,
 )
@@ -143,3 +144,24 @@ def test_r7_prestage_is_valid():
     combined = list(DRIVER_WINDOW_R7_PENDING) + reverify
     assert len(set(combined)) == len(combined)
     assert len(combined) >= 50
+
+
+def test_r8_prestage_is_valid():
+    """r6 pre-stage of the r8 window: the R7_REVERIFY remainder (what r7
+    doesn't consume) + the 44-entry r2-core tranche must form a full
+    50-window — every entry r2-driver-green, still registered + oracled,
+    no overlap with the r7 lists."""
+    r2 = set(json.load(open("/root/repo/CORRECTNESS_r02.json")))
+    tranche = list(DRIVER_WINDOW_R8_REVERIFY)
+    assert len(tranche) == 44 and len(set(tranche)) == 44
+    assert set(tranche) <= r2
+    assert all(n in ORACLES for n in tranche)
+    assert not set(tranche) & (
+        set(DRIVER_WINDOW_R7_PENDING) | set(DRIVER_WINDOW_R7_REVERIFY)
+    )
+    r7_window = (
+        list(DRIVER_WINDOW_R7_PENDING) + list(DRIVER_WINDOW_R7_REVERIFY)
+    )[:50]
+    r8_window = [n for n in DRIVER_WINDOW_R7_REVERIFY if n not in r7_window]
+    r8_window += tranche
+    assert len(r8_window) == 50 and len(set(r8_window)) == 50
