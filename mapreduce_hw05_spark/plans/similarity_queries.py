@@ -209,13 +209,45 @@ def _verify_jaccard_on_candidates(
     ``operators.similarity.MAX_BROADCAST_TOKEN_DOCS``, read at call
     time); past it the SAME joins run shuffled — identical results, one
     extra exchange. Forced-shuffle identity tests live in
-    tests/test_near_dup.py."""
+    tests/test_near_dup.py.
+
+    SIZE PREFILTER (r6, driven by the x1000 weak-scaling probe): before
+    any element array moves, candidate pairs are joined to the narrow
+    per-doc SET-SIZE table and pruned on the ratio bound implied by the
+    threshold — ``J(A,B) ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t`` (since
+    ``|A∩B| ≤ min`` and ``|A∪B| ≥ max``), so it can only drop pairs the
+    exact Jaccard filter would drop anyway. The 1e-9 epsilon absorbs
+    the one-ulp rounding of ``max·t`` at exact-tie pairs (real at e.g.
+    t=7/51, where ``51*t`` rounds above 7 while the verify's own double
+    ``7/51 ≥ t`` holds — regression test in tests/test_near_dup.py);
+    pairs admitted by the slack are re-checked exactly downstream.
+    Measured (PERF.md r6): x1000 realistic-sparsity corpus (5 M docs)
+    has 136.5 M candidates and the prefilter prunes 58.6 % of them —
+    a 2.4× cut of the array-payload shuffle that dominates the verify
+    join's per-executor disk/network load at scale (single-node x1000
+    stays spill-bound either way: the DAG's AGGREGATE shuffle exceeds
+    one machine's disk, which a cluster distributes); at sf0.1 it
+    prunes 41 % and is wall-clock-neutral (A/B/A 38.5/39.9/37.2 s).
+    The size table is two LONG columns — the same counted broadcast
+    gate as the array tables."""
+    sizes = per_doc.select("doc_id", F.size(set_col).alias("sz"))
+    z1 = sizes.withColumnsRenamed({"doc_id": "id1", "sz": "sz1"})
+    z2 = sizes.withColumnsRenamed({"doc_id": "id2", "sz": "sz2"})
+    ratio_ok = F.least("sz1", "sz2").cast("double") >= (
+        F.greatest("sz1", "sz2").cast("double") * F.lit(threshold) - F.lit(1e-9)
+    )
+    slim = (
+        cands.join(maybe_broadcast(z1, n_docs, broadcast_doc_limit), "id1")
+        .join(maybe_broadcast(z2, n_docs, broadcast_doc_limit), "id2")
+        .filter(ratio_ok)
+        .select("id1", "id2")
+    )
     d1 = per_doc.withColumnsRenamed({"doc_id": "id1", set_col: "e1"})
     d2 = per_doc.withColumnsRenamed({"doc_id": "id2", set_col: "e2"})
     n_common = F.size(F.array_intersect("e1", "e2"))
     jac = n_common.cast("double") / (F.size("e1") + F.size("e2") - n_common)
     return (
-        cands.join(maybe_broadcast(d1, n_docs, broadcast_doc_limit), "id1")
+        slim.join(maybe_broadcast(d1, n_docs, broadcast_doc_limit), "id1")
         .join(maybe_broadcast(d2, n_docs, broadcast_doc_limit), "id2")
         .filter(jac >= threshold)
         .select("id1", "id2", ratio(jac).alias("jaccard"))

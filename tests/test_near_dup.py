@@ -389,6 +389,35 @@ def test_size_table_shuffled_route_matches_broadcast(spark, monkeypatch):
         assert not compare_frames(got, want), name
 
 
+def test_verify_size_prefilter_keeps_exact_tie_pair(spark):
+    """r6 size-ratio prefilter epsilon regression: at t = 7/51 with a
+    7-token doc CONTAINED in a 51-token doc, the verify filter keeps the
+    pair (double ``7/51 == t``) but the unguarded bound would drop it at
+    the prefilter (``51*t = 7.000000000000001 > 7`` — the product rounds
+    UP one ulp past the exact integer). The 1e-9 epsilon absorbs that
+    ulp; the pair must survive to the exact verify. (t=0.8 never trips
+    this — ``10*0.8`` round-to-evens back to 8.0 — so the test pins one
+    of the thresholds where the hazard is real, found by brute-force
+    search over p/q thresholds × integer size pairs.)"""
+    from mapreduce_hw05_spark.plans.similarity_queries import (
+        _verify_jaccard_on_candidates,
+    )
+
+    toks_small = [f"t{i}" for i in range(7)]
+    toks_big = [f"t{i}" for i in range(51)]
+    per_doc = spark.createDataFrame(
+        [(1, sorted(toks_small)), (2, sorted(toks_big))],
+        "doc_id long, toks array<string>",
+    )
+    cands = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    rows = _verify_jaccard_on_candidates(
+        cands, per_doc, "toks", threshold=7 / 51, n_docs=2
+    ).collect()
+    assert [(r["id1"], r["id2"], r["jaccard"]) for r in rows] == [
+        (1, 2, 0.137255)
+    ]
+
+
 def test_lm_score_empty_corpus(spark, tmp_path):
     """ADVICE r5: on an empty documents table sum(cnt) aggregates to
     NULL and the old float(None) normalizer raised TypeError at the
