@@ -159,6 +159,15 @@ def run_scale(spark: SparkSession, scale: int) -> dict[str, float]:
     from mapreduce_hw05_spark.operators.clustering import label_seeded_centroids
     from mapreduce_hw05_spark.plans import QUERIES
 
+    # SPARK_GRAFT_SCALE_OPS=a,b,c restricts which rows run — needed at
+    # x1000 where the near-dup LSH family is single-node spill-infeasible
+    # by measurement (PERF.md r6: the whole-DAG aggregate shuffle exceeds
+    # one machine's disk; a cluster distributes it) but the linear ops
+    # are fine. Empty/unset = run everything.
+    only = set(
+        filter(None, os.environ.get("SPARK_GRAFT_SCALE_OPS", "").split(","))
+    ) or None
+
     sf_dir = ensure_corpus(spark, scale)
     times: dict[str, float] = {}
     contract_ops = [
@@ -176,22 +185,31 @@ def run_scale(spark: SparkSession, scale: int) -> dict[str, float]:
         "q_contamination_fraction",
     ]
     for name in contract_ops:
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         _noop(QUERIES[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 2)
         print(f"SCALE x{scale} {name}: {times[name]}s", file=sys.stderr)
 
+    if only is not None and not only & {"ann_ivf_1k_probes", "ann_pq_train_encode"}:
+        return times
+
     # ANN at operator level: the contract's recall check is exact-kernel
     # (quadratic) by design, so at 100x we time routing + per-bucket
     # search for a 1024-probe sample against the FULL reference instead.
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    probes = emb.filter(F.pmod(F.xxhash64("vec_id", F.lit(21)), F.lit(max(1, (BASE_DOCS * scale) // 1024))) == 0)
-    t0 = time.time()
-    centroids = label_seeded_centroids(emb)
-    cands = ivf_knn_candidates(probes, emb, centroids, k=20, nprobe=4, mode="knn")
-    _noop(cands)
-    times["ann_ivf_1k_probes"] = round(time.time() - t0, 2)
-    print(f"SCALE x{scale} ann_ivf_1k_probes: {times['ann_ivf_1k_probes']}s", file=sys.stderr)
+    if only is None or "ann_ivf_1k_probes" in only:
+        probes = emb.filter(F.pmod(F.xxhash64("vec_id", F.lit(21)), F.lit(max(1, (BASE_DOCS * scale) // 1024))) == 0)
+        t0 = time.time()
+        centroids = label_seeded_centroids(emb)
+        cands = ivf_knn_candidates(probes, emb, centroids, k=20, nprobe=4, mode="knn")
+        _noop(cands)
+        times["ann_ivf_1k_probes"] = round(time.time() - t0, 2)
+        print(f"SCALE x{scale} ann_ivf_1k_probes: {times['ann_ivf_1k_probes']}s", file=sys.stderr)
+
+    if only is not None and "ann_pq_train_encode" not in only:
+        return times
 
     # PQ: the scaling-relevant stages are codebook training on a ~20k
     # hash sample and the full-corpus encode (the shortlist/rerank load

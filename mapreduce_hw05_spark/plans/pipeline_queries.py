@@ -23,7 +23,21 @@ from mapreduce_hw05_spark.plans.common import (
 )
 from mapreduce_hw05_spark.plans.registry import contract
 from mapreduce_hw05_spark.plans.similarity_queries import lsh_jaccard_pairs
-from mapreduce_hw05_spark.sources import load_table
+from mapreduce_hw05_spark.sources import dim_broadcast, load_table
+
+#: File-stat cap for broadcasting a DISTINCT-8-gram set derived from the
+#: documents table (the decontamination contracts' benchmark split).
+#: An order tighter than MAX_BROADCAST_DIM_BYTES because shingling
+#: inflates text ~8x before distinct (every token appears in up to 8
+#: grams) plus JVM string overhead — 16 MiB of source parquet is roughly
+#: the same in-memory broadcast as 128 MiB of a projected dimension.
+#: The r6 x1000 probe OOMed the 8g JVM on exactly this class: the
+#: fixture "benchmark" is a 1/16 hash split OF THE CORPUS, so the
+#: "eval sets stay small" boundedness claim does not govern the
+#: contract's own build side. Past the cap the SAME joins run
+#: planner-chosen — identical results, one extra exchange (forced
+#: no-hint identity test in tests/test_near_dup.py).
+MAX_BROADCAST_GRAM_SRC_BYTES = 16 * 1024 * 1024
 
 # --------------------------------------------------------------------------
 # Unigram-LM scoring — per-doc negative log-likelihood under the corpus
@@ -145,12 +159,17 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-8-grams appears in the held-out split (same deterministic ~1/16
     doc_id hash split as q_decontaminate).
 
-    Scale shape: the benchmark gram set is small (eval sets are, even at
-    100 TB of train) → broadcast left-semi join against the train gram
-    stream, which itself is explode-only (no shuffle) until the final
-    per-doc distinct + per-lang count. Production would hash grams to
-    64-bit before the join to shrink the broadcast; here the raw string
-    join keeps the oracle shape identical.
+    Scale shape: a PRODUCTION benchmark gram set is fixed-small (eval
+    suites don't grow with the train corpus) and always broadcasts; the
+    CONTRACT's benchmark, though, is a 1/16 hash split of the corpus
+    itself — corpus-proportional — so the hint is gated on a zero-action
+    file stat of the source table vs ``MAX_BROADCAST_GRAM_SRC_BYTES``
+    (the r6 x1000 probe OOMed the unconditional broadcast at 5 M docs).
+    Past the cap the same semi join runs planner-chosen — identical
+    results. The train gram stream is explode-only (no shuffle) until
+    the final per-doc distinct + per-lang count. Production would hash
+    grams to 64-bit before the join to shrink the broadcast; here the
+    raw string join keeps the oracle shape identical.
     """
     docs = spread_small(load_table(spark, sf_dir, "documents"))
     eligible = docs.filter(F.size(F.split(F.col("text"), " ")) >= 8)
@@ -164,8 +183,14 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         eligible.filter(split != "0"), 8, "text", "doc_id", "lang"
     )
     hits = (
-        # bounded: benchmark-split 8-gram set (fixed suite at production scale)
-        train_grams.join(F.broadcast(bench_grams), "shingle", "left_semi")
+        train_grams.join(
+            # corpus-split gram set: file-stat gated, see module constant
+            dim_broadcast(
+                bench_grams, sf_dir, "documents", MAX_BROADCAST_GRAM_SRC_BYTES
+            ),
+            "shingle",
+            "left_semi",
+        )
         .select("doc_id", "lang")
         .distinct()
     )
@@ -922,11 +947,15 @@ def q_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact arithmetic: distinct-gram and hit counts are BIGINT, the
     fraction is one exact-int divide (engine-identical) — no rounding.
-    Scale: gram explode is shuffle-free, the benchmark side is
-    broadcast-sized (eval sets stay small at 100 TB of train), and the
-    per-doc aggregate shuffles on doc_id like any rollup. The left join
-    + conditional sum (vs the semi-join in the drop contract) is what
-    yields the denominator for free.
+    Scale: gram explode is shuffle-free and the per-doc aggregate
+    shuffles on doc_id like any rollup. The benchmark side broadcasts
+    under the same file-stat gate as q_decontaminate_ngram
+    (``MAX_BROADCAST_GRAM_SRC_BYTES`` — the contract's "benchmark" is a
+    corpus split, so it grows with the corpus; a real fixed eval suite
+    always fits); past the cap the same left join runs planner-chosen —
+    identical results. The left join + conditional sum (vs the
+    semi-join in the drop contract) is what yields the denominator for
+    free.
     """
     docs = spread_small(load_table(spark, sf_dir, "documents"))
     eligible = docs.filter(F.size(F.split(F.col("text"), " ")) >= 8)
@@ -942,8 +971,10 @@ def q_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         grams.filter(g_split != "0")
         .join(
-            # bounded: benchmark-split 8-gram set (fixed suite at production scale)
-            F.broadcast(bench),
+            # corpus-split gram set: file-stat gated, see module constant
+            dim_broadcast(
+                bench, sf_dir, "documents", MAX_BROADCAST_GRAM_SRC_BYTES
+            ),
             grams["shingle"] == bench["gram"],
             "left",
         )

@@ -43,6 +43,17 @@ REGISTRY: dict[tuple[str, str], str | None] = {
     # negative claim: the subquery plans assert they DON'T fall back
     ("plans/subquery_queries.py", "<module>"): None,
     ("plans/pipeline_queries.py", "q_lm_score"): "MAX_BROADCAST_MODEL_ROWS",
+    # r6 x1000-probe fix: the decontamination contracts' benchmark-gram
+    # broadcast is corpus-proportional — file-stat gated
+    ("plans/pipeline_queries.py", "<module>"): (
+        "MAX_BROADCAST_GRAM_SRC_BYTES"
+    ),
+    ("plans/pipeline_queries.py", "q_decontaminate_ngram"): (
+        "MAX_BROADCAST_GRAM_SRC_BYTES"
+    ),
+    ("plans/pipeline_queries.py", "q_contamination_fraction"): (
+        "MAX_BROADCAST_GRAM_SRC_BYTES"
+    ),
     ("plans/pipeline_queries.py", "q_bigram_lm_score"): (
         "MAX_BROADCAST_MODEL_ROWS"
     ),

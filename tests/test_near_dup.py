@@ -467,6 +467,24 @@ def test_dim_broadcast_shuffled_route_matches_hinted(spark, monkeypatch):
         assert not compare_frames(got, want), name
 
 
+def test_gram_broadcast_shuffled_route_matches_hinted(spark, monkeypatch):
+    """r6 (found by the x1000 probe, OOM at 5 M docs): the
+    decontamination contracts' benchmark-gram broadcast is a CORPUS
+    split, not a fixed eval suite — it now routes through the file-stat
+    gate under ``MAX_BROADCAST_GRAM_SRC_BYTES``. With the cap forced to
+    0 (no hint, planner-chosen joins) each contract's frame must be
+    identical."""
+    from mapreduce_hw05_spark.plans import pipeline_queries as pq
+    from tests.conftest import compare_frames
+
+    for name in ("q_decontaminate_ngram", "q_contamination_fraction"):
+        want = QUERIES[name](spark, "/root/testdata/sf0.001").toPandas()
+        monkeypatch.setattr(pq, "MAX_BROADCAST_GRAM_SRC_BYTES", 0)
+        got = QUERIES[name](spark, "/root/testdata/sf0.001").toPandas()
+        monkeypatch.undo()
+        assert not compare_frames(got, want), name
+
+
 def test_table_bytes_stat_semantics():
     """The gate's stat: real table > 0, missing path = -1 ("unknown,
     assume big" — dim_broadcast must NOT hint then)."""
