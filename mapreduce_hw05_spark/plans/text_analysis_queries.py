@@ -29,7 +29,7 @@ from mapreduce_hw05_spark.functions.text_analysis import (
 from mapreduce_hw05_spark.operators.text import tokenize
 from mapreduce_hw05_spark.plans.common import lng, ratio, spread_small
 from mapreduce_hw05_spark.plans.registry import contract
-from mapreduce_hw05_spark.sources import load_table
+from mapreduce_hw05_spark.sources import dim_broadcast, load_table
 
 # --------------------------------------------------------------------------
 # Language identification — confusion counts actual×predicted
@@ -317,10 +317,13 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram / embedding / fuzzy).
 
     The pair space is deduped-key-sized, not row-sized: distinct names
-    first (one shuffle), then a broadcast self-join. At 100 TB the same
-    shape survives because name cardinality, not row count, bounds the
-    quadratic term; for high-cardinality keys the LSH/banding operators
-    are the scale path instead.
+    first (one shuffle), then a broadcast self-join. Name cardinality,
+    not row count, bounds the quadratic term — but TPC-H part names are
+    near-unique, so the hint is file-stat gated on the part table's
+    footprint; past the cap the same inequality join runs as a
+    partitioned cartesian (grindable compute instead of an executor-OOM
+    broadcast). For high-cardinality keys the LSH/banding operators are
+    the scale path instead.
     """
     part = load_table(spark, sf_dir, "part")
     names = part.select("p_name").distinct()
@@ -328,8 +331,11 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = names.select(F.col("p_name").alias("name_b"))
     dist = F.levenshtein("name_a", "name_b")
     return (
-        # bounded: name-cardinality-sized (docstring: LSH is the high-card path)
-        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        # key-cardinality-proportional: file-stat gated on the part table
+        a.join(
+            dim_broadcast(b, sf_dir, "part"),
+            F.col("name_a") < F.col("name_b"),
+        )
         .filter(dist <= 3)
         .select("name_a", "name_b", lng(dist).alias("dist"))
     )
@@ -1242,8 +1248,11 @@ def q_kfold_nb_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ~1e-13 drift). Docs whose tokens are all outside their fold's
     vocabulary drop out identically on both engines. At 100 TB: two
     corpus-sized aggregates (token counts, doc-label distincts), one
-    corpus-sized scoring join against a broadcast model — fold
-    parallelism is free because fold is just a column.
+    corpus-sized scoring join against the model — broadcast only while
+    the counted model fits under ``MAX_BROADCAST_MODEL_ROWS`` (the
+    vocabulary dimension is Heaps-, not constant-, bounded), shuffled
+    on (fold, lang, token) past it; fold parallelism is free because
+    fold is just a column.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(docs, "text", "doc_id", "lang").withColumn(
@@ -1316,11 +1325,27 @@ def q_kfold_nb_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["fold", "token"],
         "left_semi",
     )
+    # The likelihood table is (fold × lang × VOCAB)-sized — Heaps' law
+    # grows it sublinearly but WITHOUT bound (the r6 x1000 probe OOMed
+    # the unconditional broadcast: unique per-doc tokens put V near doc
+    # count). Count the persisted model once (also materializes the
+    # cache before the fan-out below) and route the scoring join the
+    # same way nb_score does; past the cap it runs shuffled — identical
+    # results, one extra exchange.
+    from mapreduce_hw05_spark.operators.naive_bayes import (
+        MAX_BROADCAST_MODEL_ROWS,
+    )
+
+    bcast_model = model.count() <= MAX_BROADCAST_MODEL_ROWS
     scores = (
-        # model-sized: per-fold class priors
+        # bounded: per-fold class priors (folds × label set)
         tfk.join(F.broadcast(priors), "fold")
-        # model-sized: fold x lang x token likelihoods (Heaps-bounded)
-        .join(F.broadcast(lik), ["fold", "lang", "token"], "left")
+        # counted: fold x lang x token likelihoods routed on model size
+        .join(
+            F.broadcast(lik) if bcast_model else lik,
+            ["fold", "lang", "token"],
+            "left",
+        )
         .groupBy("doc_id", "fold", "lang")
         .agg(
             (

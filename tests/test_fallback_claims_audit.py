@@ -75,6 +75,17 @@ REGISTRY: dict[tuple[str, str], str | None] = {
     ),
     ("streaming/ops.py", "apply_batch"): "max_broadcast_index_docs",
     ("operators/naive_bayes.py", "<module>"): "MAX_BROADCAST_MODEL_ROWS",
+    # r6 x1000-probe fix: kfold CV's vocab-sized likelihood broadcast
+    # routes on the counted model size like nb_score
+    ("plans/text_analysis_queries.py", "q_kfold_nb_accuracy"): (
+        "MAX_BROADCAST_MODEL_ROWS"
+    ),
+    # r6 sweep of the remaining corpus-proportional "bounded" tags:
+    # both route through the file-stat gate
+    ("plans/etl_queries.py", "q_decontaminate"): "dim_broadcast",
+    ("plans/text_analysis_queries.py", "q_fuzzy_name_match"): (
+        "dim_broadcast"
+    ),
     ("operators/graph.py", "pagerank"): "_PAGERANK_BROADCAST_NODE_LIMIT",
     ("operators/similarity.py", "<module>"): "maybe_broadcast",
     # r6: the file-stat dim gate itself (its docstring states the

@@ -459,12 +459,33 @@ def test_dim_broadcast_shuffled_route_matches_hinted(spark, monkeypatch):
         "q_tpch_q2_mincost",  # part + EU-supplier-keys hints
         "q_item_item_cosine", # part-bounded degree tables
         "q_multi_supplier_late",
+        "q_decontaminate",    # r6: corpus-split hash set (x1000 class)
+        "q_fuzzy_name_match", # r6: near-unique name keys → cartesian
     ):
         want = QUERIES[name](spark, "/root/testdata/sf0.001").toPandas()
         monkeypatch.setattr(fx, "MAX_BROADCAST_DIM_BYTES", 0)
         got = QUERIES[name](spark, "/root/testdata/sf0.001").toPandas()
         monkeypatch.undo()
         assert not compare_frames(got, want), name
+
+
+def test_kfold_model_shuffled_route_matches_broadcast(spark, monkeypatch):
+    """r6 (found by the x1000 probe, OOM at 5 M docs): q_kfold_nb_accuracy's
+    fold×lang×token likelihood broadcast is vocab-sized (Heaps-, not
+    constant-, bounded) — it now routes on the counted model size like
+    nb_score. Forcing the shuffled path must give an identical frame."""
+    from mapreduce_hw05_spark.operators import naive_bayes as nb
+    from tests.conftest import compare_frames
+
+    want = QUERIES["q_kfold_nb_accuracy"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    monkeypatch.setattr(nb, "MAX_BROADCAST_MODEL_ROWS", 0)
+    got = QUERIES["q_kfold_nb_accuracy"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    monkeypatch.undo()
+    assert not compare_frames(got, want)
 
 
 def test_gram_broadcast_shuffled_route_matches_hinted(spark, monkeypatch):
