@@ -47,20 +47,33 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
 def word_shingles(df: DataFrame, n: int = 2, text_col: str = "text",
                   *keep_cols: str) -> DataFrame:
     """One row per (keep_cols…, shingle): contiguous n-word grams.
+    Shingles (vs single tokens) make Jaccard sensitive to word ORDER,
+    which is what near-dup detection wants.
 
-    Built with transform(sequence(...)) over the split array — pure
-    Catalyst, pipelined inside codegen like tokenize(). Shingles (vs
-    single tokens) make Jaccard sensitive to word ORDER, which is what
-    near-dup detection wants.
+    The text is split ONCE into a materialized array column and each
+    gram is ``array_join(slice(toks, i, n))`` — O(n·L) per doc. The
+    first version kept ``split(text)`` as an unmaterialized expression
+    INSIDE the ``transform()`` lambda; higher-order-function lambdas
+    are interpreted (never codegen'd) and Catalyst does no
+    subexpression elimination across lambda elements, so the text was
+    re-split n times per SHINGLE — O(n·L²) interpreted evals per doc.
+    The r6 x1000 probe caught it: the 8-gram contracts at 5 M docs
+    spun 25+ min inside ``UTF8String.split`` without finishing one
+    task (jstack evidence in PERF.md); the rewrite is the same values
+    at every scale for docs with ≥ n tokens. Shorter docs now yield
+    zero shingles (the old expression errored under ANSI on them, so
+    every contract already pre-filters — unobservable).
     """
-    sp = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(sp) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(sp, i + j) for j in range(n)]
+    toks = F.split(F.col(text_col), " ")
+    with_toks = df.select(*keep_cols, toks.alias("__toks"))
+    grams = F.when(
+        F.size("__toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            lambda i: F.array_join(F.slice("__toks", i, n), " "),
         ),
-    )
-    return df.select(*keep_cols, F.explode(grams).alias("shingle"))
+    ).otherwise(F.array().cast("array<string>"))
+    return with_toks.select(*keep_cols, F.explode(grams).alias("shingle"))
 
 
 def chunk_documents(
