@@ -580,7 +580,9 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an ORDERED fold on both engines (aggregate HOF vs list_reduce
     over the same construction order), so the doubles are identical
     pre-rounding; avg() is a multi-doc sum, hence round 6 like its
-    sibling. All lambdas run inside codegen — no Python in the path.
+    sibling. All lambdas are JVM-side interpreted HOF eval (HOF lambdas
+    never codegen — see word_shingles' r6 lesson) — fine at 64 dims,
+    and still no Python in the path.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     d = F.col("embedding")
