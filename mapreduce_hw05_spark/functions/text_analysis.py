@@ -102,15 +102,31 @@ def char_ngram_fingerprint(
     """Winnowing-style fingerprint: min md5 over all char n-grams.
 
     A shared fingerprint ⇒ the documents share at least one n-char run —
-    the cheap first pass of containment/near-dup detection. Rolling over
-    positions via explode(sequence) stays in codegen.
+    the cheap first pass of containment/near-dup detection.
+
+    MAP-ONLY (r6): per doc, ``array_min(transform(positions, i ->
+    md5(substr(text, i, n))))`` — no explode, no aggregate, no shuffle.
+    The first version exploded the position sequence and aggregated
+    ``min(md5(gram))`` per doc: codegen'd, but every exploded row
+    carries the FULL text, so a 5 M-doc corpus moves ~1.8 TB of
+    Tungsten row copies through the explode (x1000 probe: stuck in
+    stage 1 / read-ahead OOM at 250 MB-per-task). The HOF lambda closes
+    over only the text ATTRIBUTE (a row-field read — cheap, exempt
+    under SURVEY §5 rule 10) and does O(n) work per element; measured
+    2× faster at x100 (12.7 s vs 24.2 s) on top of removing the
+    aggregate state entirely. Same values: identical position list
+    (docs shorter than n keep the old degenerate sequence semantics —
+    none exist in any fixture) and the same md5-hex min.
     """
-    pos = F.explode(F.sequence(F.lit(1), F.length(text_col) - (n - 1))).alias("i")
-    grams = docs.select(F.col(id_col), F.col(text_col), pos)
-    gram = F.expr(f"substring({text_col}, i, {n})")
-    return grams.groupBy(id_col).agg(
-        F.min(F.md5(gram.cast("binary"))).alias("fingerprint")
+    fp = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.length(text_col) - (n - 1)),
+            lambda i: F.md5(
+                F.col(text_col).substr(i, F.lit(n)).cast("binary")
+            ),
+        )
     )
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))
 
 
 def simhash16(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
