@@ -158,8 +158,8 @@ DRIVER_WINDOW_R5 = [
 #: the 64 never-driver-verified contracts, exactness-delicate stats and
 #: pair-emitting near-dup first, with the two two-pass-histogram quantile
 #: contracts promoted into the head per VERDICT r5 item 8 (the most
-#: scale-load-bearing of the pending set). Frozen once
-#: CORRECTNESS_r06.json lands (pinned like R2–R5).
+#: scale-load-bearing of the pending set). FROZEN — pinned against
+#: CORRECTNESS_r06.json (50/50 green) like R2–R5.
 DRIVER_WINDOW_R6 = [
     "q_benford_digits", "q_theil_deciles", "q_dp_noisy_counts",
     "q_spearman_corr", "q_mutual_information", "q_welch_ttest",
@@ -181,33 +181,28 @@ DRIVER_WINDOW_R6 = [
     "q_centroid_similarity", "q_l_diversity", "q_epoch_mixture_plan",
 ]
 
-#: The correctness driver verifies the FIRST 50 registered queries only
-#: (registration-order prefix of ``queries()``).
-DRIVER_WINDOW = DRIVER_WINDOW_R6
-
 #: ---------------------------------------------------------------------
-#: ROTATION SCHEDULE r6 → r8 (VERDICT r5 items 1, 5, 6). Every
-#: registered contract gets a driver-green CORRECTNESS row; the coverage
-#: test (`tests/test_registry_window.py`) enforces
-#: no-contract-left-behind.
+#: ROTATION SCHEDULE r7 → r9 (VERDICT r6 items 1, 3). Every registered
+#: contract gets a driver-green CORRECTNESS row; the coverage test
+#: (`tests/test_registry_window.py`) enforces no-contract-left-behind.
 #:
-#:   r6 (ACTIVE): ``DRIVER_WINDOW_R6`` — the 50-head of the pending pool
-#:       (see list above; the two displaced tail entries join the r7
-#:       pending remainder).
-#:   r7: ``DRIVER_WINDOW_R7_PENDING + DRIVER_WINDOW_R7_REVERIFY[:50 -
-#:       len(pending)]`` — pending remainder (14 + ≤6 r6 additions) then
-#:       the r1-core re-verification head (joins first: the
-#:       highest-churn plan surface).
-#:   r8: ``DRIVER_WINDOW_R7_REVERIFY`` remainder (6) +
-#:       ``DRIVER_WINDOW_R8_REVERIFY`` (44, pre-staged below) — the r2
-#:       similarity/UDF core, churn-first — keeping the window at 50.
-#:   r9+: remaining re-verifications (R2's 6 low-churn exclusions, the
-#:       r3 streaming/connector core) on the same pattern.
+#:   r7 (ACTIVE): ``DRIVER_WINDOW_R7`` = the last 14 never-driver-verified
+#:       contracts (``DRIVER_WINDOW_R7_PENDING``) + the head of the
+#:       r1-core re-verification set (``DRIVER_WINDOW_R7_REVERIFY[:36]``,
+#:       joins first — the highest-churn plan surface). Clears the
+#:       never-verified pool to ZERO.
+#:   r8: ``DRIVER_WINDOW_R7_REVERIFY[36:]`` (6) + the churn-first head
+#:       ``DRIVER_WINDOW_R8_CHURN`` (r3-verified contracts whose
+#:       plans/oracles changed in r5–r7 — r6 ADVICE) +
+#:       ``DRIVER_WINDOW_R8_REVERIFY[: 50 - 6 - len(churn)]`` — the r2
+#:       similarity/UDF core; the displaced R8_REVERIFY tail joins r9.
+#:   r9+: R8_REVERIFY remainder, R2's 6 low-churn exclusions, the r3
+#:       streaming/connector core on the same pattern.
 #: ---------------------------------------------------------------------
 
-#: Never-driver-verified contracts remaining after the r6 swap (14).
-#: Append ANY new contract here or the rotation-coverage test fails
-#: (keep total ≤ 20 per VERDICT r5 item 5 so r7 clears the pool).
+#: The last never-driver-verified contracts (cleared by the r7 window).
+#: Append ANY new contract to ``DRIVER_WINDOW_R8_PENDING`` below or the
+#: rotation-coverage test fails.
 DRIVER_WINDOW_R7_PENDING = [
     "q_span_corruption", "q_dedup_survivorship", "q_array_hof",
     "q_referential_integrity", "q_forward_fill", "q_weighted_median",
@@ -244,9 +239,34 @@ DRIVER_WINDOW_R7_REVERIFY = [
     "q_date_funcs", "q_map_funcs",
 ]
 
+#: The ACTIVE r7 window: pending remainder first (clears the
+#: never-driver-verified pool), then the r1 relational-core
+#: re-verification head. Frozen once CORRECTNESS_r07.json lands.
+DRIVER_WINDOW_R7 = list(DRIVER_WINDOW_R7_PENDING) + DRIVER_WINDOW_R7_REVERIFY[:36]
+
+#: The correctness driver verifies the FIRST 50 registered queries only
+#: (registration-order prefix of ``queries()``).
+DRIVER_WINDOW = DRIVER_WINDOW_R7
+
+#: NEW contracts registered in r7 (never driver-verified). Append any
+#: new contract here — they take the head of the r8 window alongside
+#: DRIVER_WINDOW_R8_CHURN. Keep ≤ 6 (VERDICT r6 item 3).
+DRIVER_WINDOW_R8_PENDING: list[str] = []
+
+#: Churn-first re-verification head for r8 (r6 ADVICE): contracts whose
+#: plan or oracle changed AFTER their last driver-green round and that
+#: are not already in the r7/r8 windows. q_logreg_train: r3-verified,
+#: output schema + oracle gained ``n_fit`` in r6. q_hard_negatives:
+#: r6-verified, brute-force→IVF counted routing added in r7.
+DRIVER_WINDOW_R8_CHURN = [
+    "q_logreg_train", "q_hard_negatives",
+]
+
 #: r2-core re-verification tranche (r8 window, pre-staged in r6): the
 #: r8 window is ``DRIVER_WINDOW_R7_REVERIFY[36:]`` (the 6 displaced by
-#: the r7 pending head) + these 44 — the r2-verified similarity / UDF /
+#: the r7 pending head) + ``DRIVER_WINDOW_R8_PENDING`` +
+#: ``DRIVER_WINDOW_R8_CHURN`` + the head of these 44 — the r2-verified
+#: similarity / UDF /
 #: near-dup / streaming-batch-twin core, none driver-checked since r2.
 #: Curated churn-first: several of these had plan-level changes in
 #: r5/r6 (near-dup size-table gates, dim_broadcast on q_tpch_q3,
@@ -312,7 +332,10 @@ __all__ = [
     "DRIVER_WINDOW_R4",
     "DRIVER_WINDOW_R5",
     "DRIVER_WINDOW_R6",
+    "DRIVER_WINDOW_R7",
     "DRIVER_WINDOW_R7_PENDING",
     "DRIVER_WINDOW_R7_REVERIFY",
+    "DRIVER_WINDOW_R8_PENDING",
+    "DRIVER_WINDOW_R8_CHURN",
     "DRIVER_WINDOW_R8_REVERIFY",
 ]
