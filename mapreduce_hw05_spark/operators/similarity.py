@@ -13,10 +13,14 @@ Per-row vector math must NOT go through Catalyst higher-order functions
   fits in executor memory (≈ millions of 64-dim vectors).
 - The *probe* side streams through ``mapInPandas`` in Arrow batches; each
   batch does one ``V @ M.T`` BLAS call in float64.
-- At 100-TB scale the reference side no longer fits: gate behind LSH
-  banding (near-dup) or IVF-style coarse quantization (centroid routing
-  via the same kernel, then per-bucket brute force). ``minhash_signatures``
-  + ``lsh_candidate_pairs`` below implement the LSH path.
+- At 100-TB scale the reference side no longer fits one executor: the
+  exact kernels COUNT the reference and route past
+  MAX_BROADCAST_REFERENCE_ROWS to ``_blocked_exact_search`` — the same
+  BLAS kernel per hash-partitioned reference block via cogroup,
+  result-identical, still O(n_probe × n_ref) work. To CUT the quadratic
+  work itself (approximate), use LSH banding (``minhash_signatures`` +
+  ``lsh_candidate_pairs`` below) or IVF coarse quantization
+  (operators.ann).
 
 All similarities are computed in float64 so results agree with a
 double-precision SQL oracle to ~1e-15 (round-to-6 is then hash-stable).
@@ -46,9 +50,18 @@ def _l2_normalize(mat: np.ndarray) -> np.ndarray:
 
 
 #: Hard cap on broadcast-able reference rows (~2 GB at 64-dim float64).
-#: Beyond this, brute force is the wrong physical strategy — route through
-#: operators.ann (IVF) or LSH banding instead.
+#: Past this, the exact cosine kernels switch PHYSICAL strategy (counted
+#: routing, not a fail-fast): the reference is hash-partitioned into
+#: :data:`EXACT_SEARCH_BLOCK_ROWS`-sized blocks and searched with the
+#: same BLAS kernel per block via cogroup — see
+#: :func:`_blocked_exact_search`. Result-identical; the broadcast path
+#: is only a latency optimization.
 MAX_BROADCAST_REFERENCE_ROWS = 4_000_000
+
+#: Per-reference-block row budget for the blocked exact fallback
+#: (~270 MB of 64-dim float64 per block) — sized so one block plus one
+#: probe Arrow batch fit comfortably inside a single executor task.
+EXACT_SEARCH_BLOCK_ROWS = 524_288
 
 #: Broadcast cap for per-doc token-ARRAY tables in the exact-Jaccard
 #: verify joins (batch ``lsh_jaccard_pairs`` and the streaming admission
@@ -78,26 +91,139 @@ def maybe_broadcast(
     return F.broadcast(df) if n_rows <= limit else df
 
 
-def _reference_matrix(df: DataFrame, id_col: str, vec_col: str, normalize: bool):
+def _reference_matrix(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    normalize: bool,
+    n_ref: int | None = None,
+):
     """Materialize the reference side as (ids, float64 matrix).
 
     Driver-side collect is intentional and bounded — identical role to a
-    broadcast hash join's build side. The row gate fails fast with a
-    pointer to the IVF path rather than letting a 100-TB reference OOM
+    broadcast hash join's build side. Callers that already counted the
+    reference (the counted-routing wrappers) pass ``n_ref``; direct
+    callers get the fail-fast gate so a 100-TB reference can never OOM
     the driver.
     """
-    n_ref = df.count()
+    if n_ref is None:
+        n_ref = df.count()
     if n_ref > MAX_BROADCAST_REFERENCE_ROWS:
         raise ValueError(
             f"reference side has {n_ref} rows (cap "
             f"{MAX_BROADCAST_REFERENCE_ROWS}); broadcast brute force would "
-            "OOM the driver — use operators.ann.ivf_knn_candidates (IVF) "
-            "or LSH banding instead"
+            "OOM the driver — use the counted-routing kernels "
+            "(cosine_pairs_topk_per_row / cosine_pairs_above), "
+            "operators.ann.ivf_knn_candidates (IVF), or LSH banding"
         )
     pdf = df.select(id_col, vec_col).toPandas()  # bounded: gated by MAX_BROADCAST_REFERENCE_ROWS above
     ids = pdf[id_col].to_numpy(dtype=np.int64)
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     return ids, _l2_normalize(mat) if normalize else mat
+
+
+def _blocked_exact_search(
+    probe: DataFrame,
+    reference: DataFrame,
+    n_ref: int,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int | None = None,
+    threshold: float | None = None,
+    mode: str = "pairs",
+    normalize: bool = True,
+) -> DataFrame:
+    """EXACT distributed brute-force cosine search — the physical
+    strategy the counted routers pick when the reference side exceeds
+    :data:`MAX_BROADCAST_REFERENCE_ROWS`.
+
+    Shape: hash-partition the reference into
+    ``ceil(n_ref / EXACT_SEARCH_BLOCK_ROWS)`` blocks, replicate every
+    probe row to every block (``explode`` over a literal block range — a
+    generator in codegen, no join; the replication factor IS the
+    algorithm's cost), cogroup both sides on block id, and run the same
+    float64 BLAS kernel per (probe-slice, block) with ``applyInPandas``.
+
+    Result-identical to the broadcast kernel: the blocks PARTITION the
+    reference, so per-block threshold filtering distributes trivially
+    (each (id1, id2) pair lands in exactly one block) and the union of
+    per-block top-k is a superset of the true per-probe top-k — the
+    caller reduces it with the identical (round(sim,6) DESC, id2 ASC)
+    order. Per-pair sims are single float64 dot products of the same
+    normalized vectors, so values match the broadcast path bit-for-bit
+    (forced-route identity test in tests/test_engine_ops.py).
+
+    Scale: no executor ever holds more than one reference block; the
+    only shuffle is on block id. ``k`` xor ``threshold`` selects top-k
+    vs threshold semantics.
+    """
+    if (k is None) == (threshold is None):
+        raise ValueError("exactly one of k / threshold required")
+    n_blocks = max(1, -(-n_ref // EXACT_SEARCH_BLOCK_ROWS))
+    ref_blocked = reference.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("block"),
+        F.col(id_col).alias("ref_id"),
+        F.col(vec_col).alias("ref_vec"),
+    )
+    routed = probe.select(
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_blocks - 1).cast("long"))
+        ).alias("block"),
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+    )
+
+    def search(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id1": [], "id2": [], "sim": []}).astype(
+            {"id1": np.int64, "id2": np.int64, "sim": np.float64}
+        )
+        if left.empty or right.empty:
+            return empty
+        pids = left["probe_id"].to_numpy(dtype=np.int64)
+        rids = right["ref_id"].to_numpy(dtype=np.int64)
+        P = np.stack(left["probe_vec"].to_numpy()).astype(np.float64)
+        R = np.stack(right["ref_vec"].to_numpy()).astype(np.float64)
+        if normalize:
+            P, R = _l2_normalize(P), _l2_normalize(R)
+        sims = P @ R.T
+        if threshold is not None:
+            keep = (sims >= threshold) & (rids[None, :] > pids[:, None])
+            rows, cols = np.nonzero(keep)
+            if not rows.size:
+                return empty
+            return pd.DataFrame(
+                {
+                    "id1": pids[rows],
+                    "id2": rids[cols],
+                    "sim": sims[rows, cols],
+                }
+            )
+        out_id1, out_id2, out_sim = [], [], []
+        for row, pid in enumerate(pids):
+            mask = rids > pid if mode == "pairs" else rids != pid
+            cand_ids, cand_sims = rids[mask], sims[row, mask]
+            if cand_ids.size == 0:
+                continue
+            order = np.lexsort((cand_ids, -np.round(cand_sims, 6)))[:k]
+            out_id1.append(np.full(order.size, pid, dtype=np.int64))
+            out_id2.append(cand_ids[order])
+            out_sim.append(cand_sims[order])
+        if not out_id1:
+            return empty
+        return pd.DataFrame(
+            {
+                "id1": np.concatenate(out_id1),
+                "id2": np.concatenate(out_id2),
+                "sim": np.concatenate(out_sim),
+            }
+        )
+
+    return (
+        routed.groupby("block")
+        .cogroup(ref_blocked.groupby("block"))
+        .applyInPandas(search, schema=_PAIR_SCHEMA)
+    )
 
 
 def cosine_pairs_topk_per_row(
@@ -119,9 +245,40 @@ def cosine_pairs_topk_per_row(
     row_number() semantics match a SQL oracle exactly. All math is
     float64 (cast + L2-normalize + dot), matching a double-precision SQL
     oracle to ~1e-15.
+
+    Counted physical routing: while the reference fits under
+    MAX_BROADCAST_REFERENCE_ROWS it is collected + broadcast (one BLAS
+    call per probe Arrow batch); past the cap the SAME search runs
+    blocked-and-distributed (``_blocked_exact_search`` + a per-probe
+    window reduction with the identical tie-break) — result-identical,
+    forced-route identity test in tests/test_engine_ops.py.
     """
     spark = probe.sparkSession
-    ref_ids, ref_mat = _reference_matrix(reference, id_col, vec_col, normalize)
+    n_ref = reference.count()  # counted gate: picks the physical strategy
+    if n_ref > MAX_BROADCAST_REFERENCE_ROWS:
+        from pyspark.sql import Window
+
+        cands = _blocked_exact_search(
+            probe,
+            reference,
+            n_ref,
+            id_col,
+            vec_col,
+            k=k,
+            mode=mode,
+            normalize=normalize,
+        )
+        w = Window.partitionBy("id1").orderBy(
+            F.round("sim", 6).desc(), F.col("id2")
+        )
+        return (
+            cands.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    ref_ids, ref_mat = _reference_matrix(
+        reference, id_col, vec_col, normalize, n_ref=n_ref
+    )
     bc = spark.sparkContext.broadcast((ref_ids, ref_mat))
 
     def kernel(batches):
@@ -417,12 +574,24 @@ def cosine_pairs_above(
 
     Same broadcast+mapInPandas shape as the top-k kernel; the threshold
     filter happens inside the NumPy batch so only qualifying pairs ever
-    materialize as rows. At reference sizes beyond executor memory this
-    routes through IVF bucketing (operators.ann) with threshold instead
-    of top-k selection.
+    materialize as rows. Counted physical routing: past
+    MAX_BROADCAST_REFERENCE_ROWS the SAME search runs
+    blocked-and-distributed (``_blocked_exact_search`` with threshold
+    semantics — blocks partition id2, so no reduction is needed and each
+    qualifying pair is emitted exactly once). Result-identical;
+    forced-route identity test in tests/test_engine_ops.py. For
+    APPROXIMATE sub-quadratic search prefer operators.ann (IVF /
+    sign-LSH) — this kernel is the exact path.
     """
     spark = df.sparkSession
-    ref_ids, ref_mat = _reference_matrix(df, id_col, vec_col, normalize=True)
+    n_ref = df.count()  # counted gate: picks the physical strategy
+    if n_ref > MAX_BROADCAST_REFERENCE_ROWS:
+        return _blocked_exact_search(
+            df, df, n_ref, id_col, vec_col, threshold=threshold
+        )
+    ref_ids, ref_mat = _reference_matrix(
+        df, id_col, vec_col, normalize=True, n_ref=n_ref
+    )
     bc = spark.sparkContext.broadcast((ref_ids, ref_mat))
 
     def kernel(batches):

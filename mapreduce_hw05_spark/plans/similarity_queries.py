@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from mapreduce_hw05_spark.operators import similarity as _sim
 from mapreduce_hw05_spark.operators.similarity import (
     cosine_pairs_topk_per_row,
     global_topk_pairs,
@@ -68,9 +69,11 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most-cosine-similar embedding pairs.
 
     Scale: per-row top-k against a broadcast reference matrix (the global
-    top-k is a subset of the per-row top-k union); at reference sizes
-    beyond executor memory this routes through LSH/IVF blocking instead
-    (operators.similarity module doc).
+    top-k is a subset of the per-row top-k union); the kernel's counted
+    gate routes through the blocked-and-distributed exact search past
+    MAX_BROADCAST_REFERENCE_ROWS (result-identical — see
+    cosine_pairs_topk_per_row). For sub-quadratic APPROXIMATE search use
+    the IVF/PQ contracts (q_ann_ivf_topk, q_ann_pq_topk).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_pairs_topk_per_row(emb, emb, "vec_id", "embedding", k=20, mode="pairs")
@@ -477,6 +480,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = label_seeded_centroids(emb)
     res = semantic_dedup(emb, centroids, threshold).cache()
+    n_vecs = res.count()  # counted gate for the vec-sized dim joins below
 
     pairs = cosine_pairs_above(emb, threshold, "vec_id", "embedding")
     a = res.select(
@@ -490,12 +494,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kept").alias("k2"),
     )
     same_cluster = (
-        # bounded: vec-count-sized, ≤ MAX_BROADCAST_REFERENCE_ROWS — the
-        # all-pairs kernel upstream (cosine_pairs_above) raises past the
-        # same cap, so these frames never exceed it when this plan runs
-        pairs.join(F.broadcast(a), "id1")
-        # bounded: same cap as the id1 side above
-        .join(F.broadcast(b), "id2")
+        # counted routing on n_vecs: broadcast these skinny vec-sized
+        # (id, cluster, kept) dims only while they fit the reference cap
+        pairs.join(
+            maybe_broadcast(a, n_vecs, _sim.MAX_BROADCAST_REFERENCE_ROWS), "id1"
+        )
+        .join(maybe_broadcast(b, n_vecs, _sim.MAX_BROADCAST_REFERENCE_ROWS), "id2")
         .filter(F.col("c1") == F.col("c2"))
     )
     n_bad_kept = same_cluster.filter(F.col("k1") & F.col("k2")).count()
@@ -507,7 +511,6 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(covered, "vec_id", "left_anti")
         .count()
     )
-    n_vecs = res.count()
     res.unpersist()
     return spark.createDataFrame(
         [(n_vecs, int(centroids.shape[0]), n_bad_kept == 0, n_uncovered == 0)],
@@ -1123,11 +1126,13 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction step of contrastive embedding training.
 
     The engine loops the (label-count-sized) label set driver-side and
-    runs the broadcast BLAS top-1 kernel per label with the
+    runs the counted-routing BLAS top-1 kernel per label with the
     opposite-label reference — per anchor the negative pool is exact,
     never a filter-after-top-k that could miss when an anchor's
-    neighborhood is same-label. At reference sizes past the broadcast
-    gate each per-label search routes through IVF, same as kNN. The
+    neighborhood is same-label. Each per-label search inherits the
+    kernel's counted gate: broadcast BLAS under
+    MAX_BROADCAST_REFERENCE_ROWS, the blocked-and-distributed exact
+    search past it (result-identical — cosine_pairs_topk_per_row). The
     oracle is the quadratic different-label argmax.
     """
     from mapreduce_hw05_spark.operators.similarity import (
@@ -1135,6 +1140,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()  # counted gate for the vec-sized label joins below
     anchors = emb.filter(F.col("vec_id") % 7 == 0)
     labels = [r["label"] for r in emb.select("label").distinct().collect()]  # model-sized: distinct labels
     per_label = [
@@ -1153,15 +1159,16 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         mined = mined.union(p)
     lbl = emb.select("vec_id", "label")
     return (
-        # bounded: vec-count-sized, ≤ MAX_BROADCAST_REFERENCE_ROWS — the
-        # per-label BLAS kernel upstream raises past the same cap
+        # counted routing on n_vecs: broadcast the skinny (id, label)
+        # dims only while they fit the reference cap
         mined.join(
-            F.broadcast(lbl.withColumnRenamed("vec_id", "id1")
-                        .withColumnRenamed("label", "label1")), "id1")
+            maybe_broadcast(lbl.withColumnRenamed("vec_id", "id1")
+                            .withColumnRenamed("label", "label1"),
+                            n_vecs, _sim.MAX_BROADCAST_REFERENCE_ROWS), "id1")
         .join(
-            # bounded: same cap as the id1 side above
-            F.broadcast(lbl.withColumnRenamed("vec_id", "id2")
-                        .withColumnRenamed("label", "label2")), "id2")
+            maybe_broadcast(lbl.withColumnRenamed("vec_id", "id2")
+                            .withColumnRenamed("label", "label2"),
+                            n_vecs, _sim.MAX_BROADCAST_REFERENCE_ROWS), "id2")
         .select(
             "id1",
             lng(F.col("label1")).alias("label1"),
