@@ -116,7 +116,11 @@ def char_ngram_fingerprint(
     2× faster at x100 (12.7 s vs 24.2 s) on top of removing the
     aggregate state entirely. Same values: identical position list
     (docs shorter than n keep the old degenerate sequence semantics —
-    none exist in any fixture) and the same md5-hex min.
+    none exist in any fixture) and the same md5-hex min. Same ROWS too
+    (r6 ADVICE): NULL-text docs produce a NULL fingerprint and are
+    DROPPED — the explode+groupBy original emitted no row for them, so
+    the map-only rewrite filters them out explicitly rather than leaking
+    a spurious all-NULL fingerprint group.
     """
     fp = F.array_min(
         F.transform(
@@ -126,7 +130,9 @@ def char_ngram_fingerprint(
             ),
         )
     )
-    return docs.select(F.col(id_col), fp.alias("fingerprint"))
+    return docs.select(F.col(id_col), fp.alias("fingerprint")).where(
+        F.col("fingerprint").isNotNull()
+    )
 
 
 def simhash16(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:

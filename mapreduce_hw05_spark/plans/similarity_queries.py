@@ -219,11 +219,16 @@ def _verify_jaccard_on_candidates(
     per-doc SET-SIZE table and pruned on the ratio bound implied by the
     threshold — ``J(A,B) ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t`` (since
     ``|A∩B| ≤ min`` and ``|A∪B| ≥ max``), so it can only drop pairs the
-    exact Jaccard filter would drop anyway. The 1e-9 epsilon absorbs
-    the one-ulp rounding of ``max·t`` at exact-tie pairs (real at e.g.
+    exact Jaccard filter would drop anyway. The slack absorbs the
+    one-ulp rounding of ``max·t`` at exact-tie pairs (real at e.g.
     t=7/51, where ``51*t`` rounds above 7 while the verify's own double
-    ``7/51 ≥ t`` holds — regression test in tests/test_near_dup.py);
-    pairs admitted by the slack are re-checked exactly downstream.
+    ``7/51 ≥ t`` holds — regression test in tests/test_near_dup.py) and
+    is SCALE-RELATIVE (r6 ADVICE): a bare absolute 1e-9 stops covering
+    the ulp of ``max·t`` once max exceeds ~4 M distinct elements, so the
+    bound multiplies in a 1e-12 relative term that tracks the product's
+    own ulp at any document size. Pairs admitted by the slack are
+    re-checked exactly downstream — the slack can only ADMIT extra
+    pairs, never drop one the verify would keep.
     Measured (PERF.md r6): x1000 realistic-sparsity corpus (5 M docs)
     has 136.5 M candidates and the prefilter prunes 58.6 % of them —
     a 2.4× cut of the array-payload shuffle that dominates the verify
@@ -237,7 +242,10 @@ def _verify_jaccard_on_candidates(
     z1 = sizes.withColumnsRenamed({"doc_id": "id1", "sz": "sz1"})
     z2 = sizes.withColumnsRenamed({"doc_id": "id2", "sz": "sz2"})
     ratio_ok = F.least("sz1", "sz2").cast("double") >= (
-        F.greatest("sz1", "sz2").cast("double") * F.lit(threshold) - F.lit(1e-9)
+        F.greatest("sz1", "sz2").cast("double")
+        * F.lit(threshold)
+        * F.lit(1.0 - 1e-12)
+        - F.lit(1e-9)
     )
     slim = (
         cands.join(maybe_broadcast(z1, n_docs, broadcast_doc_limit), "id1")

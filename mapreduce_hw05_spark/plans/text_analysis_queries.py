@@ -201,8 +201,11 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint collisions: documents sharing a minimum
     char-8-gram md5 — the cheap first pass of containment detection.
-    explode(sequence) stays in codegen; the per-doc min is partial-agg
-    friendly so the n-gram blowup never shuffles."""
+    The per-doc fingerprint is MAP-ONLY (``array_min(transform(...))`` —
+    no explode, no per-doc aggregate; see char_ngram_fingerprint's
+    docstring for the r6 explode-blowup story), so the only shuffle is
+    the final count-per-fingerprint group-by, which partial-aggregates
+    to one skinny row per distinct fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
     fps = char_ngram_fingerprint(docs, "text", "doc_id", n=8)
     return (

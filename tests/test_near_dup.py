@@ -567,3 +567,22 @@ def test_blocked_exact_search_bit_identical_sims(spark, monkeypatch):
     monkeypatch.undo()
     assert got_topk == want_topk  # exact float equality, no rounding
     assert got_thr == want_thr
+
+
+def test_char_ngram_fingerprint_drops_null_text(spark):
+    """r6 ADVICE: the map-only fingerprint must keep the original
+    explode+groupBy ROW semantics — NULL-text docs produced no exploded
+    grams, hence no row; the map-only select must filter its NULL
+    fingerprints so >=2 NULL-text docs can never form a spurious
+    NULL-fingerprint collision group."""
+    from mapreduce_hw05_spark.functions.text_analysis import (
+        char_ngram_fingerprint,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = char_ngram_fingerprint(docs, "text", "doc_id", n=8).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert all(r["fingerprint"] is not None for r in rows)
