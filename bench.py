@@ -132,6 +132,23 @@ def main() -> None:
     times = _spawn_part("headline")
     heavy = _spawn_part("heavy")
 
+    if "--perf-table" in sys.argv[1:]:
+        # Render PERF.md's round-close markdown table from the SAME
+        # numbers the driver records (VERDICT r6 item 8: one protocol,
+        # one script — round-over-round numbers stop living in two
+        # places). stdout still ends with the single JSON line below.
+        print("| suite | query | warm sec |", file=sys.stderr)
+        print("| --- | --- | --- |", file=sys.stderr)
+        for k, v in times.items():
+            print(f"| headline | {k} | {v} |", file=sys.stderr)
+        for k, v in heavy.items():
+            print(f"| heavy | {k} | {v} |", file=sys.stderr)
+        print(
+            f"| totals | headline {round(sum(times.values()), 2)} s "
+            f"| heavy {round(sum(heavy.values()), 2)} s |",
+            file=sys.stderr,
+        )
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:

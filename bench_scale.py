@@ -320,6 +320,113 @@ def run_graphs(spark: SparkSession, edge_counts: list[int]) -> dict:
     return times
 
 
+def gen_lineitem(spark: SparkSession, scale: int) -> DataFrame:
+    """Synthetic (l_orderkey, l_partkey) at ``scale``× the sf0.1 shape:
+    150k·x orders, 1-7 lines each (avg 4 → 600k·x lines), partkey
+    Zipf-ish over 20k·x parts (u² piles popularity on low ids, so hot
+    parts exist — the property that makes the co-purchase graph DENSE,
+    avg degree ~120, unlike ``gen_edges``'s sparse power-law)."""
+    n_orders = 150_000 * scale
+    n_parts = 20_000 * scale
+    orders = spark.range(n_orders).withColumnRenamed("id", "l_orderkey")
+    n_lines = (F.lit(1) + F.pmod(F.xxhash64("l_orderkey", F.lit(51)), F.lit(7))).cast(
+        "int"
+    )
+    lines = orders.select(
+        "l_orderkey",
+        F.explode(F.sequence(F.lit(1), n_lines)).alias("ln"),
+    )
+    part = F.floor(
+        F.lit(n_parts) * F.pow(_u(F.col("l_orderkey"), F.col("ln"), F.lit(52)), F.lit(2.0))
+    ).cast("long")
+    return lines.select("l_orderkey", part.alias("l_partkey"))
+
+
+def run_copurchase(spark: SparkSession, scales: list[int]) -> dict:
+    """x-scaled DENSE co-purchase probe (VERDICT r6 item 5): build the
+    synthetic lineitem, time the REAL ``copurchase_edges`` self-join +
+    distinct (itself a pipeline stage worth probing), then run the graph
+    battery on the resulting edges. The fixture graph is 1.196 M edges /
+    20 k nodes at sf0.1, so x100 ≈ 120 M and x1000 ≈ 1.2 B edges.
+    ``SPARK_GRAFT_SCALE_OPS=a,b`` restricts ops (same convention as
+    ``run_scale``) — needed where the dense graph's inherent Σd²_out
+    path-2 volume is single-node infeasible (triangle/link-pred past
+    x10; a cluster spreads the salted tasks, one machine's disk can't)."""
+    from mapreduce_hw05_spark.operators.graph import (
+        connected_components,
+        cooccurrence_edges_min_support,
+        copurchase_edges,
+        kcore_rounds,
+        label_propagation,
+        pagerank,
+        sssp,
+        triangle_count,
+        undirected,
+    )
+
+    only = set(
+        filter(None, os.environ.get("SPARK_GRAFT_SCALE_OPS", "").split(","))
+    ) or None
+
+    def _sssp(e: DataFrame) -> DataFrame:
+        sym = undirected(e).withColumn("w", F.lit(1) + F.col("dst") % 9)
+        seeds = (
+            sym.select(F.col("src").alias("node"))
+            .filter(F.col("node") % 97 == 0)
+            .distinct()
+        )
+        return sssp(sym, seeds, rounds=6)
+
+    times: dict = {}
+    for scale in scales:
+        li_path = os.path.join(SCRATCH, "copurchase", f"x{scale}", "lineitem.parquet")
+        if not os.path.exists(li_path):
+            gen_lineitem(spark, scale).repartition(32).write.mode("overwrite").parquet(
+                li_path
+            )
+        li = spark.read.parquet(li_path)
+        row: dict = {}
+
+        # the edge-construction stage itself: keyed self-join + distinct
+        edge_path = os.path.join(SCRATCH, "copurchase", f"x{scale}", "edges.parquet")
+        if only is None or "copurchase_edges" in only or not os.path.exists(edge_path):
+            t0 = time.time()
+            if not os.path.exists(edge_path):
+                copurchase_edges(li).repartition(32).write.mode("overwrite").parquet(
+                    edge_path
+                )
+            else:
+                _noop(copurchase_edges(li))
+            row["copurchase_edges"] = round(time.time() - t0, 2)
+            print(
+                f"COPURCHASE x{scale} copurchase_edges: {row['copurchase_edges']}s",
+                file=sys.stderr,
+            )
+        edges = spark.read.parquet(edge_path)
+        row["edges"] = edges.count()
+
+        for name, fn in (
+            ("triangle_count", lambda e: triangle_count(e)),
+            ("connected_components", lambda e: connected_components(e)),
+            ("pagerank", lambda e: pagerank(e, iterations=10)),
+            ("label_propagation", lambda e: label_propagation(undirected(e), rounds=4)),
+            ("sssp", _sssp),
+            ("kcore_rounds", lambda e: kcore_rounds(e, k=150, rounds=3)),
+            (
+                "cooccurrence_min_support",
+                lambda e: cooccurrence_edges_min_support(li, min_orders=2),
+            ),
+        ):
+            if only is not None and name not in only:
+                continue
+            t0 = time.time()
+            _noop(fn(edges))
+            row[name] = round(time.time() - t0, 2)
+            print(f"COPURCHASE x{scale} {name}: {row[name]}s", file=sys.stderr)
+        times[f"x{scale}"] = row
+    return times
+
+
 def run_ranges(spark, row_counts: list[int]) -> dict:
     """Key-less range joins at sizes where the nested-loop plan Catalyst
     would otherwise pick is O(n·m)-infeasible (PERF.md: 1 M × 1 M is
@@ -370,6 +477,36 @@ def main() -> None:
     from mapreduce_hw05_spark.session import get_spark
 
     spark = get_spark("bench_scale")
+    # Rig sizing for the largest probes (the cluster_scale_confs rule
+    # made local): at x1000 graph scale (1.2 B edges) the session's
+    # 32-partition default puts ~37 M rows in one shuffle task — past any
+    # reasonable heap. SPARK_GRAFT_SHUFFLE_PARTITIONS resizes the probe
+    # session; pair it with SPARK_DRIVER_MEMORY (both recorded in
+    # PERF.md rows that use them).
+    parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if parts:
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+    if "ensure" in sys.argv[1:]:
+        # One-command corpus materialization (VERDICT r6 item 8): build /
+        # reuse the cached synthetic corpora for the given scales without
+        # running any op, so a later probe session starts from warm
+        # parquet. `bench_scale.py ensure 1000` = the x1000 corpus;
+        # `bench_scale.py ensure copurchase 100` = the dense graph.
+        scales = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1000]
+        made = {}
+        for scale in scales:
+            if "copurchase" in sys.argv[1:]:
+                path = os.path.join(SCRATCH, "copurchase", f"x{scale}")
+                li_path = os.path.join(path, "lineitem.parquet")
+                if not os.path.exists(li_path):
+                    gen_lineitem(spark, scale).repartition(32).write.mode(
+                        "overwrite"
+                    ).parquet(li_path)
+                made[f"x{scale}"] = path
+            else:
+                made[f"x{scale}"] = ensure_corpus(spark, scale)
+        print(json.dumps({"metric": "ensure_corpus", "paths": made}))
+        return
     if "ranges" in sys.argv[1:]:
         counts = [int(a) for a in sys.argv[1:] if a.isdigit()] or [
             100_000,
@@ -377,6 +514,11 @@ def main() -> None:
         ]
         print(json.dumps({"metric": "range_join_scale_stress", "unit": "sec",
                           "ranges": run_ranges(spark, counts)}))
+        return
+    if "copurchase" in sys.argv[1:]:
+        scales = [int(a) for a in sys.argv[1:] if a.isdigit()] or [10]
+        print(json.dumps({"metric": "copurchase_scale_stress", "unit": "sec",
+                          "copurchase": run_copurchase(spark, scales)}))
         return
     if "graphs" in sys.argv[1:]:
         counts = [int(a) for a in sys.argv[1:] if a.isdigit()] or [

@@ -836,6 +836,18 @@ def kcore_rounds(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     the same budget as one BFS hop. The residual edge set shrinks
     monotonically, so later rounds are cheaper; persist truncates
     re-execution of the prior round's chain.
+
+    The survivor set is node-sized and joined against the edge-sized
+    residual twice per round, so it is broadcast while its COUNTED size
+    fits (same counted ternary as :func:`pagerank`'s rank state; the
+    count rides the persisted per-round survivor set the stats output
+    needs anyway). Past the limit both joins run shuffled — identical
+    results, two extra edge exchanges per round. Measured (x100 dense
+    co-purchase probe, r7): crossing Spark's 10 MB auto-broadcast
+    threshold silently flipped these joins to shuffles at ~1.3 M
+    survivor nodes, turning a 10× edge scale-up into a 20× slope; the
+    explicit gate keeps the broadcast regime up to
+    ``_PAGERANK_BROADCAST_NODE_LIMIT`` nodes.
     """
     cur = undirected(edges).persist()
     stats = []
@@ -846,9 +858,12 @@ def kcore_rounds(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
             .select(F.col("src").alias("node"))
             .persist()
         )
+        bcast = keep.count() <= _PAGERANK_BROADCAST_NODE_LIMIT
+        keep_src = keep.select(F.col("node").alias("src"))
+        keep_dst = keep.select(F.col("node").alias("dst"))
         nxt = (
-            cur.join(keep.select(F.col("node").alias("src")), "src")
-            .join(keep.select(F.col("node").alias("dst")), "dst")
+            cur.join(F.broadcast(keep_src) if bcast else keep_src, "src")
+            .join(F.broadcast(keep_dst) if bcast else keep_dst, "dst")
             .select("src", "dst")
             .persist()
         )

@@ -258,8 +258,10 @@ DRIVER_WINDOW_R8_PENDING: list[str] = []
 #: are not already in the r7/r8 windows. q_logreg_train: r3-verified,
 #: output schema + oracle gained ``n_fit`` in r6. q_hard_negatives:
 #: r6-verified, brute-force→IVF counted routing added in r7.
+#: q_kcore_rounds: r5-verified, per-round survivor joins counted-
+#: broadcast-gated in r7 (x100 probe finding; result-identity-tested).
 DRIVER_WINDOW_R8_CHURN = [
-    "q_logreg_train", "q_hard_negatives",
+    "q_logreg_train", "q_hard_negatives", "q_kcore_rounds",
 ]
 
 #: r2-core re-verification tranche (r8 window, pre-staged in r6): the

@@ -777,6 +777,26 @@ def test_star_cc_logarithmic_rounds_on_path_graph(spark):
     assert rounds[0] <= 15, rounds
 
 
+def test_kcore_shuffled_route_matches_broadcast(spark, monkeypatch):
+    """r7 (x100 co-purchase probe): the per-round survivor-set joins in
+    ``kcore_rounds`` are now counted-broadcast-gated — crossing Spark's
+    10 MB auto-broadcast threshold at ~1.3 M survivor nodes had silently
+    flipped them to shuffles (a 10× edge scale-up cost 20×). With the
+    node limit forced to 0 (both joins shuffled every round) the stats
+    must be identical to the broadcast route."""
+    from mapreduce_hw05_spark.operators import graph as g
+
+    li = load_table(spark, SF_DIR_MED, "lineitem")
+    edges = g.cooccurrence_edges_min_support(li, 2).persist()
+    want = sorted(map(tuple, g.kcore_rounds(edges, k=3, rounds=3).collect()))
+    monkeypatch.setattr(g, "_PAGERANK_BROADCAST_NODE_LIMIT", 0)
+    got = sorted(map(tuple, g.kcore_rounds(edges, k=3, rounds=3).collect()))
+    monkeypatch.undo()
+    edges.unpersist()
+    assert want == got
+    assert len(want) == 3
+
+
 # ------------------------------------------------------------------ g-2 hubs
 
 

@@ -134,6 +134,11 @@ REGISTRY: dict[tuple[str, str], str | None] = {
         "dim_broadcast"
     ),
     ("operators/graph.py", "pagerank"): "_PAGERANK_BROADCAST_NODE_LIMIT",
+    # r7 x100 co-purchase probe: per-round survivor-set joins counted-
+    # gated (auto-broadcast silently flipped to shuffle at ~1.3 M nodes)
+    ("operators/graph.py", "kcore_rounds"): (
+        "_PAGERANK_BROADCAST_NODE_LIMIT"
+    ),
     ("operators/similarity.py", "<module>"): "maybe_broadcast",
     # r6: the file-stat dim gate itself (its docstring states the
     # past-the-cap behavior it implements)

@@ -165,6 +165,7 @@ def test_r8_prestage_is_valid():
     the active window. The displaced R8_REVERIFY tail joins r9."""
     r2 = set(json.load(open("/root/repo/CORRECTNESS_r02.json")))
     r3 = set(json.load(open("/root/repo/CORRECTNESS_r03.json")))
+    r5 = set(json.load(open("/root/repo/CORRECTNESS_r05.json")))
     r6 = set(json.load(open("/root/repo/CORRECTNESS_r06.json")))
     tranche = list(DRIVER_WINDOW_R8_REVERIFY)
     assert len(tranche) == 44 and len(set(tranche)) == 44
@@ -172,7 +173,9 @@ def test_r8_prestage_is_valid():
     assert all(n in ORACLES for n in tranche)
     churn = list(DRIVER_WINDOW_R8_CHURN)
     assert len(set(churn)) == len(churn)
-    assert set(churn) <= (r2 | r3 | r6)
+    # churn entries must each have SOME prior driver-green record
+    # (q_kcore_rounds: r5-verified, operator gate changed in r7)
+    assert set(churn) <= (r2 | r3 | r5 | r6)
     assert all(n in ORACLES for n in churn)
     displaced = [n for n in DRIVER_WINDOW_R7_REVERIFY if n not in DRIVER_WINDOW]
     head = displaced + list(DRIVER_WINDOW_R8_PENDING) + churn
