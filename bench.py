@@ -80,7 +80,7 @@ def _run_part(part: str) -> None:
     # Warm the JVM/codegen once (BASELINE.md: cold-run spikes are JIT).
     QUERIES["q_groupagg_pricing"](spark, sf_dir).collect()
 
-    out: dict[str, float] = {}
+    out: dict = {}
     if part == "headline":
         for key, names in BENCH_QUERIES.items():
             per_run = []
@@ -91,7 +91,20 @@ def _run_part(part: str) -> None:
                 per_run.append(time.perf_counter() - t0)
             out[key] = round(min(per_run[1:]), 4)
     else:
+        # Variance-normalized heavy protocol (VERDICT r7 item 8): the r7
+        # round burned on adjudicating 2–7× same-day swings on
+        # byte-identical code. A fixed-work sentinel (the byte-stable
+        # triangle-count plan) timed in the SAME JVM immediately before
+        # each heavy op gives a wall/sentinel ratio that cancels
+        # host-era slowdowns; thresholds on ratios are host-independent.
+        sent = HEAVY_QUERIES["h_triangle_count"][0]
+        QUERIES[sent](spark, sf_dir).collect()  # warm the sentinel plan
+        sentinels: dict[str, float] = {}
+        ratios: dict[str, float] = {}
         for key, names in HEAVY_QUERIES.items():
+            t0 = time.perf_counter()
+            QUERIES[sent](spark, sf_dir).collect()
+            sentinels[key] = round(time.perf_counter() - t0, 4)
             per_run = []
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -99,6 +112,9 @@ def _run_part(part: str) -> None:
                     QUERIES[name](spark, sf_dir).collect()
                 per_run.append(time.perf_counter() - t0)
             out[key] = round(min(per_run), 4)
+            ratios[key] = round(out[key] / sentinels[key], 3)
+        out["__heavy_sentinel_sec"] = sentinels
+        out["__heavy_ratios"] = ratios
     print(_MARK + json.dumps(out), flush=True)
 
 
@@ -131,6 +147,8 @@ def main() -> None:
 
     times = _spawn_part("headline")
     heavy = _spawn_part("heavy")
+    heavy_sentinels = heavy.pop("__heavy_sentinel_sec", {})
+    heavy_ratios = heavy.pop("__heavy_ratios", {})
 
     if "--perf-table" in sys.argv[1:]:
         # Render PERF.md's round-close markdown table from the SAME
@@ -143,9 +161,14 @@ def main() -> None:
             print(f"| headline | {k} | {v} |", file=sys.stderr)
         for k, v in heavy.items():
             print(f"| heavy | {k} | {v} |", file=sys.stderr)
+        # two well-formed 3-column rows (r7 ADVICE: a single merged
+        # totals row misaligned with the header)
         print(
-            f"| totals | headline {round(sum(times.values()), 2)} s "
-            f"| heavy {round(sum(heavy.values()), 2)} s |",
+            f"| headline | total | {round(sum(times.values()), 2)} |",
+            file=sys.stderr,
+        )
+        print(
+            f"| heavy | total | {round(sum(heavy.values()), 2)} |",
             file=sys.stderr,
         )
 
@@ -163,6 +186,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {**times, **heavy},
                 "heavy_total_sec": round(sum(heavy.values()), 4),
+                # host-independent adjudication data (VERDICT r7 item 8):
+                # per-op wall/sentinel ratio + the sentinel walls themselves
+                "heavy_sentinel_sec": heavy_sentinels,
+                "heavy_ratios": heavy_ratios,
                 "sf": sf_val,
             }
         )

@@ -849,8 +849,9 @@ def kcore_rounds(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     explicit gate keeps the broadcast regime up to
     ``_PAGERANK_BROADCAST_NODE_LIMIT`` nodes.
     """
+    spark = edges.sparkSession
     cur = undirected(edges).persist()
-    stats = []
+    rows: list[tuple[int, int, int]] = []
     for r in range(1, rounds + 1):
         deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
         keep = (
@@ -858,7 +859,9 @@ def kcore_rounds(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
             .select(F.col("src").alias("node"))
             .persist()
         )
-        bcast = keep.count() <= _PAGERANK_BROADCAST_NODE_LIMIT
+        # n_nodes doubles as the broadcast gate count — one action, two uses
+        n_nodes = keep.count()
+        bcast = n_nodes <= _PAGERANK_BROADCAST_NODE_LIMIT
         keep_src = keep.select(F.col("node").alias("src"))
         keep_dst = keep.select(F.col("node").alias("dst"))
         nxt = (
@@ -867,17 +870,18 @@ def kcore_rounds(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
             .select("src", "dst")
             .persist()
         )
-        n_nodes = keep.agg(F.count("*").cast("long").alias("n_nodes"))
-        n_edges = nxt.filter(F.col("src") < F.col("dst")).agg(
-            F.count("*").cast("long").alias("n_edges")
-        )
-        stats.append(
-            n_nodes.crossJoin(n_edges).select(
-                F.lit(r).cast("long").alias("round"), "n_nodes", "n_edges"
-            )
-        )
+        # Eager edge count materializes nxt's cache (the next round scans
+        # it anyway) and pins the round's stats as driver-sized scalars,
+        # so prior rounds' cached sets can be released NOW instead of
+        # accumulating across rounds (r7 ADVICE: cached memory grew
+        # monotonically with rounds because lazy stats rows kept every
+        # round's keep/nxt referenced until the final collect).
+        n_edges = nxt.filter(F.col("src") < F.col("dst")).count()
+        rows.append((r, n_nodes, n_edges))
+        cur.unpersist()
+        keep.unpersist()
         cur = nxt
-    out = stats[0]
-    for s in stats[1:]:
-        out = out.unionAll(s)
-    return out
+    cur.unpersist()
+    return spark.createDataFrame(
+        rows, "round: long, n_nodes: long, n_edges: long"
+    )

@@ -184,6 +184,10 @@ def _blocked_exact_search(
         rids = right["ref_id"].to_numpy(dtype=np.int64)
         P = np.stack(left["probe_vec"].to_numpy()).astype(np.float64)
         R = np.stack(right["ref_vec"].to_numpy()).astype(np.float64)
+        # id-ascending column order up front: the top-k branch's stable
+        # argsort then yields (round(sim,6) DESC, id2 ASC) for free
+        order = np.argsort(rids, kind="stable")
+        rids, R = rids[order], R[order]
         if normalize:
             P, R = _l2_normalize(P), _l2_normalize(R)
         sims = P @ R.T
@@ -199,23 +203,30 @@ def _blocked_exact_search(
                     "sim": sims[rows, cols],
                 }
             )
-        out_id1, out_id2, out_sim = [], [], []
-        for row, pid in enumerate(pids):
-            mask = rids > pid if mode == "pairs" else rids != pid
-            cand_ids, cand_sims = rids[mask], sims[row, mask]
-            if cand_ids.size == 0:
-                continue
-            order = np.lexsort((cand_ids, -np.round(cand_sims, 6)))[:k]
-            out_id1.append(np.full(order.size, pid, dtype=np.int64))
-            out_id2.append(cand_ids[order])
-            out_sim.append(cand_sims[order])
-        if not out_id1:
+        # Vectorized per-row top-k (VERDICT r7 item 5: the old per-probe
+        # Python loop paid ~µs/row of interpreter overhead on large probe
+        # batches). Masked candidates drop to -inf; columns are already
+        # id-ascending (see `order` above), so a STABLE argsort on the
+        # negated rounded sims reproduces the exact
+        # (round(sim,6) DESC, id2 ASC) tie-break of the broadcast kernel.
+        keep = (
+            rids[None, :] > pids[:, None]
+            if mode == "pairs"
+            else rids[None, :] != pids[:, None]
+        )
+        ranked = np.where(keep, np.round(sims, 6), -np.inf)
+        kk = min(k, rids.size)
+        idx = np.argsort(-ranked, axis=1, kind="stable")[:, :kk]
+        valid = np.isfinite(np.take_along_axis(ranked, idx, axis=1))
+        rows, cols = np.nonzero(valid)
+        if not rows.size:
             return empty
+        picked = idx[rows, cols]
         return pd.DataFrame(
             {
-                "id1": np.concatenate(out_id1),
-                "id2": np.concatenate(out_id2),
-                "sim": np.concatenate(out_sim),
+                "id1": pids[rows],
+                "id2": rids[picked],
+                "sim": sims[rows, picked],
             }
         )
 

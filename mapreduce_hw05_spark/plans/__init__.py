@@ -186,12 +186,13 @@ DRIVER_WINDOW_R6 = [
 #: contract gets a driver-green CORRECTNESS row; the coverage test
 #: (`tests/test_registry_window.py`) enforces no-contract-left-behind.
 #:
-#:   r7 (ACTIVE): ``DRIVER_WINDOW_R7`` = the last 14 never-driver-verified
+#:   r7 (frozen — CORRECTNESS_r07.json 50/50 green): ``DRIVER_WINDOW_R7``
+#:       = the last 14 never-driver-verified
 #:       contracts (``DRIVER_WINDOW_R7_PENDING``) + the head of the
 #:       r1-core re-verification set (``DRIVER_WINDOW_R7_REVERIFY[:36]``,
 #:       joins first — the highest-churn plan surface). Clears the
 #:       never-verified pool to ZERO.
-#:   r8: ``DRIVER_WINDOW_R7_REVERIFY[36:]`` (6) + the churn-first head
+#:   r8 (ACTIVE): ``DRIVER_WINDOW_R7_REVERIFY[36:]`` (6) + the churn-first head
 #:       ``DRIVER_WINDOW_R8_CHURN`` (r3-verified contracts whose
 #:       plans/oracles changed in r5–r7 — r6 ADVICE) +
 #:       ``DRIVER_WINDOW_R8_REVERIFY[: 50 - 6 - len(churn)]`` — the r2
@@ -239,18 +240,16 @@ DRIVER_WINDOW_R7_REVERIFY = [
     "q_date_funcs", "q_map_funcs",
 ]
 
-#: The ACTIVE r7 window: pending remainder first (clears the
-#: never-driver-verified pool), then the r1 relational-core
-#: re-verification head. Frozen once CORRECTNESS_r07.json lands.
+#: FROZEN round-7 window: pending remainder first (cleared the
+#: never-driver-verified pool to zero), then the r1 relational-core
+#: re-verification head. Pinned against CORRECTNESS_r07.json
+#: (50/50 green) like R2–R6.
 DRIVER_WINDOW_R7 = list(DRIVER_WINDOW_R7_PENDING) + DRIVER_WINDOW_R7_REVERIFY[:36]
 
 #: The correctness driver verifies the FIRST 50 registered queries only
-#: (registration-order prefix of ``queries()``).
-DRIVER_WINDOW = DRIVER_WINDOW_R7
-
-#: NEW contracts registered in r7 (never driver-verified). Append any
-#: new contract here — they take the head of the r8 window alongside
-#: DRIVER_WINDOW_R8_CHURN. Keep ≤ 6 (VERDICT r6 item 3).
+#: NEW contracts registered in r7 (never driver-verified). None were —
+#: r7 was a pure re-verification round (VERDICT r6 item 3's ≤6 cap held
+#: at zero).
 DRIVER_WINDOW_R8_PENDING: list[str] = []
 
 #: Churn-first re-verification head for r8 (r6 ADVICE): contracts whose
@@ -306,6 +305,58 @@ DRIVER_WINDOW_R8_REVERIFY = [
     "q_csv_roundtrip", "q_partitioned_pruning", "q_custom_datasource",
     "q_multimodal_features",
 ]
+
+#: The ACTIVE r8 window (VERDICT r7 item 2): the 6 R7_REVERIFY entries
+#: displaced by the r7 pending head, then new-contract debt (zero),
+#: then the churn-first head, then the r2-core tranche head. Re-verifies
+#: the entire r2 similarity/UDF/graph-capstone core on current engine
+#: code. Frozen once CORRECTNESS_r08.json lands.
+DRIVER_WINDOW_R8 = (
+    list(DRIVER_WINDOW_R7_REVERIFY[36:])
+    + list(DRIVER_WINDOW_R8_PENDING)
+    + list(DRIVER_WINDOW_R8_CHURN)
+    + DRIVER_WINDOW_R8_REVERIFY[:41]
+)
+
+#: The correctness driver verifies the FIRST 50 registered queries only
+#: (registration-order prefix of ``queries()``).
+DRIVER_WINDOW = DRIVER_WINDOW_R8
+
+#: ---------------------------------------------------------------------
+#: r9 PRE-STAGE (VERDICT r7 item 3 — stage the next window before this
+#: round closes, the proven de-risking pattern).
+#: ---------------------------------------------------------------------
+
+#: NEW contracts registered in r8 (never driver-verified). Append any
+#: new contract here — they take the head of the r9 window. Keep ≤ 6
+#: (VERDICT r6 item 3 cap, renewed by r7 item 4).
+DRIVER_WINDOW_R9_PENDING: list[str] = []
+
+#: Churn-first head for r9 (VERDICT r7 item 4): any contract whose plan
+#: or oracle changes during r8 AND whose latest driver-green record
+#: predates the change goes here AT CHANGE TIME — the r7 discipline
+#: that caught q_kcore_rounds.
+DRIVER_WINDOW_R9_CHURN: list[str] = []
+
+#: r9 re-verification tranche (VERDICT r7 item 3): the R8_REVERIFY
+#: remainder (3, displaced by the r8 head), R2's 6 excluded low-churn
+#: scalar/single-agg contracts, the two r1 leftovers that were in NO
+#: staged tranche (VERDICT r7 "What's missing" #2: q_string_funcs,
+#: q_math_funcs), then the r3 streaming/connector core in its original
+#: risk-first order (q_logreg_train excluded — it re-verifies in the r8
+#: churn head). The r9 window = R9_PENDING + R9_CHURN + the head of
+#: this list to fill 50; the tail rolls to r10.
+DRIVER_WINDOW_R9_REVERIFY = (
+    DRIVER_WINDOW_R8_REVERIFY[41:]
+    + [
+        # R2's 6 exclusions (lowest-churn, local-parity-green since r2)
+        "q_decimal_exact", "q_approx_distinct", "q_language_id",
+        "q_quality_score", "q_text_stats_by_lang", "q_degree_distribution",
+        # r1 leftovers never staged anywhere (VERDICT r7 missing #2)
+        "q_string_funcs", "q_math_funcs",
+    ]
+    + [n for n in DRIVER_WINDOW_R3 if n != "q_logreg_train"]
+)
 
 
 def _reorder_registry() -> None:
