@@ -335,8 +335,19 @@ DRIVER_WINDOW_R9_PENDING: list[str] = []
 #: Churn-first head for r9 (VERDICT r7 item 4): any contract whose plan
 #: or oracle changes during r8 AND whose latest driver-green record
 #: predates the change goes here AT CHANGE TIME — the r7 discipline
-#: that caught q_kcore_rounds.
-DRIVER_WINDOW_R9_CHURN: list[str] = []
+#: that caught q_kcore_rounds. All five below were rewritten in r8 off
+#: unpartitioned-window (single-partition-sort) plans onto
+#: ``operators.ranks`` (global_cumsum / distributed_ntile) or a
+#: domain-bounded pre-aggregate; each is oracle-parity-green locally
+#: and identity-tested against its old window formulation
+#: (tests/test_ranks.py, test_global_window_audit.py).
+DRIVER_WINDOW_R9_CHURN: list[str] = [
+    "q_nb_auc",            # r5 green; distributed midrank AUC
+    "q_lift_deciles",      # r5 green; distributed_ntile(10)
+    "q_rfm_segments",      # r4 green; 3× distributed_ntile(4)
+    "q_equi_depth_histogram",  # r7 green; distributed_ntile(16)
+    "q_skyline_pareto",    # r4 green; per-size domain pre-aggregate
+]
 
 #: r9 re-verification tranche (VERDICT r7 item 3): the R8_REVERIFY
 #: remainder (3, displaced by the r8 head), R2's 6 excluded low-churn

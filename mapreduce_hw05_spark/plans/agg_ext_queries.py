@@ -970,18 +970,22 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a CBO's selectivity model).
 
     Deterministic ntile (cents, orderkey tie-break), exact integers
-    only. The global ntile is the one full sort — at 100 TB ANALYZE
-    does exactly what [[q_weighted_percentiles_hist]] does instead:
-    two-pass histogram boundary location, then this same per-bucket
-    aggregate.
+    only. Scale (r8): the bucket cut is
+    :func:`operators.ranks.distributed_ntile` — range shuffle +
+    per-partition offsets, exact SQL ntile semantics, no
+    single-partition sort — so the ANALYZE-style scan stays
+    partition-parallel at fact-table scale (the sketch alternative,
+    [[q_weighted_percentiles_hist]]'s two-pass histogram, trades
+    exactness for one fewer shuffle).
     """
+    from mapreduce_hw05_spark.operators.ranks import distributed_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-    t = orders.select(
-        cents.alias("cents"),
-        F.ntile(16)
-        .over(W.orderBy(cents, "o_orderkey"))
-        .alias("bucket"),
+    t = distributed_ntile(
+        orders.select(cents.alias("cents"), "o_orderkey"),
+        16,
+        [F.col("cents").asc(), F.col("o_orderkey").asc()],
     )
     return (
         t.groupBy("bucket")

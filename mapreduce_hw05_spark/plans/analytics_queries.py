@@ -344,22 +344,35 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (metric, o_custkey) so quartile boundaries are tie-free and
     engine-identical.
 
-    Scale note: ntile over an unpartitioned window is a single-reducer
-    sort — fine for per-customer aggregates (cardinality ≪ facts), and
-    the honest expression of a global quantile cut; percentile-bucket
-    joins replace it if the entity table itself outgrows one node.
+    Scale note (r8): the three quartile cuts used to be unpartitioned
+    ntile windows — single-reducer sorts over the ENTITY table, which
+    is billions of customers at 100 TB, not "small". Each cut is now
+    :func:`operators.ranks.distributed_ntile` (range shuffle +
+    per-partition offsets, exact SQL ntile semantics, every stage
+    partition-parallel); three cuts = three range shuffles of the
+    entity aggregate, same count as the window version's three sorts
+    but with no one-task stage.
     """
+    from mapreduce_hw05_spark.operators.ranks import distributed_ntile
+
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("recency"),
         F.count("*").alias("frequency"),
         F.sum("o_totalprice").alias("monetary"),
     )
-    scored = rfm.select(
-        F.ntile(4).over(W.orderBy("recency", "o_custkey")).alias("r_q"),
-        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f_q"),
-        F.ntile(4).over(W.orderBy("monetary", "o_custkey")).alias("m_q"),
-    )
+    scored = rfm
+    for name, col in (
+        ("r_q", "recency"),
+        ("f_q", "frequency"),
+        ("m_q", "monetary"),
+    ):
+        scored = distributed_ntile(
+            scored,
+            4,
+            [F.col(col).asc(), F.col("o_custkey").asc()],
+            bucket_col=name,
+        )
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count("*").alias("n_customers")
     )
@@ -447,24 +460,34 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier of parts (cheaper AND bigger dominates): parts no
     other part strictly beats on both axes.
 
-    For a 2-D skyline the frontier is computable in one sort-free
-    window pass: a part is dominated iff some part with strictly larger
-    size has strictly smaller price, i.e. iff ``min(price) over (size >
-    mine)`` < my price. Expressed as a descending-size running min with
-    a range frame — one shuffle, no self-join, and strictly better than
-    the oracle's quadratic NOT EXISTS (kept quadratic there because
-    DuckDB decorrelates it fine at oracle scale).
+    For a 2-D skyline the frontier is computable without a self-join: a
+    part is dominated iff some part with strictly larger size has
+    strictly smaller price, i.e. iff ``min(price) over (size > mine)``
+    < my price. Scale (r8): rather than a running min over EVERY part
+    row (the old form — an unpartitioned window, i.e. a
+    single-partition sort of the whole table), aggregate min(price) per
+    DISTINCT size first (one map-side-combining shuffle), run the
+    running min over the size DOMAIN — tens of rows for any data scale,
+    a legitimately tiny window — and broadcast-join the per-size
+    threshold back. Identical thresholds, and the only corpus-sized
+    stages are a scan and a broadcast probe.
     """
     part = load_table(spark, sf_dir, "part")
+    per_size = part.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("__size_min")
+    )
+    # global-window: distinct p_size DOMAIN (attribute-bounded, ~50
+    # values), not row count
     w = (
         W.orderBy(F.col("p_size").desc())
         .rangeBetween(W.unboundedPreceding, -1)
     )
-    flagged = part.select(
-        "p_partkey",
-        "p_retailprice",
+    thresholds = per_size.select(
         "p_size",
-        F.min("p_retailprice").over(w).alias("__best_price_above"),
+        F.min("__size_min").over(w).alias("__best_price_above"),
+    )
+    flagged = part.select("p_partkey", "p_retailprice", "p_size").join(
+        F.broadcast(thresholds), "p_size"
     )
     return (
         flagged.filter(
@@ -563,6 +586,7 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_totalprice").alias("rev"),
         F.count("*").alias("n_orders"),
     )
+    # global-window: monthly aggregate (O(months), never O(fact))
     w = W.orderBy("month")
     return monthly.select(
         F.date_format("month", "yyyy-MM").alias("month"),
@@ -1124,6 +1148,8 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = pts.agg(F.sum("a").alias("na"), F.sum("b").alias("nb")).first()
     na, nb = int(tot["na"]), int(tot["nb"])
+    # global-window: ecdf over floor(value*1000) keys (≤1001 rows, key-
+    # domain-bounded; a corpus-scale exact KS would range-partition)
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     ecdf = pts.select(
         "v",
@@ -1211,6 +1237,7 @@ def acf_from_hourly_counts(h: DataFrame) -> DataFrame:
         "n", "s", "q",
         (F.col("s").cast("double") / F.col("n")).alias("xbar"),
     )
+    # global-window: global hourly series (O(hours), time-range-bounded)
     w = Window.orderBy("hour_epoch")
     lagged = hourly.select(
         F.col("x"),
@@ -2637,13 +2664,22 @@ def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic ntile (cent-quantized balance DESC, custkey
     tie-break), exact BIGINT counts, and both ratios are exact-int
     divides (lift = (hits_d·N)/(n_d·H), one IEEE op) — no rounding.
-    Scale: one semi-joinable outcome probe, a global ntile window (the
-    one global sort; at 100 TB swap for percentile-boundary bucketing
-    from [[q_approx_quantile]]'s sketch), and a 10-row marginal join.
+    Scale (r8): the decile assignment used to be a global ntile window —
+    a SINGLE-partition sort over every customer, the one
+    non-distributing stage in the plan. It is now exact ntile arithmetic
+    over the distributed global row number from
+    :func:`operators.ranks.global_cumsum` (range shuffle +
+    per-partition offsets): SQL ntile semantics — the first N mod 10
+    buckets take ceil(N/10) rows — reproduced closed-form from (rn, N),
+    bit-identical to the window version
+    (test_lift_deciles_ntile_arithmetic_matches_window), with every
+    stage partition-parallel at 100 TB. Remaining stages: one
+    semi-joinable outcome probe and a 10-row marginal join.
     """
+    from mapreduce_hw05_spark.operators.ranks import distributed_ntile
+
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window
 
     outcome = (
         orders.filter(F.year("o_orderdate") == 1995)
@@ -2651,18 +2687,22 @@ def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("hit_flag", F.lit(1))
     )
-    w = Window.orderBy(
-        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").desc(),
-        "c_custkey",
-    )
     scored = customer.join(
         outcome, customer.c_custkey == outcome.cust, "left"
     ).select(
-        F.ntile(10).over(w).alias("decile"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal_c"),
+        "c_custkey",
         F.coalesce(F.col("hit_flag"), F.lit(0)).alias("hit"),
     )
-    per = scored.groupBy("decile").agg(
-        lng(F.count("*")).alias("n"), lng(F.sum("hit")).alias("n_hits")
+    per = (
+        distributed_ntile(
+            scored,
+            10,
+            [F.col("bal_c").desc(), F.col("c_custkey").asc()],
+            bucket_col="decile",
+        )
+        .groupBy("decile")
+        .agg(lng(F.count("*")).alias("n"), lng(F.sum("hit")).alias("n_hits"))
     )
     tot = per.agg(
         lng(F.sum("n")).alias("n_all"),

@@ -859,9 +859,11 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = obs.groupBy("obs_day").agg(
         F.count("*").alias("n_obs"), lng(F.sum("is_event")).alias("d")
     )
+    # global-window: day-grouped aggregate (O(days) rows, all three specs)
     whole = Window.orderBy("obs_day").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # global-window: same O(days) aggregate
     before = Window.orderBy("obs_day").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -881,6 +883,7 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk")
         ).alias("factor"),
     )
+    # global-window: same O(days) aggregate
     frame = Window.orderBy("obs_day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1300,6 +1303,7 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         "cents",
     )
+    # global-window: hourly spine (O(hours), time-range-bounded)
     w = W.orderBy("hour").rowsBetween(W.unboundedPreceding, W.currentRow)
     return spine.select(
         F.unix_timestamp("hour").alias("hour_epoch"),

@@ -704,15 +704,17 @@ def q_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the double sum is order-independent), and the U-statistic
     normalization is a single-op chain — AUC is emitted unrounded.
 
-    Scale note: the unpartitioned rank window is a single-partition
-    sort over the EVALUATION set, which is sample-sized by definition;
-    ranking a corpus-sized score column instead would use
-    repartitionByRange + per-partition offsets (the q_global_sort
-    machinery), not a global window.
+    Scale note (r8): the held-out fifth is corpus-proportional, NOT
+    sample-sized, so the old unpartitioned rank window (a
+    single-partition sort) was the one non-distributing stage in the
+    whole evaluation. The rank prefix now comes from
+    :func:`operators.ranks.global_cumsum` — range shuffle +
+    per-partition offsets + Arrow cumsum with cross-batch carry — over
+    the distinct-score histogram: exact, deterministic, and every stage
+    partition-parallel at 100 TB.
     """
-    from pyspark.sql import Window
-
     from mapreduce_hw05_spark.operators.naive_bayes import nb_fit, nb_score
+    from mapreduce_hw05_spark.operators.ranks import global_cumsum
 
     docs = load_table(spark, sf_dir, "documents")
     train = tokenize(
@@ -728,19 +730,33 @@ def q_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
         "s", (F.col("lang") == "en").cast("int").alias("y")
     )
-    midrank = (
-        F.rank().over(Window.orderBy("s"))
-        + (F.count("*").over(Window.partitionBy("s")) - 1) / 2.0
+    # Distinct-score histogram first (one shuffle, score-cardinality-
+    # sized), then the rank prefix comes from the DISTRIBUTED exact
+    # cumsum — no single-partition window anywhere. midrank(s) =
+    # (#rows below s) + (cnt(s)+1)/2 ≡ rank() + (ties-1)/2 of the old
+    # window formulation, so per-score pos·midrank sums are identical
+    # half-integers and the AUC is bit-for-bit the window result
+    # (identity test: test_nb_auc_matches_window_formulation).
+    hist = labeled.groupBy("s").agg(
+        lng(F.sum("y")).alias("pos"),
+        lng(F.sum(1 - F.col("y"))).alias("neg"),
+        F.count("*").cast("long").alias("cnt"),
     )
-    ranked = labeled.select("y", midrank.alias("midrank"))
-    n_pos = F.sum("y")
-    n_neg = F.sum(1 - F.col("y"))
+    ranked = global_cumsum(hist, [F.col("s").asc()], ["cnt"]).select(
+        "pos",
+        "neg",
+        (
+            (F.col("cum_cnt") - F.col("cnt")) + (F.col("cnt") + 1) / 2.0
+        ).alias("midrank"),
+    )
+    n_pos = F.sum("pos")
+    n_neg = F.sum("neg")
     return ranked.agg(
         lng(n_pos).alias("n_pos"),
         lng(n_neg).alias("n_neg"),
         (
             (
-                F.sum(F.when(F.col("y") == 1, F.col("midrank")).otherwise(0.0))
+                F.sum(F.col("pos") * F.col("midrank"))
                 - n_pos * (n_pos + 1.0) / 2
             )
             / (n_pos * n_neg.cast("double"))

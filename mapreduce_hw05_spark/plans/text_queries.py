@@ -509,6 +509,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     la = bm25.select(
         "doc_id",
         F.row_number()
+        # global-window: top-50 slice (limit above)
         .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
         .alias("ra"),
     )
@@ -518,6 +519,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.row_number()
+            # global-window: top-50 slice (limit above)
             .over(Window.orderBy(F.col("dl").desc(), "doc_id"))
             .alias("rb"),
         )

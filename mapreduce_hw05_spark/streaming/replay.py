@@ -77,6 +77,7 @@ def time_ordered_chunks(df: DataFrame, ts_col: str, n_chunks: int) -> list[DataF
     from pyspark.sql import Window as W
 
     chunked = df.withColumn(
+        # global-window: replay harness over a test fixture (see docstring)
         "_chunk", F.ntile(n_chunks).over(W.orderBy(ts_col))
     ).localCheckpoint()  # sort once; the per-chunk filters reread it
     chunks = ChunkList(

@@ -1,0 +1,192 @@
+"""operators.ranks.global_cumsum — the distributed exact global
+prefix-sum/rank (r8): range shuffle + per-partition offsets + Arrow
+cumsum with cross-batch carry, replacing the single-partition
+``Window.orderBy`` anti-pattern in corpus-sized ranking consumers.
+
+Identity discipline: every consumer rewritten onto the operator keeps a
+test here proving bit-identical results against the window formulation
+it replaced (the same A/B standard as the forced-route broadcast tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_hw05_spark.operators.ranks import global_cumsum
+
+
+def _toy(spark, n=1003):
+    return spark.range(n).select(
+        (F.col("id") * 37 % n).alias("k"),
+        (F.col("id") % 7).cast("long").alias("cnt"),
+        (F.col("id") % 5 * 0.25).alias("x"),
+    )
+
+
+def test_global_cumsum_matches_window(spark):
+    df = _toy(spark)
+    got = (
+        global_cumsum(
+            df, [F.col("k").asc()], ["cnt", "x"],
+            num_partitions=8, include_totals=True,
+        )
+        .orderBy("k")
+        .toPandas()
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    ref = (
+        df.select(
+            "k",
+            F.sum("cnt").over(w).alias("cum_cnt"),
+            F.sum("x").over(w).alias("cum_x"),
+        )
+        .orderBy("k")
+        .toPandas()
+    )
+    assert str(got["cum_cnt"].dtype) == "int64"
+    assert (got["cum_cnt"].to_numpy() == ref["cum_cnt"].to_numpy()).all()
+    assert np.allclose(
+        got["cum_x"].to_numpy(), ref["cum_x"].to_numpy(), rtol=0, atol=1e-9
+    )
+    assert (got["tot_cnt"] == int(ref["cum_cnt"].iloc[-1])).all()
+
+
+def test_global_cumsum_desc_and_composite_order(spark):
+    df = _toy(spark, 257)
+    got = (
+        global_cumsum(
+            df,
+            [F.col("cnt").desc(), F.col("k").asc()],
+            ["cnt"],
+            num_partitions=5,
+        )
+        .orderBy("k")
+        .toPandas()
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("k").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ref = df.select("k", F.sum("cnt").over(w).alias("cum_cnt")).orderBy(
+        "k"
+    ).toPandas()
+    assert (got["cum_cnt"].to_numpy() == ref["cum_cnt"].to_numpy()).all()
+
+
+def test_global_cumsum_empty_and_single_row(spark):
+    df = _toy(spark, 50)
+    assert (
+        global_cumsum(df.filter("k < 0"), [F.col("k")], ["cnt"]).count() == 0
+    )
+    one = (
+        global_cumsum(
+            df.limit(1), [F.col("k")], ["cnt"], include_totals=True
+        )
+        .toPandas()
+    )
+    assert len(one) == 1
+    assert one["cum_cnt"].iloc[0] == one["tot_cnt"].iloc[0]
+
+
+def test_global_cumsum_partition_count_invariance(spark):
+    """Boundary placement must not affect values: offsets absorb
+    whatever the range sampler chose."""
+    df = _toy(spark, 311)
+    frames = [
+        global_cumsum(df, [F.col("k")], ["cnt"], num_partitions=p)
+        .orderBy("k")
+        .toPandas()["cum_cnt"]
+        .to_numpy()
+        for p in (1, 3, 32)
+    ]
+    assert (frames[0] == frames[1]).all()
+    assert (frames[0] == frames[2]).all()
+
+
+def _ntile_window(scored):
+    w = Window.orderBy(F.col("bal_c").desc(), "c_custkey")
+    return scored.select(
+        F.ntile(10).over(w).cast("long").alias("decile"), "hit"
+    )
+
+
+def _ntile_arith(scored):
+    from mapreduce_hw05_spark.operators.ranks import distributed_ntile
+
+    return distributed_ntile(
+        scored,
+        10,
+        [F.col("bal_c").desc(), F.col("c_custkey").asc()],
+        num_partitions=7,
+        bucket_col="decile",
+    ).select("decile", "hit")
+
+
+def test_lift_deciles_ntile_arithmetic_matches_window(spark):
+    """The closed-form ntile(10) from (rn, N) must reproduce SQL ntile
+    semantics (first N mod 10 buckets take ceil(N/10) rows) at awkward
+    sizes: N<10 (q=0 edge), N%10==0, N%10!=0."""
+    for n in (7, 100, 1003):
+        scored = spark.range(n).select(
+            (F.col("id") * 13 % 97).alias("bal_c"),
+            F.col("id").alias("c_custkey"),
+            (F.col("id") % 3 == 0).cast("long").alias("hit"),
+        )
+        ref = _ntile_window(scored).orderBy("c_custkey").toPandas()
+        got = _ntile_arith(scored).orderBy("c_custkey").toPandas()
+        assert (
+            got["decile"].to_numpy() == ref["decile"].to_numpy()
+        ).all(), f"N={n}"
+
+
+def test_nb_auc_matches_window_formulation(spark):
+    """q_nb_auc's distributed-midrank rewrite is bit-identical to the
+    single-partition window formulation it replaced."""
+    from tests.conftest import SF_DIR as sf_dir
+
+    from mapreduce_hw05_spark.operators.naive_bayes import nb_fit, nb_score
+    from mapreduce_hw05_spark.operators.text import tokenize
+    from mapreduce_hw05_spark.plans import QUERIES
+    from mapreduce_hw05_spark.plans.common import lng
+    from mapreduce_hw05_spark.sources import load_table
+
+    got = QUERIES["q_nb_auc"](spark, sf_dir).toPandas()
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = tokenize(
+        docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id", "lang"
+    ).select("doc_id", F.col("lang").alias("label"), "token")
+    priors, lik = nb_fit(train)
+    test = tokenize(docs.filter(F.col("doc_id") % 5 == 0), "text", "doc_id")
+    scores = (
+        nb_score(test, priors, lik)
+        .filter(F.col("label") == "en")
+        .select("doc_id", F.round("score", 6).alias("s"))
+    )
+    labeled = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "s", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    midrank = (
+        F.rank().over(Window.orderBy("s"))
+        + (F.count("*").over(Window.partitionBy("s")) - 1) / 2.0
+    )
+    ranked = labeled.select("y", midrank.alias("midrank"))
+    n_pos, n_neg = F.sum("y"), F.sum(1 - F.col("y"))
+    ref = ranked.agg(
+        lng(n_pos).alias("n_pos"),
+        lng(n_neg).alias("n_neg"),
+        (
+            (
+                F.sum(
+                    F.when(F.col("y") == 1, F.col("midrank")).otherwise(0.0)
+                )
+                - n_pos * (n_pos + 1.0) / 2
+            )
+            / (n_pos * n_neg.cast("double"))
+        ).alias("auc"),
+    ).toPandas()
+
+    assert int(got["n_pos"][0]) == int(ref["n_pos"][0])
+    assert int(got["n_neg"][0]) == int(ref["n_neg"][0])
+    assert float(got["auc"][0]) == float(ref["auc"][0])  # bit-identical
