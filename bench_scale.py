@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -484,6 +485,165 @@ def run_ranges(spark, row_counts: list[int]) -> dict:
     return times
 
 
+def run_ranks(spark, row_counts: list[int]) -> dict:
+    """Global ranking at sizes where the single-partition window plan is
+    the bottleneck: times the r8 distributed exact path
+    (operators.ranks: range shuffle + per-partition offsets + Arrow
+    cumsum) against the ``Window.orderBy`` formulation it replaced.
+    The window variant is capped (SPARK_GRAFT_RANKS_WINDOW_CAP, default
+    10 M rows) — past that it is exactly the one-task sort the operator
+    exists to avoid. Expect: distributed flat-to-linear; window linear
+    in ONE task (no parallelism), divergence growing with n."""
+    from pyspark.sql import Window
+
+    from mapreduce_hw05_spark.operators.ranks import (
+        distributed_ntile,
+        global_cumsum,
+    )
+
+    window_cap = int(
+        os.environ.get("SPARK_GRAFT_RANKS_WINDOW_CAP", str(10_000_000))
+    )
+    times: dict = {}
+    for n in row_counts:
+        df = spark.range(n).select(
+            ((F.col("id") * 2654435761) % (n * 2)).alias("k"),
+            F.col("id").alias("uid"),
+            (F.col("id") % 97).cast("long").alias("cnt"),
+        )
+        row: dict = {}
+        t0 = time.time()
+        _noop(
+            global_cumsum(df, [F.col("k").asc(), F.col("uid").asc()], ["cnt"])
+        )
+        row["cumsum_dist"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        _noop(
+            distributed_ntile(
+                df, 16, [F.col("k").asc(), F.col("uid").asc()]
+            )
+        )
+        row["ntile_dist"] = round(time.time() - t0, 2)
+        if n <= window_cap:
+            w = Window.orderBy(F.col("k").asc(), F.col("uid").asc())
+            t0 = time.time()
+            _noop(df.select("k", F.ntile(16).over(w).alias("bucket")))
+            row["ntile_window_1task"] = round(time.time() - t0, 2)
+        times[f"n{n}"] = row
+        print(f"RANKS n{n}: {row}", file=sys.stderr)
+    return times
+
+
+def gen_events(spark: SparkSession, n: int) -> DataFrame:
+    """~n synthetic events over a 10-day span: mostly time-ordered with
+    bounded disorder (up to 5 min late — inside any sane watermark), a
+    user population that scales with n (state realism for per-user
+    ops), and the fixture's column shape."""
+    span_s = 10 * 86_400
+    users = max(1_000, n // 100)
+    e = spark.range(n)
+    jitter = (F.xxhash64("id", F.lit(7)) % 300 + 300) % 300
+    ts = (
+        F.lit(800_000_000).cast("long")
+        + (F.col("id") * span_s / F.lit(n)).cast("long")
+        - jitter
+    )
+    return e.select(
+        F.col("id").alias("event_id"),
+        ts.cast("timestamp").alias("ts"),
+        ((F.xxhash64("id", F.lit(11)) % users + users) % users).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("cart"), F.lit("purchase")),
+            ((F.xxhash64("id", F.lit(13)) % 4 + 4) % 4 + 1).cast("int"),
+        ).alias("event_type"),
+        ((F.xxhash64("id", F.lit(17)) % 10_000 + 10_000) % 10_000 / 100.0).alias("value"),
+        F.lit('{"k":1}').alias("props"),
+    )
+
+
+def run_streaming(spark, scales: list[int]) -> dict:
+    """Structured-Streaming STATE scaling — the one engine family the
+    x-probes had never measured. Per scale (x1 = the 100 k-row sf0.1
+    events shape): replay n synthetic events in 10 file-drop
+    micro-batches through (a) stateful dedup under 2× at-least-once
+    delivery, (b) 1-hour tumbling aggregation, each with a REAL
+    1-hour watermark over a 10-day span — so the 100-TB claim under
+    test is that state EXPIRES and plateaus at O(events-per-horizon),
+    not O(stream). Sinks are noop (engine throughput, no driver
+    collect); recorded per op: wall sec, input rows/sec, and the final
+    state-store row count from query.lastProgress (the boundedness
+    measurement)."""
+    from mapreduce_hw05_spark.streaming import ops
+    from mapreduce_hw05_spark.streaming.replay import ChunkList, FileReplay
+
+    times: dict = {}
+    for scale in scales:
+        n = 100_000 * scale
+        ev_path = os.path.join(SCRATCH, "events", f"x{scale}", "events.parquet")
+        if not os.path.exists(ev_path):
+            gen_events(spark, n).repartition(32).write.mode("overwrite").parquet(ev_path)
+        ev = spark.read.parquet(ev_path).orderBy("event_id")
+        chunks = ChunkList(
+            ev.filter((F.col("event_id") * 10 / n).cast("int") == i)
+            for i in range(10)
+        )
+        chunks.total_rows = n
+        row: dict = {}
+
+        def _drive(stream_df, key: str, n_in: int) -> None:
+            import shutil as _sh
+            import uuid as _uuid
+
+            root = os.path.join(SCRATCH, "events", f"x{scale}", "run_" + _uuid.uuid4().hex[:8])
+            t0 = time.time()
+            query = (
+                stream_df.writeStream.outputMode("append")
+                .format("noop")
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .start()
+            )
+            try:
+                while replay.push_next():
+                    query.processAllAvailable()
+                query.processAllAvailable()
+                wall = round(time.time() - t0, 2)
+                prog = query.lastProgress or {}
+                state_rows = sum(
+                    s.get("numRowsTotal", 0)
+                    for s in prog.get("stateOperators", [])
+                )
+            finally:
+                query.stop()
+            _sh.rmtree(root, ignore_errors=True)
+            row[key] = {
+                "wall_sec": wall,
+                "rows_per_sec": int(n_in / wall) if wall else None,
+                "state_rows_final": state_rows,
+            }
+            print(f"STREAM x{scale} {key}: {row[key]}", file=sys.stderr)
+
+        # (a) stateful dedup under 2× delivery: every chunk dropped twice
+        doubled = ChunkList(c for chunk in chunks for c in (chunk, chunk))
+        doubled.total_rows = n * 2
+        root = os.path.join(SCRATCH, "events", f"x{scale}", "in_dedup")
+        shutil.rmtree(root, ignore_errors=True)
+        replay = FileReplay(spark, doubled, root)
+        _drive(ops.dedup_events(replay.stream(), watermark="1 hour"),
+               "dedup_2x", n * 2)
+        shutil.rmtree(root, ignore_errors=True)
+
+        # (b) tumbling window aggregation
+        root = os.path.join(SCRATCH, "events", f"x{scale}", "in_tumble")
+        shutil.rmtree(root, ignore_errors=True)
+        replay = FileReplay(spark, chunks, root)
+        _drive(ops.tumbling_counts(replay.stream(), watermark="1 hour"),
+               "tumbling_1h", n)
+        shutil.rmtree(root, ignore_errors=True)
+
+        times[f"x{scale}"] = row
+    return times
+
+
 def main() -> None:
     from mapreduce_hw05_spark.session import get_spark
 
@@ -517,6 +677,16 @@ def main() -> None:
             else:
                 made[f"x{scale}"] = ensure_corpus(spark, scale)
         print(json.dumps({"metric": "ensure_corpus", "paths": made}))
+        return
+    if "streaming" in sys.argv[1:]:
+        scales = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 10]
+        print(json.dumps({"metric": "streaming_scale", "times": run_streaming(spark, scales)}))
+        return
+    if "ranks" in sys.argv[1:]:
+        counts = [int(a) for a in sys.argv[1:] if a.isdigit()] or [
+            1_000_000, 10_000_000, 100_000_000,
+        ]
+        print(json.dumps({"metric": "ranks_scale", "times": run_ranks(spark, counts)}))
         return
     if "ranges" in sys.argv[1:]:
         counts = [int(a) for a in sys.argv[1:] if a.isdigit()] or [

@@ -16,14 +16,26 @@ histograms — see ``plans/analytics_queries.py`` an-5):
    ONE range shuffle, the identical cost Spark's ``orderBy`` pays; a
    ``localCheckpoint`` pins the partitioned layout so both passes read
    it once.
-2. Per-partition totals of the summed columns — a tiny aggregate
-   (`one output row per shuffle partition`), collected to the driver
-   and turned into EXCLUSIVE per-partition offsets. This is bounded by
-   the partition count, never by the data.
-3. ``mapInPandas`` over the partitioned rows: an Arrow-vectorized
-   ``cumsum`` per batch with a cross-batch carry initialised from the
-   partition's offset (captured as a plain dict in the UDF closure — no
-   join, so the checkpointed sort order is untouched).
+2. Per-partition totals AND row counts of the summed columns — a tiny
+   aggregate (one output row per shuffle partition), collected to the
+   driver and turned into EXCLUSIVE per-partition offsets. This is
+   bounded by the partition count, never by the data.
+3. The per-partition running sum, by COUNTED physical routing (the
+   count rides the pass-2 totals — zero extra actions):
+
+   - while the largest partition fits ``JVM_WINDOW_PARTITION_ROWS``,
+     a ``Window.partitionBy(__pid)`` running sum plus the broadcast
+     offset — whole-stage-codegen JVM work; pays one hash exchange on
+     __pid but measured 2.5× faster than the Arrow path at 10 M rows
+     (PERF.md r8 A/B);
+   - past the cap, ``mapInPandas`` with an Arrow-vectorized ``cumsum``
+     per batch and a cross-batch carry initialised from the partition's
+     offset (no join, the checkpointed sort order is untouched). The
+     Python workers' separate memory makes this the safe route for
+     oversized partitions: the JVM window's per-task sort OOMed a
+     shared 32-thread heap at ~3 M rows/partition where the Arrow path
+     ran fine (PERF.md r8 A/B). Both routes are result-identical
+     (forced-route test).
 
 The result is an exact, deterministic global prefix sum with no
 single-task stage and no corpus-sized driver state: max parallelism =
@@ -33,7 +45,9 @@ affect values (offsets absorb whatever the range sampler chose).
 Determinism requires the order keys to be UNIQUE per row (pass a
 tie-breaking key, or pre-aggregate to one row per key as the AUC
 midrank consumer does); rows that compare equal would receive
-order-dependent intermediate sums.
+order-dependent intermediate sums. Summed columns must be non-null
+(both routes: SQL sum skips nulls, pandas cumsum propagates NaN —
+routing must not change results).
 """
 
 from __future__ import annotations
@@ -46,6 +60,15 @@ __all__ = ["global_cumsum", "distributed_ntile"]
 
 #: integer-kind Spark simpleStrings whose running sum stays integral
 _INT_KINDS = {"tinyint", "smallint", "int", "bigint", "long"}
+
+#: Counted route gate: largest partition row count at which the running
+#: sum runs as a JVM window over __pid instead of mapInPandas. Measured
+#: on this rig (PERF.md r8 A/B): 390 k rows/partition sorted fine, 3.1 M
+#: rows/partition × 32 concurrent window sorts OOMed the shared heap;
+#: 1 M leaves 3× headroom while keeping the fast JVM route for every
+#: sanely-partitioned input. Cluster deployments with per-executor heaps
+#: can raise it.
+JVM_WINDOW_PARTITION_ROWS = 1_000_000
 
 
 def global_cumsum(
@@ -85,10 +108,12 @@ def global_cumsum(
     )
 
     totals = part.groupBy("__pid").agg(
-        *[F.sum(c).alias(c) for c in sum_cols]
+        F.count("*").alias("__nrows"),
+        *[F.sum(c).alias(c) for c in sum_cols],
     )
     # driver-sized: one row per shuffle partition (n_part), never data-sized
     rows = sorted(totals.collect(), key=lambda r: r["__pid"])
+    max_part_rows = max((r["__nrows"] for r in rows), default=0)
     off_map: dict[int, dict[str, float]] = {}
     run = {c: 0 for c in sum_cols}
     for r in rows:
@@ -96,32 +121,71 @@ def global_cumsum(
         for c in sum_cols:
             run[c] += r[c] or 0
 
-    out_fields = list(part.schema.fields) + [
-        StructField(
-            f"cum_{c}",
-            LongType() if int_kind[c] else part.schema[c].dataType,
+    if max_part_rows <= JVM_WINDOW_PARTITION_ROWS:
+        # JVM route: running sum as a __pid-partitioned window (codegen)
+        # + broadcast offsets. One extra hash exchange on __pid; 2.5×
+        # faster than the Arrow path when partitions fit the heap.
+        from pyspark.sql import Window
+
+        off_df = spark.createDataFrame(
+            [
+                (pid, *[offs[c] if int_kind[c] else float(offs[c])
+                        for c in sum_cols])
+                for pid, offs in off_map.items()
+            ]
+            or [(0, *[0 for _ in sum_cols])],
+            StructType(
+                [part.schema["__pid"]]
+                + [
+                    StructField(
+                        f"__off_{c}",
+                        LongType() if int_kind[c] else part.schema[c].dataType,
+                    )
+                    for c in sum_cols
+                ]
+            ),
         )
-        for c in sum_cols
-    ]
-    out_schema = StructType(out_fields)
+        w = Window.partitionBy("__pid").orderBy(*order_exprs).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        out = part.join(F.broadcast(off_df), "__pid")
+        for c in sum_cols:
+            cum_col = F.sum(c).over(w) + F.col(f"__off_{c}")
+            out = out.withColumn(
+                f"cum_{c}",
+                cum_col.cast("long") if int_kind[c] else cum_col,
+            )
+        out = out.drop("__pid", *[f"__off_{c}" for c in sum_cols])
+    else:
+        # Arrow route: per-batch cumsum with cross-batch carry in the
+        # Python workers' own memory — safe for oversized partitions.
+        out_fields = list(part.schema.fields) + [
+            StructField(
+                f"cum_{c}",
+                LongType() if int_kind[c] else part.schema[c].dataType,
+            )
+            for c in sum_cols
+        ]
+        out_schema = StructType(out_fields)
 
-    def cum(batches):
-        carry = None
-        for b in batches:
-            if len(b) == 0:
-                continue
-            if carry is None:
-                # every non-empty pid has a totals row; `run` is a safe
-                # default for the impossible miss
-                carry = dict(off_map.get(int(b["__pid"].iloc[0]), run))
-            for c in sum_cols:
-                base = b[c].astype("int64") if int_kind[c] else b[c]
-                s = base.cumsum() + carry[c]
-                b = b.assign(**{f"cum_{c}": s})
-                carry[c] = s.iloc[-1]
-            yield b
+        def cum(batches):
+            carry = None
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                if carry is None:
+                    # every non-empty pid has a totals row; `run` is a
+                    # safe default for the impossible miss
+                    carry = dict(off_map.get(int(b["__pid"].iloc[0]), run))
+                for c in sum_cols:
+                    base = b[c].astype("int64") if int_kind[c] else b[c]
+                    s = base.cumsum() + carry[c]
+                    b = b.assign(**{f"cum_{c}": s})
+                    carry[c] = s.iloc[-1]
+                yield b
 
-    out = part.mapInPandas(cum, schema=out_schema).drop("__pid")
+        out = part.mapInPandas(cum, schema=out_schema).drop("__pid")
+
     if include_totals:
         for c in sum_cols:
             tot = run[c] if int_kind[c] else float(run[c])

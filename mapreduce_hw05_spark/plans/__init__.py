@@ -330,7 +330,9 @@ DRIVER_WINDOW = DRIVER_WINDOW_R8
 #: NEW contracts registered in r8 (never driver-verified). Append any
 #: new contract here — they take the head of the r9 window. Keep ≤ 6
 #: (VERDICT r6 item 3 cap, renewed by r7 item 4).
-DRIVER_WINDOW_R9_PENDING: list[str] = []
+DRIVER_WINDOW_R9_PENDING: list[str] = [
+    "q_global_rank",  # s-4: exact global row number via operators.ranks
+]
 
 #: Churn-first head for r9 (VERDICT r7 item 4): any contract whose plan
 #: or oracle changes during r8 AND whose latest driver-green record

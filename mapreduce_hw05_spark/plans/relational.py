@@ -514,6 +514,45 @@ def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@contract(
+    "q_global_rank",
+    oracle="""
+    SELECT c_custkey,
+           row_number() OVER (
+               ORDER BY CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) DESC,
+                        c_custkey
+           ) AS rn
+    FROM customer
+    """,
+)
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s-4 (r8) — EXACT global row number over the whole entity table,
+    the ranking primitive [[q_global_sort]]'s top-100 slice sidesteps:
+    every customer gets its dense position in the
+    (cent-quantized balance DESC, custkey) total order.
+
+    A SQL engine answers this with ``row_number() OVER (ORDER BY …)``,
+    which Spark physically plans as a SINGLE-partition sort — the
+    one-task plan that cannot scale past one machine. The engine instead
+    uses :func:`operators.ranks.global_cumsum` (range shuffle +
+    per-partition offsets + counted JVM-window/Arrow routing), so the
+    rank assignment is partition-parallel at any scale; the oracle keeps
+    the window formulation, making this contract itself the
+    Spark-vs-SQL identity check for the operator.
+    """
+    from mapreduce_hw05_spark.operators.ranks import global_cumsum
+
+    c = load_table(spark, sf_dir, "customer")
+    keyed = c.select(
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal_c"),
+        "c_custkey",
+        F.lit(1).cast("long").alias("one"),
+    )
+    return global_cumsum(
+        keyed, [F.col("bal_c").desc(), F.col("c_custkey").asc()], ["one"]
+    ).select("c_custkey", F.col("cum_one").alias("rn"))
+
+
 # --------------------------------------------------------------------------
 # set-1 / set-2 / set-3 — union / intersect / except over event users
 # --------------------------------------------------------------------------

@@ -47,6 +47,8 @@ CLAIM = re.compile(
 REGISTRY: dict[tuple[str, str], str | None] = {
     # negative claim: the subquery plans assert they DON'T fall back
     ("plans/subquery_queries.py", "<module>"): None,
+    # r8: global ranking's counted JVM-window vs Arrow-cumsum routing
+    ("operators/ranks.py", "<module>"): "JVM_WINDOW_PARTITION_ROWS",
     ("plans/pipeline_queries.py", "q_lm_score"): "MAX_BROADCAST_MODEL_ROWS",
     # r6 x1000-probe fix: the decontamination contracts' benchmark-gram
     # broadcast is corpus-proportional — file-stat gated

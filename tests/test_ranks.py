@@ -89,6 +89,33 @@ def test_global_cumsum_empty_and_single_row(spark):
     assert one["cum_cnt"].iloc[0] == one["tot_cnt"].iloc[0]
 
 
+def test_global_cumsum_forced_arrow_route_matches_jvm(spark, monkeypatch):
+    """Counted routing (JVM window under JVM_WINDOW_PARTITION_ROWS,
+    Arrow cumsum past it) must be result-identical — forced-route test,
+    same discipline as the broadcast-gate identity tests."""
+    from mapreduce_hw05_spark.operators import ranks
+
+    df = _toy(spark, 601)
+    jvm = (
+        global_cumsum(df, [F.col("k")], ["cnt", "x"], num_partitions=6,
+                      include_totals=True)
+        .orderBy("k")
+        .toPandas()
+    )
+    monkeypatch.setattr(ranks, "JVM_WINDOW_PARTITION_ROWS", 0)
+    arrow = (
+        global_cumsum(df, [F.col("k")], ["cnt", "x"], num_partitions=6,
+                      include_totals=True)
+        .orderBy("k")
+        .toPandas()
+    )
+    assert (jvm["cum_cnt"].to_numpy() == arrow["cum_cnt"].to_numpy()).all()
+    # float running sums accumulate in the same sequential order on both
+    # routes — bit-identical, not just close
+    assert (jvm["cum_x"].to_numpy() == arrow["cum_x"].to_numpy()).all()
+    assert (jvm["tot_cnt"].to_numpy() == arrow["tot_cnt"].to_numpy()).all()
+
+
 def test_global_cumsum_partition_count_invariance(spark):
     """Boundary placement must not affect values: offsets absorb
     whatever the range sampler chose."""
