@@ -47,7 +47,9 @@ tie-breaking key, or pre-aggregate to one row per key as the AUC
 midrank consumer does); rows that compare equal would receive
 order-dependent intermediate sums. Summed columns must be non-null
 (both routes: SQL sum skips nulls, pandas cumsum propagates NaN —
-routing must not change results).
+routing must not change results) and of integer or floating kind —
+DECIMAL running sums widen precision differently per route and are
+rejected up front rather than silently diverging.
 """
 
 from __future__ import annotations
@@ -99,6 +101,19 @@ def global_cumsum(
         c: df.schema[c].dataType.simpleString() in _INT_KINDS
         for c in sum_cols
     }
+    bad = [
+        c
+        for c in sum_cols
+        if not int_kind[c]
+        and df.schema[c].dataType.simpleString() not in ("float", "double")
+    ]
+    if bad:
+        raise TypeError(
+            f"global_cumsum sum_cols must be integer or float/double kind; "
+            f"got {[(c, df.schema[c].dataType.simpleString()) for c in bad]} "
+            "— cast DECIMAL inputs first (running-sum precision widening "
+            "differs between the JVM and Arrow routes)"
+        )
 
     part = (
         df.repartitionByRange(n_part, *order_exprs)
@@ -148,6 +163,7 @@ def global_cumsum(
         w = Window.partitionBy("__pid").orderBy(*order_exprs).rowsBetween(
             Window.unboundedPreceding, 0
         )
+        # driver-sized: one offset row per shuffle partition
         out = part.join(F.broadcast(off_df), "__pid")
         for c in sum_cols:
             cum_col = F.sum(c).over(w) + F.col(f"__off_{c}")

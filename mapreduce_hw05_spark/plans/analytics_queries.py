@@ -486,6 +486,7 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         F.min("__size_min").over(w).alias("__best_price_above"),
     )
+    # label-sized: one threshold row per distinct p_size (domain ≤ ~50)
     flagged = part.select("p_partkey", "p_retailprice", "p_size").join(
         F.broadcast(thresholds), "p_size"
     )
