@@ -320,7 +320,13 @@ DRIVER_WINDOW_R8 = (
 
 #: The correctness driver verifies the FIRST 50 registered queries only
 #: (registration-order prefix of ``queries()``).
-DRIVER_WINDOW = DRIVER_WINDOW_R8
+#:
+#: r8 is FROZEN (CORRECTNESS_r08.json 50/50 green — pinned in
+#: tests/test_registry_window.py). ``DRIVER_WINDOW`` is assigned to
+#: ``DRIVER_WINDOW_R9`` below: the rotation VERDICT r8 item 1
+#: prescribed, executed verbatim — the never-verified q_global_rank,
+#: the five r8 ranks-rewrite churn entries, then the head of the
+#: 60-entry R9_REVERIFY tranche.
 
 #: ---------------------------------------------------------------------
 #: r9 PRE-STAGE (VERDICT r7 item 3 — stage the next window before this
@@ -371,6 +377,79 @@ DRIVER_WINDOW_R9_REVERIFY = (
     + [n for n in DRIVER_WINDOW_R3 if n != "q_logreg_train"]
 )
 
+#: r9 ACTIVE window (VERDICT r8 item 1, executed verbatim): the one
+#: never-driver-verified contract, the five r8 ranks-rewrite churn
+#: entries, then the tranche head to fill 50. The 16-entry tranche tail
+#: rolls to r10 (``DRIVER_WINDOW_R10_REVERIFY`` head).
+DRIVER_WINDOW_R9 = (
+    list(DRIVER_WINDOW_R9_PENDING)
+    + list(DRIVER_WINDOW_R9_CHURN)
+    + DRIVER_WINDOW_R9_REVERIFY[:44]
+)
+
+DRIVER_WINDOW = DRIVER_WINDOW_R9
+
+#: ---------------------------------------------------------------------
+#: r10 PRE-STAGE (VERDICT r8 item 3 — stage the next window before this
+#: round closes, the proven de-risking pattern).
+#: ---------------------------------------------------------------------
+
+#: NEW contracts registered in r9 (never driver-verified). Append any
+#: new contract here — they take the head of the r10 window. Keep ≤ 6
+#: (VERDICT r6 item 3 cap, renewed every round since).
+DRIVER_WINDOW_R10_PENDING: list[str] = []
+
+#: Churn-first head for r10: any contract whose plan or oracle changes
+#: during r9 AND whose latest driver-green record predates the change
+#: goes here AT CHANGE TIME (the discipline that caught q_kcore_rounds
+#: in r7 and carried the five ranks rewrites into r9).
+#:
+#: r9 churn so far: the broadcast cosine kernel's per-probe lexsort loop
+#: was vectorized (VERDICT r8 item 5, operators/similarity.py
+#: exact_topk_broadcast) — the r8-green contracts that route through it
+#: re-verify first in r10. q_semantic_dedup / q_dedup_clusters route
+#: through the BLOCKED kernel (re-verified r8 / staged below) and are
+#: covered by the forced-route identity suite.
+DRIVER_WINDOW_R10_CHURN: list[str] = [
+    "q_similarity_topk",   # r8 green; broadcast cosine route at sf0.01
+    "q_knn_accuracy",      # r8 green; same kernel via knn_join
+    "q_hard_negatives",    # r8 green; same kernel via knn_join
+    "q_near_dup_embedding",  # r8 green; cosine threshold off same kernel
+]
+
+#: r10 re-verification tranche (VERDICT r8 item 3): the R9_REVERIFY
+#: remainder (16), then the r4-window core — the 48 contracts whose only
+#: driver-green record is r4 while near-dup gates, quantile engines and
+#: the ranks rewrites churned under them in r5–r8 — ordered churn-first:
+#: sketch/quantile + similarity/fingerprint + text-analysis families
+#: (the engines that churned) ahead of pure-Catalyst relational/TPC-H
+#: plans that no engine change touched.
+DRIVER_WINDOW_R10_REVERIFY = DRIVER_WINDOW_R9_REVERIFY[44:] + [
+    # sketch / quantile / sampling engines (churned r5–r8)
+    "q_heavy_hitters", "q_stream_heavy_hitters", "q_weighted_sample",
+    "q_stream_weighted_reservoir", "q_sample_hash", "q_rank_distribution",
+    # similarity / fingerprint / dedup (gates + kernels churned r5–r8)
+    "q_semantic_dedup", "q_dedup_clusters", "q_simhash",
+    "q_fingerprint_groups", "q_fuzzy_name_match", "q_decontaminate_ngram",
+    # text-analysis family (tokenizer/marginal-broadcast churn)
+    "q_chunk_documents", "q_repetition_score", "q_token_entropy",
+    "q_token_stats", "q_bigram_pmi", "q_lm_score", "q_inverted_index",
+    "q_pseudonymize_users", "q_domain_mix",
+    # join-strategy contracts (AQE/gate configs churned)
+    "q_salted_join_contract", "q_two_phase_agg_contract",
+    "q_bloom_join_contract", "q_join_hints_contract",
+    "q_null_safe_join", "q_union_by_name", "q_schema_evolution",
+    # events / time-series analytics
+    "q_variant_json", "q_time_weighted_avg", "q_event_sequences",
+    "q_rolling_dau", "q_cumulative_users",
+    # pure-Catalyst relational / TPC-H tail (lowest churn risk)
+    "q_not_in_null_semantics", "q_conditional_distinct", "q_stats_moments",
+    "q_conditional_agg", "q_string_agg", "q_min_max_by",
+    "q_having_in_big_orders", "q_max_price_in_brand",
+    "q_multi_supplier_late", "q_tpch_q18", "q_tpch_q14", "q_tpch_q19",
+    "q_tpch_q15", "q_tpch_q22", "q_tpch_q16_suppliers",
+]
+
 
 def _reorder_registry() -> None:
     missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
@@ -404,4 +483,11 @@ __all__ = [
     "DRIVER_WINDOW_R8_PENDING",
     "DRIVER_WINDOW_R8_CHURN",
     "DRIVER_WINDOW_R8_REVERIFY",
+    "DRIVER_WINDOW_R9",
+    "DRIVER_WINDOW_R9_PENDING",
+    "DRIVER_WINDOW_R9_CHURN",
+    "DRIVER_WINDOW_R9_REVERIFY",
+    "DRIVER_WINDOW_R10_PENDING",
+    "DRIVER_WINDOW_R10_CHURN",
+    "DRIVER_WINDOW_R10_REVERIFY",
 ]
