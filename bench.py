@@ -102,9 +102,15 @@ def _run_part(part: str) -> None:
         sentinels: dict[str, float] = {}
         ratios: dict[str, float] = {}
         for key, names in HEAVY_QUERIES.items():
-            t0 = time.perf_counter()
-            QUERIES[sent](spark, sf_dir).collect()
-            sentinels[key] = round(time.perf_counter() - t0, 4)
+            # best-of-2 sentinel per heavy key (ADVICE r8): a single
+            # sentinel sample on this 2–10×-swing host skews every ratio
+            # it normalizes — match the best-of protocol of the ops.
+            sent_runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[sent](spark, sf_dir).collect()
+                sent_runs.append(time.perf_counter() - t0)
+            sentinels[key] = round(min(sent_runs), 4)
             per_run = []
             for _ in range(2):
                 t0 = time.perf_counter()

@@ -34,8 +34,15 @@ histograms — see ``plans/analytics_queries.py`` an-5):
      Python workers' separate memory makes this the safe route for
      oversized partitions: the JVM window's per-task sort OOMed a
      shared 32-thread heap at ~3 M rows/partition where the Arrow path
-     ran fine (PERF.md r8 A/B). Both routes are result-identical
-     (forced-route test).
+     ran fine (PERF.md r8 A/B). The routes are result-identical for
+     integer sums (exact arithmetic, forced-route test). For floating
+     sums both routes emit DOUBLE (FloatType inputs upcast before
+     accumulating, so routing can never change the output schema), but
+     the two associate additions differently once a partition spans
+     multiple Arrow batches ((per-batch cumsum)+carry vs
+     whole-partition running sum+offset) — double values may differ in
+     the last ulps there; test_ranks.py pins the tolerance with a
+     forced 64-row Arrow batch size.
 
 The result is an exact, deterministic global prefix sum with no
 single-task stage and no corpus-sized driver state: max parallelism =
@@ -56,7 +63,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 __all__ = ["global_cumsum", "distributed_ntile"]
 
@@ -114,6 +121,10 @@ def global_cumsum(
             "— cast DECIMAL inputs first (running-sum precision widening "
             "differs between the JVM and Arrow routes)"
         )
+    # FloatType inputs accumulate in DOUBLE on BOTH routes (the JVM
+    # window sum of float is already double; the Arrow route upcasts to
+    # float64 below) so output schema and precision cannot depend on the
+    # routing threshold (ADVICE r8). Integer kinds stay LONG.
 
     part = (
         df.repartitionByRange(n_part, *order_exprs)
@@ -154,7 +165,7 @@ def global_cumsum(
                 + [
                     StructField(
                         f"__off_{c}",
-                        LongType() if int_kind[c] else part.schema[c].dataType,
+                        LongType() if int_kind[c] else DoubleType(),
                     )
                     for c in sum_cols
                 ]
@@ -169,7 +180,7 @@ def global_cumsum(
             cum_col = F.sum(c).over(w) + F.col(f"__off_{c}")
             out = out.withColumn(
                 f"cum_{c}",
-                cum_col.cast("long") if int_kind[c] else cum_col,
+                cum_col.cast("long" if int_kind[c] else "double"),
             )
         out = out.drop("__pid", *[f"__off_{c}" for c in sum_cols])
     else:
@@ -178,7 +189,7 @@ def global_cumsum(
         out_fields = list(part.schema.fields) + [
             StructField(
                 f"cum_{c}",
-                LongType() if int_kind[c] else part.schema[c].dataType,
+                LongType() if int_kind[c] else DoubleType(),
             )
             for c in sum_cols
         ]
@@ -190,11 +201,12 @@ def global_cumsum(
                 if len(b) == 0:
                     continue
                 if carry is None:
-                    # every non-empty pid has a totals row; `run` is a
-                    # safe default for the impossible miss
-                    carry = dict(off_map.get(int(b["__pid"].iloc[0]), run))
+                    # every non-empty pid has a totals row; a miss means
+                    # pid stability broke (e.g. the localCheckpoint was
+                    # removed) — fail fast, never silently mis-offset
+                    carry = dict(off_map[int(b["__pid"].iloc[0])])
                 for c in sum_cols:
-                    base = b[c].astype("int64") if int_kind[c] else b[c]
+                    base = b[c].astype("int64" if int_kind[c] else "float64")
                     s = base.cumsum() + carry[c]
                     b = b.assign(**{f"cum_{c}": s})
                     carry[c] = s.iloc[-1]

@@ -14,7 +14,13 @@ result plans) until the operator returns — Spark's ContextCleaner can
 only reclaim blocks whose RDD objects are garbage-collected, which lazy
 stats plans and list accumulators silently prevent.
 
-Every in-loop persist must therefore release state in-loop. Where the
+Every in-loop persist must therefore release state in-loop, and the
+loop body must carry AT LEAST as many ``unpersist()`` calls as
+``persist()``/``cache()`` calls (ADVICE r8: one unpersist must not
+exempt three persists — the leak class could partially reappear). Count
+matching, not name matching, because the correct rebind pattern
+(``nxt.persist()`` … released as ``cur.unpersist()`` next round, the
+kcore shape) releases under a different name by design. Where the
 algorithm genuinely needs all rounds cached simultaneously (none today),
 tag the persist line — or one of the three lines above it — with
 ``loop-persist: <why bounded>`` and it is exempt, visible, and greppable.
@@ -67,7 +73,10 @@ def iter_loop_persist_violations():
                 if not persists:
                     continue
                 releases = _method_calls(body, {"unpersist"})
-                if releases:
+                # every persist needs a matching release in the SAME loop
+                # body (count-wise): any-unpersist-exempts-all let a loop
+                # that persists three DataFrames but releases one pass
+                if len(releases) >= len(persists):
                     continue
                 for call in persists:
                     i = call.func.lineno - 1

@@ -110,10 +110,77 @@ def test_global_cumsum_forced_arrow_route_matches_jvm(spark, monkeypatch):
         .toPandas()
     )
     assert (jvm["cum_cnt"].to_numpy() == arrow["cum_cnt"].to_numpy()).all()
-    # float running sums accumulate in the same sequential order on both
-    # routes — bit-identical, not just close
+    # while a partition fits one Arrow batch, float running sums
+    # accumulate in the same sequential order on both routes —
+    # bit-identical, not just close (cross-batch case pinned below)
     assert (jvm["cum_x"].to_numpy() == arrow["cum_x"].to_numpy()).all()
     assert (jvm["tot_cnt"].to_numpy() == arrow["tot_cnt"].to_numpy()).all()
+
+
+def test_global_cumsum_float_input_emits_double_on_both_routes(
+    spark, monkeypatch
+):
+    """ADVICE r8: FloatType sum_cols must not make output schema/precision
+    depend on the routing threshold — both routes upcast to DOUBLE and
+    accumulate in float64."""
+    from mapreduce_hw05_spark.operators import ranks
+
+    df = _toy(spark, 401).withColumn("xf", F.col("x").cast("float"))
+    jvm = (
+        global_cumsum(df, [F.col("k")], ["xf"], num_partitions=4,
+                      include_totals=True)
+        .orderBy("k")
+        .toPandas()
+    )
+    monkeypatch.setattr(ranks, "JVM_WINDOW_PARTITION_ROWS", 0)
+    arrow = (
+        global_cumsum(df, [F.col("k")], ["xf"], num_partitions=4,
+                      include_totals=True)
+        .orderBy("k")
+        .toPandas()
+    )
+    assert str(jvm["cum_xf"].dtype) == "float64"
+    assert str(arrow["cum_xf"].dtype) == "float64"
+    # x is multiples of 0.25 (exactly representable) so even the float32
+    # input sums exactly — both routes bit-identical here
+    assert (jvm["cum_xf"].to_numpy() == arrow["cum_xf"].to_numpy()).all()
+    assert (jvm["tot_xf"].to_numpy() == arrow["tot_xf"].to_numpy()).all()
+
+
+def test_global_cumsum_cross_arrow_batch_carry(spark, monkeypatch):
+    """ADVICE r8: once a partition spans multiple Arrow batches the Arrow
+    route associates double additions as (per-batch cumsum)+carry, not
+    the JVM's whole-partition running sum+offset — values may differ in
+    the last ulps. Pin that tolerance with a forced 64-row batch size
+    (601 rows / 2 partitions ≈ 5 batches each) and non-representable
+    summands; integer sums stay exact regardless."""
+    from mapreduce_hw05_spark.operators import ranks
+
+    df = _toy(spark, 601).withColumn("xr", F.col("k") * 0.1)
+    jvm = (
+        global_cumsum(df, [F.col("k")], ["cnt", "xr"], num_partitions=2)
+        .orderBy("k")
+        .toPandas()
+    )
+    monkeypatch.setattr(ranks, "JVM_WINDOW_PARTITION_ROWS", 0)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        arrow = (
+            global_cumsum(df, [F.col("k")], ["cnt", "xr"], num_partitions=2)
+            .orderBy("k")
+            .toPandas()
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+    assert (jvm["cum_cnt"].to_numpy() == arrow["cum_cnt"].to_numpy()).all()
+    a, b = jvm["cum_xr"].to_numpy(), arrow["cum_xr"].to_numpy()
+    assert np.allclose(a, b, rtol=1e-12, atol=0)
 
 
 def test_global_cumsum_partition_count_invariance(spark):
