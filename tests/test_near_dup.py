@@ -569,6 +569,53 @@ def test_blocked_exact_search_bit_identical_sims(spark, monkeypatch):
     assert got_thr == want_thr
 
 
+def test_topk_per_row_fast_path_matches_fallback():
+    """r9 (VERDICT r8 item 5): the argpartition composite-key fast path
+    must reproduce the full-stable-argsort order EXACTLY — engineered
+    1e-6-quantization ties, masked rows, k > candidate count, and the
+    oversized-sim / NaN inputs that must take the fallback."""
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators.similarity import _topk_per_row
+
+    rng = np.random.default_rng(11)
+    n_probe, n_ref, k = 300, 500, 7
+    ids_all = np.arange(n_ref, dtype=np.int64) * 3 + 1  # ascending, gappy
+    # heavy tie mass: sims quantized to 1e-6 multiples of few levels
+    sims = rng.integers(-4, 5, size=(n_probe, n_ref)) * 1e-6 * 250_000
+    sims += rng.standard_normal((n_probe, n_ref)) * 1e-9  # sub-quantum noise
+    keep = rng.random((n_probe, n_ref)) > 0.3
+    keep[5] = False  # fully-masked probe row
+
+    def fallback(sims, keep, ids_all, k):
+        ranked = np.where(
+            keep & np.isfinite(sims), np.round(sims, 6), -np.inf
+        )
+        kk = min(k, ids_all.size)
+        idx = np.argsort(-ranked, axis=1, kind="stable")[:, :kk]
+        valid = np.isfinite(np.take_along_axis(ranked, idx, axis=1))
+        rows, cols = np.nonzero(valid)
+        return rows, idx[rows, cols]
+
+    for kk in (k, n_ref + 10):  # also k > n_ref (everything kept)
+        r_fast, p_fast = _topk_per_row(sims, keep, ids_all, kk)
+        r_ref, p_ref = fallback(sims, keep, ids_all, kk)
+        assert (r_fast == r_ref).all() and (p_fast == p_ref).all(), kk
+
+    # oversized sims (|sim| > 537) and NaN must take the exact fallback
+    big = sims.copy()
+    big[0, 0] = 1e9
+    r_big, p_big = _topk_per_row(big, keep, ids_all, k)
+    r_ref, p_ref = fallback(big, keep, ids_all, k)
+    assert (r_big == r_ref).all() and (p_big == p_ref).all()
+    nan = sims.copy()
+    nan[1, :] = np.nan  # all-NaN probe row → no output rows for it
+    r_nan, p_nan = _topk_per_row(nan, keep, ids_all, k)
+    r_ref, p_ref = fallback(nan, keep, ids_all, k)
+    assert (r_nan == r_ref).all() and (p_nan == p_ref).all()
+    assert 1 not in set(r_nan.tolist())
+
+
 def test_char_ngram_fingerprint_drops_null_text(spark):
     """r6 ADVICE: the map-only fingerprint must keep the original
     explode+groupBy ROW semantics — NULL-text docs produced no exploded
