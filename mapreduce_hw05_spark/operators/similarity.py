@@ -70,32 +70,80 @@ def _topk_per_row(
     an unordered top-k (O(N) per row, no full-row sort) and stable-sort
     only the k survivors. Column index stands in for the id tie-break
     (columns are id-ascending), so arbitrary int64 ids never overflow
-    the packing. Exact while |round(sim*1e6)| < 2**29 (|sim| ≲ 537) and
+    the packing. Exact while |sim| < 536 (keeping round(sim*1e6) under 2**29) and
     all sims finite; anything else — unnormalized dot products of huge
     vectors, NaNs — falls back to the full stable argsort, same order.
+
+    Allocation discipline: the key is built IN PLACE (packed, negated,
+    masked) so the fast path makes three (B×N)-sized fresh allocations
+    — float work buffer, int64 key, argpartition's index output —
+    instead of ~eight, plus one (B×N) bool for the mask complement.
+    Large fresh allocations are mmap-backed and first-touch page faults
+    dominated the kernel's wall on a fault-slow host (PERF.md r9:
+    0.4 GB/s first-touch vs 6 GB/s reuse); fewer passes is also simply
+    less memory traffic on healthy executors. The finiteness/magnitude
+    guard uses min/max reductions, never a (B×N) temp.
     """
+    if sims.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
     kk = min(k, ids_all.size)
-    finite = np.isfinite(sims)
-    if finite.all():
-        simi = np.round(sims * 1e6).astype(np.int64)
-        if np.abs(simi).max(initial=0) < 2**29:
-            cols33 = (np.int64(2**33 - 1) - np.arange(ids_all.size))[None, :]
-            key = np.where(keep, (simi << 33) | cols33, _MASKED_KEY)
-            part = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
-            subk = np.take_along_axis(key, part, axis=1)
-            order = np.argsort(-subk, axis=1, kind="stable")
-            idx = np.take_along_axis(part, order, axis=1)
-            valid = np.take_along_axis(subk, order, axis=1) != _MASKED_KEY
-            rows, cols = np.nonzero(valid)
-            return rows, idx[rows, cols]
+    # reductions only — no (B×N) temp: NaN poisons min; ±inf caught too
+    lo, hi = sims.min(), sims.max()
+    # 536 < 2**29/1e6 ≈ 536.87: rounded-scaled sims stay under 2**29 so
+    # the <<33 pack can't overflow int64
+    if np.isfinite(lo) and np.isfinite(hi) and max(abs(lo), abs(hi)) < 536.0:
+        buf = sims * 1e6              # fresh alloc #1 (float64 work buffer)
+        np.rint(buf, out=buf)         # == np.round(sims*1e6), in place
+        key = buf.astype(np.int64)    # fresh alloc #2 (the key buffer)
+        del buf
+        key <<= 33
+        key |= (np.int64(2**33 - 1) - np.arange(ids_all.size))[None, :]
+        np.negative(key, out=key)     # argpartition ascending == key DESC
+        key[~keep] = -_MASKED_KEY     # masked sorts last (largest)
+        part = np.argpartition(key, kk - 1, axis=1)[:, :kk]  # fresh alloc #3
+        subk = np.take_along_axis(key, part, axis=1)         # (B, kk) small
+        order = np.argsort(subk, axis=1, kind="stable")
+        idx = np.take_along_axis(part, order, axis=1)
+        valid = np.take_along_axis(subk, order, axis=1) != -_MASKED_KEY
+        rows, cols = np.nonzero(valid)
+        return rows, idx[rows, cols]
     # exact fallback: full-row stable argsort on the negated rounded sims
     # (id-ascending columns make ties resolve id ASC); non-finite sims
     # rank as -inf i.e. never picked — matching the fast path's drop
-    ranked = np.where(keep & finite, np.round(sims, 6), -np.inf)
+    ranked = np.where(keep & np.isfinite(sims), np.round(sims, 6), -np.inf)
     idx = np.argsort(-ranked, axis=1, kind="stable")[:, :kk]
     valid = np.isfinite(np.take_along_axis(ranked, idx, axis=1))
     rows, cols = np.nonzero(valid)
     return rows, idx[rows, cols]
+
+
+#: Per-chunk budget for the (probe-rows × n_ref) float64 sims matrix in
+#: the exact kernels. The sims matrix is the ONLY executor allocation
+#: that scales with BOTH sides: an un-chunked 10k-row Arrow batch
+#: against a reference at the 4 M-row broadcast cap would materialize a
+#: 320 GB matrix — the reference broadcast (2 GB) was capped, the batch
+#: matmul was not (r9 fix). 256 MB keeps a 10k-row Arrow batch
+#: single-chunk for references up to ~3,276 rows (so driver-scale plans
+#: are byte-identical to the unchunked formulation) while bounding
+#: executor memory at cap-scale references. Chunking is row-identical
+#: in IDs; sims can drift in the LAST ULP because BLAS picks a
+#: different GEMM micro-kernel for short row-chunks (measured: 500×64
+#: vs 33×64 probe slices differ ~1e-16 relative) — absorbed by the
+#: contract-level round(·,6), pinned by test.
+SIMS_CHUNK_BYTES = 256 * 2**20
+
+
+def _iter_probe_chunks(P: np.ndarray, n_ref: int, budget: int):
+    """Yield (row_offset, probe-row slice) with slices sized so the
+    (slice × n_ref) float64 sims matrix stays under ``budget`` bytes.
+
+    ``budget`` is captured DRIVER-side when the kernel closure is built
+    (it rides the serialized closure to the workers), so tests can
+    monkeypatch SIMS_CHUNK_BYTES to force multi-chunk batches."""
+    rows = max(1, budget // max(1, n_ref * 8))
+    for s in range(0, P.shape[0], rows):
+        yield s, P[s : s + rows]
 
 
 #: Hard cap on broadcast-able reference rows (~2 GB at 64-dim float64).
@@ -223,6 +271,8 @@ def _blocked_exact_search(
         F.col(vec_col).alias("probe_vec"),
     )
 
+    chunk_budget = SIMS_CHUNK_BYTES  # driver-captured (testable)
+
     def search(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id1": [], "id2": [], "sim": []}).astype(
             {"id1": np.int64, "id2": np.int64, "sim": np.float64}
@@ -239,39 +289,49 @@ def _blocked_exact_search(
         rids, R = rids[order], R[order]
         if normalize:
             P, R = _l2_normalize(P), _l2_normalize(R)
-        sims = P @ R.T
-        if threshold is not None:
-            keep = (sims >= threshold) & (rids[None, :] > pids[:, None])
-            rows, cols = np.nonzero(keep)
-            if not rows.size:
-                return empty
-            return pd.DataFrame(
-                {
-                    "id1": pids[rows],
-                    "id2": rids[cols],
-                    "sim": sims[rows, cols],
-                }
+        # probe-row chunking bounds the (chunk × n_block) sims matrix —
+        # see SIMS_CHUNK_BYTES; per-row results make it result-identical
+        out = []
+        for s, Pc in _iter_probe_chunks(P, rids.size, chunk_budget):
+            sims = Pc @ R.T
+            pc_ids = pids[s : s + Pc.shape[0]]
+            if threshold is not None:
+                hit = (sims >= threshold) & (rids[None, :] > pc_ids[:, None])
+                rows, cols = np.nonzero(hit)
+                if rows.size:
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "id1": pc_ids[rows],
+                                "id2": rids[cols],
+                                "sim": sims[rows, cols],
+                            }
+                        )
+                    )
+                continue
+            # Vectorized per-row top-k (r7 item 5 closed the per-probe
+            # loop; r9 swapped the full-row stable argsort for
+            # _topk_per_row's argpartition fast path — PERF.md r9 A/B).
+            # Columns are already id-ascending (see `order` above),
+            # reproducing the exact (round(sim,6) DESC, id2 ASC)
+            # tie-break of the broadcast kernel.
+            keep = (
+                rids[None, :] > pc_ids[:, None]
+                if mode == "pairs"
+                else rids[None, :] != pc_ids[:, None]
             )
-        # Vectorized per-row top-k (r7 item 5 closed the per-probe loop;
-        # r9 swapped the full-row stable argsort for _topk_per_row's
-        # argpartition fast path — PERF.md r9 A/B). Columns are already
-        # id-ascending (see `order` above), reproducing the exact
-        # (round(sim,6) DESC, id2 ASC) tie-break of the broadcast kernel.
-        keep = (
-            rids[None, :] > pids[:, None]
-            if mode == "pairs"
-            else rids[None, :] != pids[:, None]
-        )
-        rows, picked = _topk_per_row(sims, keep, rids, k)
-        if not rows.size:
-            return empty
-        return pd.DataFrame(
-            {
-                "id1": pids[rows],
-                "id2": rids[picked],
-                "sim": sims[rows, picked],
-            }
-        )
+            rows, picked = _topk_per_row(sims, keep, rids, k)
+            if rows.size:
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id1": pc_ids[rows],
+                            "id2": rids[picked],
+                            "sim": sims[rows, picked],
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
 
     return (
         routed.groupby("block")
@@ -338,6 +398,7 @@ def cosine_pairs_topk_per_row(
     # yields (round(sim,6) DESC, id2 ASC) for free
     order = np.argsort(ref_ids, kind="stable")
     bc = spark.sparkContext.broadcast((ref_ids[order], ref_mat[order]))
+    chunk_budget = SIMS_CHUNK_BYTES  # driver-captured (testable)
 
     def kernel(batches):
         ids_all, mat = bc.value
@@ -348,27 +409,31 @@ def cosine_pairs_topk_per_row(
             vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             if normalize:
                 vecs = _l2_normalize(vecs)
-            sims = vecs @ mat.T  # (batch, N) — one BLAS call per Arrow batch
-            # Batch-level vectorized top-k (VERDICT r8 item 5: the old
-            # per-probe lexsort loop paid ~µs/row of interpreter overhead
-            # on large probe batches). Columns are id-ascending (see
+            # Chunked batch-level vectorized top-k (VERDICT r8 item 5:
+            # the old per-probe lexsort loop paid ~µs/row of interpreter
+            # overhead). Chunking bounds the (chunk × N) sims matrix —
+            # an unchunked Arrow batch × a cap-sized reference would
+            # materialize hundreds of GB. Columns are id-ascending (see
             # `order` above), so _topk_per_row reproduces the exact
             # (round(sim,6) DESC, id2 ASC) tie-break.
-            keep = (
-                ids_all[None, :] > probe_ids[:, None]
-                if mode == "pairs"
-                else ids_all[None, :] != probe_ids[:, None]
-            )
-            rows, picked = _topk_per_row(sims, keep, ids_all, k)
-            if not rows.size:
-                continue
-            yield pd.DataFrame(
-                {
-                    "id1": probe_ids[rows],
-                    "id2": ids_all[picked],
-                    "sim": sims[rows, picked],
-                }
-            )
+            for s, Vc in _iter_probe_chunks(vecs, ids_all.size, chunk_budget):
+                sims = Vc @ mat.T  # one BLAS call per chunk
+                pc_ids = probe_ids[s : s + Vc.shape[0]]
+                keep = (
+                    ids_all[None, :] > pc_ids[:, None]
+                    if mode == "pairs"
+                    else ids_all[None, :] != pc_ids[:, None]
+                )
+                rows, picked = _topk_per_row(sims, keep, ids_all, k)
+                if not rows.size:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "id1": pc_ids[rows],
+                        "id2": ids_all[picked],
+                        "sim": sims[rows, picked],
+                    }
+                )
 
     return probe.mapInPandas(kernel, schema=_PAIR_SCHEMA)
 
@@ -651,6 +716,7 @@ def cosine_pairs_above(
         df, id_col, vec_col, normalize=True, n_ref=n_ref
     )
     bc = spark.sparkContext.broadcast((ref_ids, ref_mat))
+    chunk_budget = SIMS_CHUNK_BYTES  # driver-captured (testable)
 
     def kernel(batches):
         ids_all, mat = bc.value
@@ -659,17 +725,20 @@ def cosine_pairs_above(
                 continue
             probe_ids = pdf[id_col].to_numpy(dtype=np.int64)
             vecs = _l2_normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
-            sims = vecs @ mat.T
-            keep = (sims >= threshold) & (ids_all[None, :] > probe_ids[:, None])
-            rows, cols = np.nonzero(keep)
-            if rows.size:
-                yield pd.DataFrame(
-                    {
-                        "id1": probe_ids[rows],
-                        "id2": ids_all[cols],
-                        "sim": sims[rows, cols],
-                    }
-                )
+            # chunked: bounds the (chunk × N) sims matrix (SIMS_CHUNK_BYTES)
+            for s, Vc in _iter_probe_chunks(vecs, ids_all.size, chunk_budget):
+                sims = Vc @ mat.T
+                pc_ids = probe_ids[s : s + Vc.shape[0]]
+                hit = (sims >= threshold) & (ids_all[None, :] > pc_ids[:, None])
+                rows, cols = np.nonzero(hit)
+                if rows.size:
+                    yield pd.DataFrame(
+                        {
+                            "id1": pc_ids[rows],
+                            "id2": ids_all[cols],
+                            "sim": sims[rows, cols],
+                        }
+                    )
 
     return df.mapInPandas(kernel, schema=_PAIR_SCHEMA)
 

@@ -616,6 +616,50 @@ def test_topk_per_row_fast_path_matches_fallback():
     assert 1 not in set(r_nan.tolist())
 
 
+def test_sims_chunking_is_result_identical(spark, monkeypatch):
+    """r9: the exact kernels chunk probe rows so the (chunk × n_ref)
+    sims matrix stays bounded (an unchunked Arrow batch × a cap-sized
+    reference would materialize hundreds of GB). Force ~2-33-row chunks
+    (budget 10 kB) on BOTH physical routes: the selected (id1, id2)
+    pairs and their ORDER must be identical; raw sims may drift in the
+    last ulp because BLAS picks a different GEMM micro-kernel for short
+    row-chunks (measured ~1e-16 relative) — the contract level rounds
+    to 6 decimals, which absorbs that, asserted here at 1e-12."""
+    import numpy as np
+
+    from mapreduce_hw05_spark.operators import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def snap():
+        topk = sim.cosine_pairs_topk_per_row(
+            emb, emb, "vec_id", "embedding", k=3, mode="knn"
+        ).toPandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+        thr = sim.cosine_pairs_above(
+            emb, 0.35, "vec_id", "embedding"
+        ).toPandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+        return topk, thr
+
+    def check(got, want):
+        assert got[["id1", "id2"]].equals(want[["id1", "id2"]])
+        assert np.allclose(got["sim"], want["sim"], rtol=1e-12, atol=0)
+        # the contract-level guarantee: rounded sims identical
+        assert (got["sim"].round(6) == want["sim"].round(6)).all()
+
+    want_topk, want_thr = snap()
+    monkeypatch.setattr(sim, "SIMS_CHUNK_BYTES", 10_000)
+    got_topk, got_thr = snap()
+    check(got_topk, want_topk)
+    check(got_thr, want_thr)
+    # blocked route too: force the shuffled path AND tiny chunks
+    monkeypatch.setattr(sim, "MAX_BROADCAST_REFERENCE_ROWS", 0)
+    monkeypatch.setattr(sim, "EXACT_SEARCH_BLOCK_ROWS", 37)
+    got_topk, got_thr = snap()
+    monkeypatch.undo()
+    check(got_topk, want_topk)
+    check(got_thr, want_thr)
+
+
 def test_char_ngram_fingerprint_drops_null_text(spark):
     """r6 ADVICE: the map-only fingerprint must keep the original
     explode+groupBy ROW semantics — NULL-text docs produced no exploded
