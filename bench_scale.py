@@ -640,6 +640,23 @@ def run_streaming(spark, scales: list[int]) -> dict:
                "tumbling_1h", n)
         shutil.rmtree(root, ignore_errors=True)
 
+        # (c) stream-stream interval join (VERDICT r8 item 8: the OTHER
+        # state-store consumer family) — purchases × the same user's
+        # clicks in the preceding hour, 1-hour watermark on both sides.
+        # Claim under test: join state = O(rate × (join horizon +
+        # watermark delay)) buffered rows per side, NOT O(stream).
+        root = os.path.join(SCRATCH, "events", f"x{scale}", "in_ssjoin")
+        shutil.rmtree(root, ignore_errors=True)
+        replay = FileReplay(spark, chunks, root)
+        _drive(
+            ops.interval_join_clicks_purchases(
+                replay.stream(), watermark="1 hour"
+            ),
+            "ss_interval_join_1h",
+            n,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+
         times[f"x{scale}"] = row
     return times
 
