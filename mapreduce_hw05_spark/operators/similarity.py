@@ -155,6 +155,14 @@ def _iter_probe_chunks(P: np.ndarray, n_ref: int, budget: int):
 #: is only a latency optimization.
 MAX_BROADCAST_REFERENCE_ROWS = 4_000_000
 
+#: Per-probe-slice row budget for the blocked exact fallback's SECOND
+#: tiling dimension (~134 MB of 64-dim float64 per slice). Every cogroup
+#: task materializes its whole probe group as ONE pandas frame, so
+#: without this dimension the group was the ENTIRE probe table (each
+#: probe row replicates to every block) — bounded only by corpus size.
+#: One block + one slice + the chunked sims matrix ≈ 700 MB/task.
+PROBE_SLICE_ROWS = 262_144
+
 #: Per-reference-block row budget for the blocked exact fallback
 #: (~270 MB of 64-dim float64 per block) — sized so one block plus one
 #: probe Arrow batch fit comfortably inside a single executor task.
@@ -230,36 +238,52 @@ def _blocked_exact_search(
     threshold: float | None = None,
     mode: str = "pairs",
     normalize: bool = True,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """EXACT distributed brute-force cosine search — the physical
     strategy the counted routers pick when the reference side exceeds
     :data:`MAX_BROADCAST_REFERENCE_ROWS`.
 
-    Shape: hash-partition the reference into
-    ``ceil(n_ref / EXACT_SEARCH_BLOCK_ROWS)`` blocks, replicate every
-    probe row to every block (``explode`` over a literal block range — a
-    generator in codegen, no join; the replication factor IS the
-    algorithm's cost), cogroup both sides on block id, and run the same
-    float64 BLAS kernel per (probe-slice, block) with ``applyInPandas``.
+    Shape: a 2-D TILING of the (probe × reference) cross product.
+    Hash-partition the reference into
+    ``ceil(n_ref / EXACT_SEARCH_BLOCK_ROWS)`` blocks and the probe into
+    ``ceil(n_probe / PROBE_SLICE_ROWS)`` slices; replicate every probe
+    row to every block and every reference row to every slice
+    (``explode`` over a literal range — a generator in codegen, no
+    join; the replication factor IS the algorithm's cost), cogroup both
+    sides on (block, slice), and run the same float64 BLAS kernel per
+    tile with ``applyInPandas``. Until r9 only the reference was tiled,
+    so every cogroup task materialized the ENTIRE probe table as one
+    pandas frame — invisible at fixture scale, an executor OOM at
+    corpus scale; the slice dimension bounds it.
 
-    Result-identical to the broadcast kernel: the blocks PARTITION the
-    reference, so per-block threshold filtering distributes trivially
-    (each (id1, id2) pair lands in exactly one block) and the union of
-    per-block top-k is a superset of the true per-probe top-k — the
-    caller reduces it with the identical (round(sim,6) DESC, id2 ASC)
-    order. Per-pair sims are single float64 dot products of the same
-    normalized vectors, so values match the broadcast path bit-for-bit
-    (forced-route identity test in tests/test_engine_ops.py).
+    Result-identical to the broadcast kernel: the (block, slice) tiles
+    PARTITION the cross product, so per-tile threshold filtering
+    distributes trivially (each (id1, id2) pair lands in exactly one
+    tile) and the union of per-tile top-k is a superset of the true
+    per-probe top-k — the caller reduces it with the identical
+    (round(sim,6) DESC, id2 ASC) order. Per-pair sims are single
+    float64 dot products of the same normalized vectors, so values
+    match the broadcast path bit-for-bit (forced-route identity test in
+    tests/test_engine_ops.py).
 
-    Scale: no executor ever holds more than one reference block; the
-    only shuffle is on block id. ``k`` xor ``threshold`` selects top-k
-    vs threshold semantics.
+    Scale: no executor ever holds more than one reference block plus
+    one probe slice (~270 MB + ~134 MB at 64-dim float64, sims matrix
+    chunked separately); the only shuffle is on (block, slice). ``k``
+    xor ``threshold`` selects top-k vs threshold semantics.
     """
     if (k is None) == (threshold is None):
         raise ValueError("exactly one of k / threshold required")
+    if n_probe is None:
+        # self-joins (the common case) already counted this side
+        n_probe = n_ref if probe is reference else probe.count()
     n_blocks = max(1, -(-n_ref // EXACT_SEARCH_BLOCK_ROWS))
+    n_slices = max(1, -(-n_probe // PROBE_SLICE_ROWS))
     ref_blocked = reference.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("block"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_slices - 1).cast("long"))
+        ).alias("slice"),
         F.col(id_col).alias("ref_id"),
         F.col(vec_col).alias("ref_vec"),
     )
@@ -267,6 +291,7 @@ def _blocked_exact_search(
         F.explode(
             F.sequence(F.lit(0).cast("long"), F.lit(n_blocks - 1).cast("long"))
         ).alias("block"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_slices)).alias("slice"),
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
     )
@@ -334,8 +359,8 @@ def _blocked_exact_search(
         return pd.concat(out, ignore_index=True) if out else empty
 
     return (
-        routed.groupby("block")
-        .cogroup(ref_blocked.groupby("block"))
+        routed.groupby("block", "slice")
+        .cogroup(ref_blocked.groupby("block", "slice"))
         .applyInPandas(search, schema=_PAIR_SCHEMA)
     )
 

@@ -518,8 +518,10 @@ def test_table_bytes_stat_semantics():
 def test_blocked_exact_search_route_matches_broadcast(spark, monkeypatch):
     """r7 (VERDICT r6 item 2): the brute-force cosine family's counted
     routing is IMPLEMENTED — with the reference cap forced to 0 (every
-    search takes the blocked-and-distributed path) and the block size
-    forced to 37 rows (sf0.001's 500 vectors → 14 real blocks), every
+    search takes the blocked-and-distributed path), the block size
+    forced to 37 rows (sf0.001's 500 vectors → 14 real blocks), and the
+    probe-slice size forced to 41 rows (r9: the 2-D tiling's slice
+    dimension → 13 real slices, ~180 (block, slice) tiles), every
     contract in the family must return an identical frame."""
     from mapreduce_hw05_spark.operators import similarity as sim
     from tests.conftest import compare_frames
@@ -534,6 +536,7 @@ def test_blocked_exact_search_route_matches_broadcast(spark, monkeypatch):
         want = QUERIES[name](spark, "/root/testdata/sf0.001").toPandas()
         monkeypatch.setattr(sim, "MAX_BROADCAST_REFERENCE_ROWS", 0)
         monkeypatch.setattr(sim, "EXACT_SEARCH_BLOCK_ROWS", 37)
+        monkeypatch.setattr(sim, "PROBE_SLICE_ROWS", 41)
         got = QUERIES[name](spark, "/root/testdata/sf0.001").toPandas()
         monkeypatch.undo()
         assert not compare_frames(got, want), name
@@ -541,10 +544,16 @@ def test_blocked_exact_search_route_matches_broadcast(spark, monkeypatch):
 
 def test_blocked_exact_search_bit_identical_sims(spark, monkeypatch):
     """The blocked path's raw (unrounded) sims must equal the broadcast
-    kernel's bit-for-bit: each sim is a single float64 dot product of
-    the same two normalized vectors, independent of which block computed
-    it. (If this ever breaks, the contract-level round-to-6 hashes are
-    one ulp from breaking too — fail here first, loudly.)"""
+    kernel's bit-for-bit WHILE the probe-side GEMM shape is unchanged
+    (reference-only tiling): each sim is a single float64 dot product of
+    the same two normalized vectors, and splitting the REFERENCE (the
+    GEMM n-dim) never perturbs it. Tiling the PROBE side (the m-dim,
+    r9's second tiling dimension) selects a different BLAS micro-kernel
+    and may move sims one ulp — same effect as sims chunking — so that
+    case asserts ids identical + sims ≤1e-12 + round-6 equality (the
+    contract-level guarantee) instead."""
+    import numpy as np
+
     from mapreduce_hw05_spark.operators import similarity as sim
 
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
@@ -564,9 +573,22 @@ def test_blocked_exact_search_bit_identical_sims(spark, monkeypatch):
         sim.cosine_pairs_topk_per_row(emb, emb, "vec_id", "embedding", k=3, mode="knn")
     )
     got_thr = snap(sim.cosine_pairs_above(emb, 0.35, "vec_id", "embedding"))
-    monkeypatch.undo()
     assert got_topk == want_topk  # exact float equality, no rounding
     assert got_thr == want_thr
+
+    # probe-side tiling forced (m-dim changes): ulp-level sims, same ids
+    monkeypatch.setattr(sim, "PROBE_SLICE_ROWS", 41)
+    tiled_topk = snap(
+        sim.cosine_pairs_topk_per_row(emb, emb, "vec_id", "embedding", k=3, mode="knn")
+    )
+    tiled_thr = snap(sim.cosine_pairs_above(emb, 0.35, "vec_id", "embedding"))
+    monkeypatch.undo()
+    for tiled, want in ((tiled_topk, want_topk), (tiled_thr, want_thr)):
+        assert [(a, b) for a, b, _ in tiled] == [(a, b) for a, b, _ in want]
+        ts = np.array([s for _, _, s in tiled])
+        ws = np.array([s for _, _, s in want])
+        assert np.allclose(ts, ws, rtol=1e-12, atol=0)
+        assert (np.round(ts, 6) == np.round(ws, 6)).all()
 
 
 def test_topk_per_row_fast_path_matches_fallback():
