@@ -101,6 +101,10 @@ REGISTRY: dict[tuple[str, str], str | None] = {
     ("operators/similarity.py", "_reference_matrix"): (
         "MAX_BROADCAST_REFERENCE_ROWS"
     ),
+    # r9: the composite-key top-k fast path falls back to the exact
+    # full stable argsort for non-finite or |sim| >= 536 inputs — the
+    # gate is the magnitude/finiteness guard on the min/max reductions
+    ("operators/similarity.py", "_topk_per_row"): "536.0",
     ("operators/similarity.py", "cosine_pairs_topk_per_row"): (
         "MAX_BROADCAST_REFERENCE_ROWS"
     ),
