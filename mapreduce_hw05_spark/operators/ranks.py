@@ -52,11 +52,18 @@ affect values (offsets absorb whatever the range sampler chose).
 Determinism requires the order keys to be UNIQUE per row (pass a
 tie-breaking key, or pre-aggregate to one row per key as the AUC
 midrank consumer does); rows that compare equal would receive
-order-dependent intermediate sums. Summed columns must be non-null
-(both routes: SQL sum skips nulls, pandas cumsum propagates NaN —
-routing must not change results) and of integer or floating kind —
-DECIMAL running sums widen precision differently per route and are
-rejected up front rather than silently diverging.
+order-dependent intermediate sums. Summed columns may contain nulls:
+a null contributes 0 to the running total on BOTH routes (JVM:
+``coalesce(sum(c) over w, 0)``; Arrow: ``fillna(0)`` before the
+cumsum — the raw pandas cumsum would turn one null into NaN and
+poison every later value in the partition, ADVICE r9). This matches
+SQL's null-skipping window sum at every row EXCEPT an all-null global
+prefix, where SQL yields NULL and ``cum_<c>`` yields 0 — running
+totals here treat null as "absent", never as "unknown", so routing
+cannot change results (forced-route null test in test_ranks.py).
+Summed columns must be of integer or floating kind — DECIMAL running
+sums widen precision differently per route and are rejected up front
+rather than silently diverging.
 """
 
 from __future__ import annotations
@@ -177,7 +184,12 @@ def global_cumsum(
         # driver-sized: one offset row per shuffle partition
         out = part.join(F.broadcast(off_df), "__pid")
         for c in sum_cols:
-            cum_col = F.sum(c).over(w) + F.col(f"__off_{c}")
+            # coalesce: a null-prefix partial sum is NULL in SQL, but the
+            # true GLOBAL running total at that row is just the offset —
+            # and the Arrow route's fillna(0) agrees (module docstring)
+            cum_col = F.coalesce(F.sum(c).over(w), F.lit(0)) + F.col(
+                f"__off_{c}"
+            )
             out = out.withColumn(
                 f"cum_{c}",
                 cum_col.cast("long" if int_kind[c] else "double"),
@@ -206,7 +218,13 @@ def global_cumsum(
                     # removed) — fail fast, never silently mis-offset
                     carry = dict(off_map[int(b["__pid"].iloc[0])])
                 for c in sum_cols:
-                    base = b[c].astype("int64" if int_kind[c] else "float64")
+                    # fillna BEFORE astype/cumsum: nulls contribute 0 —
+                    # matching the JVM route's coalesce'd window sum — and
+                    # a NaN would otherwise poison the carry for the rest
+                    # of the partition (module docstring, ADVICE r9)
+                    base = b[c].fillna(0).astype(
+                        "int64" if int_kind[c] else "float64"
+                    )
                     s = base.cumsum() + carry[c]
                     b = b.assign(**{f"cum_{c}": s})
                     carry[c] = s.iloc[-1]

@@ -126,11 +126,20 @@ def _topk_per_row(
 #: matmul was not (r9 fix). 256 MB keeps a 10k-row Arrow batch
 #: single-chunk for references up to ~3,276 rows (so driver-scale plans
 #: are byte-identical to the unchunked formulation) while bounding
-#: executor memory at cap-scale references. Chunking is row-identical
-#: in IDs; sims can drift in the LAST ULP because BLAS picks a
-#: different GEMM micro-kernel for short row-chunks (measured: 500×64
-#: vs 33×64 probe slices differ ~1e-16 relative) — absorbed by the
-#: contract-level round(·,6), pinned by test.
+#: executor memory at cap-scale references. Sims can drift in the LAST
+#: ULP across chunk shapes because BLAS picks a different GEMM
+#: micro-kernel for short row-chunks (measured: 500×64 vs 33×64 probe
+#: slices differ ~1e-16 relative). Consequences per mode (ADVICE r9):
+#: TOP-K chunking is row-identical in IDs (ulp drift is absorbed by the
+#: contract-level round(·,6) key before any comparison, pinned by
+#: test); THRESHOLD mode compares the RAW sim — because every oracle
+#: filters on the raw cosine (e.g. q_near_dup_embedding's
+#: ``WHERE cos >= 0.4``), rounding before the compare would diverge
+#: from the contract — so a pair sitting within one ulp of the
+#: threshold could in principle flip across chunk shapes. That is the
+#: same measure-zero caveat the engine-vs-DuckDB comparison already
+#: carries (different scalar-vs-BLAS arithmetic on both sides);
+#: thresholds are contract constants chosen away from data values.
 SIMS_CHUNK_BYTES = 256 * 2**20
 
 
@@ -257,15 +266,20 @@ def _blocked_exact_search(
     pandas frame — invisible at fixture scale, an executor OOM at
     corpus scale; the slice dimension bounds it.
 
-    Result-identical to the broadcast kernel: the (block, slice) tiles
-    PARTITION the cross product, so per-tile threshold filtering
-    distributes trivially (each (id1, id2) pair lands in exactly one
-    tile) and the union of per-tile top-k is a superset of the true
-    per-probe top-k — the caller reduces it with the identical
-    (round(sim,6) DESC, id2 ASC) order. Per-pair sims are single
-    float64 dot products of the same normalized vectors, so values
-    match the broadcast path bit-for-bit (forced-route identity test in
-    tests/test_engine_ops.py).
+    Result-identical (in IDs) to the broadcast kernel: the (block,
+    slice) tiles PARTITION the cross product, so per-tile threshold
+    filtering distributes trivially (each (id1, id2) pair lands in
+    exactly one tile) and the union of per-tile top-k is a superset of
+    the true per-probe top-k — the caller reduces it with the SAME
+    half-even ``rint(sim*1e6)`` composite key the per-tile pick uses
+    (see :func:`cosine_pairs_topk_per_row`), so a tile-dropped
+    candidate can never outrank a kept one (ADVICE r9). Sims are
+    float64 dot products of the same normalized vectors; GEMM tile
+    shape can drift them one ulp vs the broadcast path, which the
+    rounded top-k key absorbs and which threshold mode documents as a
+    boundary caveat (see SIMS_CHUNK_BYTES). Forced-route identity
+    tests in tests/test_engine_ops.py cover self-join AND asymmetric
+    probe≠reference shapes.
 
     Scale: no executor ever holds more than one reference block plus
     one probe slice (~270 MB + ~134 MB at 64-dim float64, sims matrix
@@ -373,8 +387,16 @@ def cosine_pairs_topk_per_row(
     k: int = 20,
     mode: str = "pairs",
     normalize: bool = True,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """Per-probe-row top-k most-cosine-similar reference vectors.
+
+    ``n_probe``: callers that already know the probe-side row count
+    should pass it — past the broadcast cap the blocked route needs it
+    for slice sizing and would otherwise pay a full extra probe scan
+    (``probe.count()``) whenever probe is not the same object as
+    reference (ADVICE r9). Self-joins reuse the reference count
+    automatically.
 
     mode='pairs': only neighbors with id2 > id1 (unordered-pair dedup) —
     the global top-k pairs are a subset of the union of per-row top-k.
@@ -406,9 +428,17 @@ def cosine_pairs_topk_per_row(
             k=k,
             mode=mode,
             normalize=normalize,
+            n_probe=n_probe,
         )
+        # Reduce with the SAME half-even key the per-tile pick packs
+        # (np.rint(sim*1e6) — Math.rint is IEEE half-even on the same
+        # float64 product, so keys match bit-for-bit). F.round would be
+        # HALF_UP: at an exact half-integer sim*1e6 a tile-dropped
+        # candidate could outrank a kept one under the other rounding
+        # mode (ADVICE r9). rint(sim*1e6) orders identically to
+        # round(sim,6) everywhere else (monotone /1e6).
         w = Window.partitionBy("id1").orderBy(
-            F.round("sim", 6).desc(), F.col("id2")
+            F.rint(F.col("sim") * F.lit(1e6)).desc(), F.col("id2")
         )
         return (
             cands.withColumn("__rn", F.row_number().over(w))

@@ -387,17 +387,19 @@ DRIVER_WINDOW_R9 = (
     + DRIVER_WINDOW_R9_REVERIFY[:44]
 )
 
-DRIVER_WINDOW = DRIVER_WINDOW_R9
-
 #: ---------------------------------------------------------------------
-#: r10 PRE-STAGE (VERDICT r8 item 3 — stage the next window before this
-#: round closes, the proven de-risking pattern).
+#: r10 window (VERDICT r9 item 1 — executes the r9 pre-stage verbatim).
 #: ---------------------------------------------------------------------
 
-#: NEW contracts registered in r9 (never driver-verified). Append any
-#: new contract here — they take the head of the r10 window. Keep ≤ 6
-#: (VERDICT r6 item 3 cap, renewed every round since).
-DRIVER_WINDOW_R10_PENDING: list[str] = []
+#: NEW contracts registered in r10 (never driver-verified). Keep ≤ 6
+#: (VERDICT r6 item 3 cap, renewed every round since). Both r10
+#: additions pin this round's engine work through the driver oracle:
+#: the asymmetric probe≠reference exact-kernel path (VERDICT r9 item 6)
+#: and global_cumsum's null-as-0 running-total contract (ADVICE r9).
+DRIVER_WINDOW_R10_PENDING: list[str] = [
+    "q_cross_table_knn",
+    "q_running_total_nulls",
+]
 
 #: Churn-first head for r10: any contract whose plan or oracle changes
 #: during r9 AND whose latest driver-green record predates the change
@@ -450,6 +452,84 @@ DRIVER_WINDOW_R10_REVERIFY = DRIVER_WINDOW_R9_REVERIFY[44:] + [
     "q_tpch_q15", "q_tpch_q22", "q_tpch_q16_suppliers",
 ]
 
+#: r10 ACTIVE window (VERDICT r9 item 1, executed verbatim): the two
+#: new r10 contracts, the four broadcast-cosine consumers churned by
+#: the r9 kernel work (judge pre-cleared all four green), then the
+#: tranche head to fill 50 — the R9_REVERIFY remainder (16) and the
+#: r4-stale core churn-first. The 20-entry tranche tail rolls to r11
+#: (``DRIVER_WINDOW_R11_REVERIFY`` head).
+DRIVER_WINDOW_R10 = (
+    list(DRIVER_WINDOW_R10_PENDING)
+    + list(DRIVER_WINDOW_R10_CHURN)
+    + DRIVER_WINDOW_R10_REVERIFY[:44]
+)
+
+DRIVER_WINDOW = DRIVER_WINDOW_R10
+
+#: ---------------------------------------------------------------------
+#: r11 PRE-STAGE (VERDICT r9 item 2 — the stale-pool ENDGAME: after the
+#: r11 window executes, EVERY contract's latest driver-green record is
+#: ≥ r5, i.e. newer than the near-dup-gate/quantile/ranks engine churn
+#: of r5–r9. test_registry_window.py asserts that set-cover claim
+#: statically against the committed CORRECTNESS_r*.json history.)
+#: ---------------------------------------------------------------------
+
+#: NEW contracts registered in r11 (never driver-verified). Append any
+#: new contract here — they take the head of the r11 window. Keep ≤ 6.
+DRIVER_WINDOW_R11_PENDING: list[str] = []
+
+#: Churn-first head for r11: any contract whose plan or oracle changes
+#: during r10 AND whose latest driver-green record predates the change
+#: goes here AT CHANGE TIME.
+#:
+#: r10 churn so far: operators.ranks null semantics (ADVICE r9 — both
+#: routes now treat null sum_col values as 0; coalesce on the JVM
+#: window, fillna(0) on the Arrow cumsum). Every ranks consumer NOT in
+#: the r10 window re-verifies first in r11 (q_rank_distribution is in
+#: the r10 window and re-verifies there).
+DRIVER_WINDOW_R11_CHURN: list[str] = [
+    "q_global_rank",           # r9 green; global_cumsum rank formulation
+    "q_lift_deciles",          # r9 green; distributed_ntile(10)
+    "q_rfm_segments",          # r9 green; 3× distributed_ntile(4)
+    "q_equi_depth_histogram",  # r9 green; distributed_ntile(16)
+    "q_nb_auc",                # r9 green; global_cumsum midranks
+]
+
+#: r11 re-verification tranche: the R10_REVERIFY remainder (20), the
+#: four r1-latest scalar-function batteries that were never staged in
+#: any tranche (the last pre-r5 records anywhere once the r10 window
+#: lands), then the r5-latest pool ordered churn-first — streaming
+#: state consumers (state-store/chunking work churned r8–r9), the
+#: multimodal kernels (operators.multimodal churned through r9), the
+#: analytics battery, and the graph/ML family (pure-Catalyst plans no
+#: engine change touched) last.
+DRIVER_WINDOW_R11_REVERIFY = DRIVER_WINDOW_R10_REVERIFY[44:] + [
+    # r1-latest, never staged (stale-pool endgame closers)
+    "q_calendar_funcs", "q_bitwise_funcs", "q_encoding_funcs",
+    "q_format_funcs",
+    # r5-latest: streaming state/sketch consumers (ops churned r8–r9)
+    "q_stream_near_dup_filter", "q_stream_count_min", "q_stream_band_join",
+    "q_stream_ewma", "q_stream_anomaly", "q_stream_cusum",
+    "q_stream_jackknife", "q_stream_chi_square", "q_stream_acf",
+    "q_stream_fano", "q_stream_psi", "q_stream_moments",
+    "q_stream_bootstrap",
+    # r5-latest: multimodal Arrow kernels
+    "q_frame_sample", "q_resize_images", "q_resample_audio",
+    "q_audio_vad", "q_scene_cuts",
+    # r5-latest: analytics battery
+    "q_ab_test_stats", "q_anomaly_hours", "q_decision_stump",
+    "q_drift_psi", "q_tree_depth2", "q_ks_test", "q_acf_lags",
+    "q_holt_linear", "q_cusum_changepoint", "q_chi_square",
+    "q_fano_factor", "q_ewma_hourly", "q_jackknife_mean",
+    # r5-latest: graph/ML tail (lowest churn risk)
+    "q_nb_classify", "q_nb_confusion", "q_ranking_eval",
+    "q_kfold_nb_accuracy", "q_label_propagation", "q_sssp_cheapest",
+    "q_item_item_cosine", "q_link_prediction", "q_als_user_step",
+    "q_ppr_seeds", "q_assortativity", "q_modularity", "q_hits_scores",
+    "q_link_prediction_eval", "q_clustering_coefficient",
+    "q_square_count",
+]
+
 
 def _reorder_registry() -> None:
     missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
@@ -487,7 +567,11 @@ __all__ = [
     "DRIVER_WINDOW_R9_PENDING",
     "DRIVER_WINDOW_R9_CHURN",
     "DRIVER_WINDOW_R9_REVERIFY",
+    "DRIVER_WINDOW_R10",
     "DRIVER_WINDOW_R10_PENDING",
     "DRIVER_WINDOW_R10_CHURN",
     "DRIVER_WINDOW_R10_REVERIFY",
+    "DRIVER_WINDOW_R11_PENDING",
+    "DRIVER_WINDOW_R11_CHURN",
+    "DRIVER_WINDOW_R11_REVERIFY",
 ]

@@ -553,6 +553,56 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", F.col("cum_one").alias("rn"))
 
 
+@contract(
+    "q_running_total_nulls",
+    oracle="""
+    SELECT o_orderkey, cum_price
+    FROM (
+        SELECT o_orderkey,
+               CAST(coalesce(
+                   sum(CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                            ELSE CAST(floor(o_totalprice) AS BIGINT) END)
+                   OVER (ORDER BY o_orderdate, o_orderkey), 0)
+               AS BIGINT) AS cum_price
+        FROM orders
+    )
+    WHERE o_orderkey % 97 = 0
+    """,
+)
+def q_running_total_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s-4/w-2 (r10) — global running revenue total over a column WITH
+    NULLS: every 5th order's price is unknown and must contribute 0 to
+    the running total (never NULL-poison it), per
+    :func:`operators.ranks.global_cumsum`'s null contract (ADVICE r9:
+    the JVM route's per-partition window sum restarted NULL per
+    partition and the Arrow route's cumsum carried NaN — both routes now
+    agree with the null-skipping SQL window sum, which is exactly what
+    the oracle's ``coalesce(sum(...) OVER ..., 0)`` states). Ordered by
+    (o_orderdate, o_orderkey) — a total order — and thinned to every
+    97th orderkey AFTER the cumsum so the output stays driver-sized
+    while every retained value still depends on the full prefix.
+    Integer cents-free formulation (``floor(price) AS BIGINT``) keeps
+    the running sum exact on both engines at any prefix length.
+    """
+    from mapreduce_hw05_spark.operators.ranks import global_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.floor("o_totalprice").cast("long"))
+        .alias("v"),
+    )
+    return (
+        global_cumsum(
+            keyed, [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()], ["v"]
+        )
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey", F.col("cum_v").alias("cum_price"))
+    )
+
+
 # --------------------------------------------------------------------------
 # set-1 / set-2 / set-3 — union / intersect / except over event users
 # --------------------------------------------------------------------------

@@ -138,6 +138,51 @@ def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@contract(
+    "q_cross_table_knn",
+    oracle=f"""
+    WITH sims AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               round({_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id % 3 = 0 AND b.vec_id % 3 <> 0
+    )
+    SELECT id1, id2, cos_sim
+    FROM (
+        SELECT id1, id2, cos_sim,
+               row_number() OVER (PARTITION BY id1
+                                  ORDER BY cos_sim DESC, id2) AS rn
+        FROM sims
+    )
+    WHERE rn <= 2
+    """,
+)
+def q_cross_table_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm-2/llm-7 (r10) — 2-NN where the PROBE and REFERENCE are
+    different tables (disjoint id subsets, different row counts): the
+    retrieval shape of query-against-corpus search, as opposed to the
+    self-join shape every other exact-kernel contract exercises.
+
+    Pins the asymmetric path of the exact kernel through the driver
+    oracle: past the broadcast cap the blocked route pays the probe's
+    OWN count and slice assignment (VERDICT r9 item 6 — previously only
+    pytest-pinned via the forced-tiling identity test). The known probe
+    count is threaded through ``n_probe`` (ADVICE r9), so the blocked
+    route never re-scans the probe side to size its slices.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") % 3 == 0)
+    reference = emb.filter(F.col("vec_id") % 3 != 0)
+    # model-sized count: one scan of the skinny probe filter, reused by
+    # the blocked route for slice sizing (no second probe scan)
+    n_probe = probe.count()
+    nn = cosine_pairs_topk_per_row(
+        probe, reference, "vec_id", "embedding", k=2, mode="knn",
+        n_probe=n_probe,
+    )
+    return nn.select("id1", "id2", ratio(F.col("sim")).alias("cos_sim"))
+
+
 # --------------------------------------------------------------------------
 # llm-3 — near-duplicate detection: exact Jaccard (oracle) + LSH fast path
 # --------------------------------------------------------------------------

@@ -114,6 +114,12 @@ REGISTRY: dict[tuple[str, str], str | None] = {
     ("plans/similarity_queries.py", "q_similarity_topk"): (
         "cosine_pairs_topk_per_row"
     ),
+    # r10: the asymmetric probe≠reference contract — the claim ("past
+    # the broadcast cap the blocked route pays the probe's own count")
+    # is implemented by the kernel's counted gate, called in-scope
+    ("plans/similarity_queries.py", "q_cross_table_knn"): (
+        "cosine_pairs_topk_per_row"
+    ),
     ("plans/similarity_queries.py", "q_hard_negatives"): "maybe_broadcast",
     ("plans/similarity_queries.py", "q_semantic_dedup"): "maybe_broadcast",
     # IVF module doc: "a probe routes to its nprobe nearest centroids" —

@@ -699,3 +699,40 @@ def test_char_ngram_fingerprint_drops_null_text(spark):
     rows = char_ngram_fingerprint(docs, "text", "doc_id", n=8).collect()
     assert [r["doc_id"] for r in rows] == [1]
     assert all(r["fingerprint"] is not None for r in rows)
+
+
+def test_blocked_exact_search_asymmetric_probe_reference(spark, monkeypatch):
+    """VERDICT r9 item 6: the self-join identity tests reuse the counted
+    n_ref for n_probe (``probe is reference``), so the asymmetric-shape
+    path — which pays its OWN probe count and slice assignment — was
+    unpinned. Engineer probe ≠ reference (disjoint id subsets, different
+    row counts), force the 2-D tiling (cap 0, 37-row blocks, 29-row
+    slices), and require the identical frame as the broadcast route;
+    then re-run with the caller-threaded ``n_probe`` (ADVICE r9, saves
+    the extra probe scan) and require the same frame again."""
+    from mapreduce_hw05_spark.operators import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probe = emb.filter(F.col("vec_id") % 3 == 0)
+    reference = emb.filter(F.col("vec_id") % 3 != 0)
+    n_probe = probe.count()
+    n_ref = reference.count()
+    assert n_probe != n_ref  # genuinely asymmetric
+
+    def snap(**kw):
+        return sorted(
+            (r["id1"], r["id2"], round(r["sim"], 6))
+            for r in sim.cosine_pairs_topk_per_row(
+                probe, reference, "vec_id", "embedding",
+                k=3, mode="knn", **kw
+            ).collect()
+        )
+
+    want = snap()
+    assert len(want) == 3 * n_probe  # every probe row found its k
+    monkeypatch.setattr(sim, "MAX_BROADCAST_REFERENCE_ROWS", 0)
+    monkeypatch.setattr(sim, "EXACT_SEARCH_BLOCK_ROWS", 37)
+    monkeypatch.setattr(sim, "PROBE_SLICE_ROWS", 29)
+    assert snap() == want                    # blocked, self-counted probe
+    assert snap(n_probe=n_probe) == want     # blocked, caller-threaded count
+    monkeypatch.undo()

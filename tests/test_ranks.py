@@ -284,3 +284,50 @@ def test_nb_auc_matches_window_formulation(spark):
     assert int(got["n_pos"][0]) == int(ref["n_pos"][0])
     assert int(got["n_neg"][0]) == int(ref["n_neg"][0])
     assert float(got["auc"][0]) == float(ref["auc"][0])  # bit-identical
+
+
+def test_global_cumsum_null_inputs_route_identical(spark, monkeypatch):
+    """ADVICE r9: null sum_col values must contribute 0 on BOTH routes.
+    Before the fix the JVM route emitted NULL at a null-prefix row
+    (partition-local ``sum() over w`` restarts NULL per __pid — wrong
+    even vs a single-partition SQL window mid-stream) and the Arrow
+    route's pandas cumsum turned one NaN into a poisoned carry for the
+    rest of the partition. Both routes must now agree with the
+    null-skipping SQL window sum at every row past the first non-null,
+    and emit 0 (not NULL) on an all-null prefix."""
+    from mapreduce_hw05_spark.operators import ranks
+
+    # k=0,1 rows carry NULLs (an all-null global prefix), plus scattered
+    # interior NULLs — exercises null-prefix partitions AND null carries
+    df = _toy(spark, 601).select(
+        "k",
+        F.when((F.col("k") < 2) | (F.col("k") % 13 == 0), None)
+        .otherwise(F.col("cnt"))
+        .alias("cnt"),
+        F.when((F.col("k") < 2) | (F.col("k") % 11 == 0), None)
+        .otherwise(F.col("x"))
+        .alias("x"),
+    )
+    jvm = (
+        global_cumsum(df, [F.col("k")], ["cnt", "x"], num_partitions=6)
+        .orderBy("k")
+        .toPandas()
+    )
+    monkeypatch.setattr(ranks, "JVM_WINDOW_PARTITION_ROWS", 0)
+    arrow = (
+        global_cumsum(df, [F.col("k")], ["cnt", "x"], num_partitions=6)
+        .orderBy("k")
+        .toPandas()
+    )
+    # no NULL/NaN anywhere in the outputs, either route
+    for out in (jvm, arrow):
+        assert not out["cum_cnt"].isna().any()
+        assert not out["cum_x"].isna().any()
+    assert (jvm["cum_cnt"].to_numpy() == arrow["cum_cnt"].to_numpy()).all()
+    assert (jvm["cum_x"].to_numpy() == arrow["cum_x"].to_numpy()).all()
+    # ground truth: the null-skipping running sum, nulls-as-0
+    pdf = df.orderBy("k").toPandas()
+    want_cnt = pdf["cnt"].fillna(0).astype("int64").cumsum().to_numpy()
+    assert (jvm["cum_cnt"].to_numpy() == want_cnt).all()
+    # all-null prefix (k=0,1) reads 0, not NULL
+    assert jvm["cum_cnt"].iloc[0] == 0 and jvm["cum_x"].iloc[0] == 0.0
