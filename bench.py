@@ -67,6 +67,66 @@ RUNS = 3
 _PART_ENV = "SPARK_GRAFT_BENCH_PART"
 _MARK = "BENCH_PART_JSON "
 
+#: Best-of-session accumulator (VERDICT r9 "what's wrong" item 1 /
+#: SURVEY §6 rule 1): the recorded BENCH_r{N}.json must carry the
+#: best-of-≥3 calm reading, but the driver runs bench.py ONCE — so the
+#: single recorded artifact could show a phantom excursion its own
+#: session's other runs refute (r9: LSH ratio 39.9 recorded while the
+#: same session read 30.4). Fix: every run merges its readings into a
+#: scratch file KEYED BY GIT HEAD and the emitted JSON carries the
+#: per-query/per-ratio session minima plus the merged run count. Keying
+#: by HEAD is load-bearing: minima must never be carried across code
+#: changes, or a real regression would hide behind an old tree's
+#: reading. The scratch file lives in gitignored .tmp/.
+_BEST_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".tmp",
+    "bench_session_best.json",
+)
+
+
+def _git_head() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _merge_session_best(
+    times: dict, heavy: dict, ratios: dict
+) -> dict:
+    """Fold this run's readings into the per-HEAD minima file and return
+    the merged view: {"runs": n, "queries": minima, "heavy_ratios":
+    per-op min ratio, "headline_total_best": Σ headline minima}."""
+    head = _git_head()
+    state = {"head": head, "runs": 0, "queries": {}, "heavy_ratios": {}}
+    try:
+        with open(_BEST_PATH) as fh:
+            prev = json.load(fh)
+        if prev.get("head") == head:
+            state = prev
+    except (OSError, ValueError):
+        pass
+    state["runs"] = int(state.get("runs", 0)) + 1
+    for src, dst in ((times, state["queries"]), (heavy, state["queries"]),
+                     (ratios, state["heavy_ratios"])):
+        for k, v in src.items():
+            dst[k] = min(v, dst[k]) if k in dst else v
+    state["headline_total_best"] = round(
+        sum(state["queries"].get(k, 0.0) for k in BENCH_QUERIES), 4
+    )
+    try:
+        os.makedirs(os.path.dirname(_BEST_PATH), exist_ok=True)
+        with open(_BEST_PATH, "w") as fh:
+            json.dump(state, fh)
+    except OSError:
+        pass  # read-only checkout: still emit this run's merged view
+    return state
+
 
 def _run_part(part: str) -> None:
     """Child mode: fresh JVM, run one suite, print a marked JSON line."""
@@ -184,6 +244,7 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    best = _merge_session_best(times, heavy, heavy_ratios)
     print(
         json.dumps(
             {
@@ -196,6 +257,14 @@ def main() -> None:
                 # per-op wall/sentinel ratio + the sentinel walls themselves
                 "heavy_sentinel_sec": heavy_sentinels,
                 "heavy_ratios": heavy_ratios,
+                # best-of-session minima at THIS git HEAD (SURVEY §6
+                # rule 1): adjudicate on these, not the single run above
+                "session_best": {
+                    "runs": best["runs"],
+                    "queries": best["queries"],
+                    "heavy_ratios": best["heavy_ratios"],
+                    "headline_total_best": best["headline_total_best"],
+                },
                 "sf": sf_val,
             }
         )

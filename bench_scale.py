@@ -561,18 +561,21 @@ def gen_events(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
-def run_streaming(spark, scales: list[int]) -> dict:
+def run_streaming(spark, scales: list[int], only: str | None = None) -> dict:
     """Structured-Streaming STATE scaling — the one engine family the
     x-probes had never measured. Per scale (x1 = the 100 k-row sf0.1
     events shape): replay n synthetic events in 10 file-drop
     micro-batches through (a) stateful dedup under 2× at-least-once
-    delivery, (b) 1-hour tumbling aggregation, each with a REAL
+    delivery, (b) 1-hour tumbling aggregation, (c) stream-stream
+    interval join, (d) per-user session windows — each with a REAL
     1-hour watermark over a 10-day span — so the 100-TB claim under
     test is that state EXPIRES and plateaus at O(events-per-horizon),
     not O(stream). Sinks are noop (engine throughput, no driver
     collect); recorded per op: wall sec, input rows/sec, and the final
     state-store row count from query.lastProgress (the boundedness
-    measurement)."""
+    measurement). ``only`` filters to ops whose key contains it (so a
+    single family can be extended to new scales without re-running the
+    already-confirmed ones)."""
     from mapreduce_hw05_spark.streaming import ops
     from mapreduce_hw05_spark.streaming.replay import ChunkList, FileReplay
 
@@ -623,39 +626,62 @@ def run_streaming(spark, scales: list[int]) -> dict:
             print(f"STREAM x{scale} {key}: {row[key]}", file=sys.stderr)
 
         # (a) stateful dedup under 2× delivery: every chunk dropped twice
-        doubled = ChunkList(c for chunk in chunks for c in (chunk, chunk))
-        doubled.total_rows = n * 2
-        root = os.path.join(SCRATCH, "events", f"x{scale}", "in_dedup")
-        shutil.rmtree(root, ignore_errors=True)
-        replay = FileReplay(spark, doubled, root)
-        _drive(ops.dedup_events(replay.stream(), watermark="1 hour"),
-               "dedup_2x", n * 2)
-        shutil.rmtree(root, ignore_errors=True)
+        if only is None or only in "dedup_2x":
+            doubled = ChunkList(c for chunk in chunks for c in (chunk, chunk))
+            doubled.total_rows = n * 2
+            root = os.path.join(SCRATCH, "events", f"x{scale}", "in_dedup")
+            shutil.rmtree(root, ignore_errors=True)
+            replay = FileReplay(spark, doubled, root)
+            _drive(ops.dedup_events(replay.stream(), watermark="1 hour"),
+                   "dedup_2x", n * 2)
+            shutil.rmtree(root, ignore_errors=True)
 
         # (b) tumbling window aggregation
-        root = os.path.join(SCRATCH, "events", f"x{scale}", "in_tumble")
-        shutil.rmtree(root, ignore_errors=True)
-        replay = FileReplay(spark, chunks, root)
-        _drive(ops.tumbling_counts(replay.stream(), watermark="1 hour"),
-               "tumbling_1h", n)
-        shutil.rmtree(root, ignore_errors=True)
+        if only is None or only in "tumbling_1h":
+            root = os.path.join(SCRATCH, "events", f"x{scale}", "in_tumble")
+            shutil.rmtree(root, ignore_errors=True)
+            replay = FileReplay(spark, chunks, root)
+            _drive(ops.tumbling_counts(replay.stream(), watermark="1 hour"),
+                   "tumbling_1h", n)
+            shutil.rmtree(root, ignore_errors=True)
 
         # (c) stream-stream interval join (VERDICT r8 item 8: the OTHER
         # state-store consumer family) — purchases × the same user's
         # clicks in the preceding hour, 1-hour watermark on both sides.
         # Claim under test: join state = O(rate × (join horizon +
         # watermark delay)) buffered rows per side, NOT O(stream).
-        root = os.path.join(SCRATCH, "events", f"x{scale}", "in_ssjoin")
-        shutil.rmtree(root, ignore_errors=True)
-        replay = FileReplay(spark, chunks, root)
-        _drive(
-            ops.interval_join_clicks_purchases(
-                replay.stream(), watermark="1 hour"
-            ),
-            "ss_interval_join_1h",
-            n,
-        )
-        shutil.rmtree(root, ignore_errors=True)
+        if only is None or only in "ss_interval_join_1h":
+            root = os.path.join(SCRATCH, "events", f"x{scale}", "in_ssjoin")
+            shutil.rmtree(root, ignore_errors=True)
+            replay = FileReplay(spark, chunks, root)
+            _drive(
+                ops.interval_join_clicks_purchases(
+                    replay.stream(), watermark="1 hour"
+                ),
+                "ss_interval_join_1h",
+                n,
+            )
+            shutil.rmtree(root, ignore_errors=True)
+
+        # (d) per-user session windows (VERDICT r9 item 5: the FOURTH
+        # and last state-store family — the session store keeps one row
+        # per OPEN window per user until the watermark closes it).
+        # Claim under test: session state = O(open windows inside the
+        # gap+watermark horizon) ≈ O(rate × horizon), NOT O(stream) —
+        # the generator's per-user inter-event gap (~2.4 h) exceeds the
+        # 30-min session gap, so windows close and expire continuously.
+        if only is None or only in "session_window_30m":
+            root = os.path.join(SCRATCH, "events", f"x{scale}", "in_session")
+            shutil.rmtree(root, ignore_errors=True)
+            replay = FileReplay(spark, chunks, root)
+            _drive(
+                ops.session_window_stats(
+                    replay.stream(), gap="30 minutes", watermark="1 hour"
+                ),
+                "session_window_30m",
+                n,
+            )
+            shutil.rmtree(root, ignore_errors=True)
 
         times[f"x{scale}"] = row
     return times
@@ -697,7 +723,14 @@ def main() -> None:
         return
     if "streaming" in sys.argv[1:]:
         scales = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 10]
-        print(json.dumps({"metric": "streaming_scale", "times": run_streaming(spark, scales)}))
+        # e.g. `bench_scale.py streaming only=session 1 10 100` probes
+        # one state family without re-running the confirmed ones
+        only = next(
+            (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("only=")),
+            None,
+        )
+        print(json.dumps({"metric": "streaming_scale",
+                          "times": run_streaming(spark, scales, only=only)}))
         return
     if "ranks" in sys.argv[1:]:
         counts = [int(a) for a in sys.argv[1:] if a.isdigit()] or [
