@@ -85,15 +85,35 @@ _BEST_PATH = os.path.join(
 
 
 def _git_head() -> str:
+    """Key for the minima file: the INDEX state of the engine package +
+    this script (blob hashes via ``git ls-files -s``), so doc-only
+    commits (PERF.md round notes) don't reset the session minima the
+    recorded run should carry — while ANY engine/bench code change
+    still does. A dirty working tree on those paths falls back to a
+    never-matching key (minima must not be carried across uncommitted
+    edits)."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
     try:
-        return subprocess.run(
-            ["git", "rev-parse", "HEAD"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-            timeout=10,
-        ).stdout.strip() or "unknown"
+        kw = dict(cwd=root, stdout=subprocess.PIPE,
+                  stderr=subprocess.DEVNULL, text=True, timeout=10)
+        paths = ["mapreduce_hw05_spark", "bench.py"]
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--"] + paths, **kw
+        ).stdout.strip()
+        if dirty:
+            return "dirty-" + hashlib.sha256(os.urandom(16)).hexdigest()[:16]
+        listing = subprocess.run(
+            ["git", "ls-files", "-s", "--"] + paths, **kw
+        ).stdout
+        if listing:
+            return hashlib.sha256(listing.encode()).hexdigest()[:16]
     except Exception:
-        return "unknown"
+        pass
+    # no git: never match (minima would otherwise accumulate across
+    # code changes forever)
+    return "nogit-" + hashlib.sha256(os.urandom(16)).hexdigest()[:16]
 
 
 def _merge_session_best(
