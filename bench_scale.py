@@ -534,6 +534,84 @@ def run_ranks(spark, row_counts: list[int]) -> dict:
     return times
 
 
+def run_asym_search(spark, shapes: list[int]) -> dict:
+    """Asymmetric exact-search stress (r10 — the probe≠reference path
+    the fixtures can't reach): ``shape`` probe rows against shape//4
+    reference rows, k=5, run THREE ways in one session — broadcast
+    route, forced 2-D-blocked route (cap 0, tile constants forced to
+    16 k-row blocks × 32 k-row slices so the shape yields REAL
+    multi-tile routing — at the production constants a sub-524 k
+    reference is ONE tile and only the structure runs), and
+    forced-blocked with the caller-threaded n_probe. Records walls plus an order-insensitive
+    checksum of (id1, id2, round(sim,6)) per route; the claim under
+    test is route identity AT SCALE (the pytest identity tests pin it
+    at 500 fixture rows) and that the blocked route's wall scales with
+    the tile count, not with a probe-table-sized single task."""
+    from pyspark.sql import functions as FF
+
+    from mapreduce_hw05_spark.operators import similarity as sim
+
+    times: dict = {}
+    for n_probe_rows in shapes:
+        n_ref = max(1, n_probe_rows // 4)
+        emb_path = os.path.join(SCRATCH, "asym", f"n{n_probe_rows}")
+        pq_p = os.path.join(emb_path, "probe.parquet")
+        pq_r = os.path.join(emb_path, "ref.parquet")
+        if not os.path.exists(pq_p):
+            gen_embeddings(spark, n_probe_rows).write.mode("overwrite").parquet(pq_p)
+            # disjoint ids so mode='knn' never self-filters
+            gen_embeddings(spark, n_ref).withColumn(
+                "vec_id", F.col("vec_id") + n_probe_rows
+            ).write.mode("overwrite").parquet(pq_r)
+        probe = spark.read.parquet(pq_p)
+        ref = spark.read.parquet(pq_r)
+        row: dict = {}
+
+        def checksum(df: DataFrame) -> tuple[int, int]:
+            agg = df.select(
+                FF.xxhash64("id1", "id2", FF.round("sim", 6)).alias("h")
+            ).agg(
+                FF.count("*").alias("n"),
+                FF.sum(FF.col("h").cast("decimal(38,0)")).alias("s"),
+            ).collect()[0]  # driver-sized: one checksum row
+            return int(agg["n"]), int(agg["s"])
+
+        def one(key: str, **kw):
+            t0 = time.time()
+            chk = checksum(
+                sim.cosine_pairs_topk_per_row(
+                    probe, ref, "vec_id", "embedding", k=5, mode="knn", **kw
+                )
+            )
+            row[key] = {"wall_sec": round(time.time() - t0, 2), "checksum": chk}
+            print(f"ASYM n{n_probe_rows} {key}: {row[key]}", file=sys.stderr)
+
+        one("broadcast")
+        saved = (sim.MAX_BROADCAST_REFERENCE_ROWS,
+                 sim.EXACT_SEARCH_BLOCK_ROWS, sim.PROBE_SLICE_ROWS)
+        try:
+            sim.MAX_BROADCAST_REFERENCE_ROWS = 0
+            sim.EXACT_SEARCH_BLOCK_ROWS = 16_384
+            sim.PROBE_SLICE_ROWS = 32_768
+            row["tiles"] = (
+                -(-n_ref // sim.EXACT_SEARCH_BLOCK_ROWS)
+                * -(-n_probe_rows // sim.PROBE_SLICE_ROWS)
+            )
+            one("blocked")
+            one("blocked_n_probe", n_probe=n_probe_rows)
+        finally:
+            (sim.MAX_BROADCAST_REFERENCE_ROWS,
+             sim.EXACT_SEARCH_BLOCK_ROWS, sim.PROBE_SLICE_ROWS) = saved
+        checks = {
+            v["checksum"]
+            for v in row.values()
+            if isinstance(v, dict) and "checksum" in v
+        }
+        row["routes_identical"] = len(checks) == 1
+        times[f"n{n_probe_rows}"] = row
+    return times
+
+
 def gen_events(spark: SparkSession, n: int) -> DataFrame:
     """~n synthetic events over a 10-day span: mostly time-ordered with
     bounded disorder (up to 5 min late — inside any sane watermark), a
@@ -731,6 +809,11 @@ def main() -> None:
         )
         print(json.dumps({"metric": "streaming_scale",
                           "times": run_streaming(spark, scales, only=only)}))
+        return
+    if "asym" in sys.argv[1:]:
+        shapes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [200_000]
+        print(json.dumps({"metric": "asym_search_stress",
+                          "times": run_asym_search(spark, shapes)}))
         return
     if "ranks" in sys.argv[1:]:
         counts = [int(a) for a in sys.argv[1:] if a.isdigit()] or [

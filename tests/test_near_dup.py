@@ -736,3 +736,40 @@ def test_blocked_exact_search_asymmetric_probe_reference(spark, monkeypatch):
     assert snap() == want                    # blocked, self-counted probe
     assert snap(n_probe=n_probe) == want     # blocked, caller-threaded count
     monkeypatch.undo()
+
+
+def test_rint_reduce_key_matches_numpy_half_even(spark):
+    """ADVICE r9 item 4's fix rests on one claim: Spark's ``rint(x*1e6)``
+    (Math.rint) and the kernel's ``np.rint(x*1e6)`` are the SAME IEEE
+    half-even rounding of the SAME float64 product — so the blocked
+    route's final window orders candidates with bit-for-bit the key the
+    per-tile pick packed. Pin it on engineered exact half-integer
+    boundaries (the one place HALF_UP F.round would disagree), both
+    parities (0.5→0, 1.5→2), negatives, and a grid of awkward doubles."""
+    import numpy as np
+
+    # exact halves at the 1e-6 quantum, ± parities, plus irrational-ish
+    # values and the sim range bounds the kernel's magnitude gate allows
+    vals = [
+        0.0000005, 0.0000015, 0.0000025, -0.0000005, -0.0000015,
+        0.9999995, -0.9999985, 0.3333333, -0.7071067, 1.0, -1.0,
+        0.49999999999, 535.9999995, -535.9999995,
+    ]
+    df = spark.createDataFrame([(float(v),) for v in vals], "sim double")
+    got = [
+        r["k"]
+        for r in df.select(
+            F.rint(F.col("sim") * F.lit(1e6)).alias("k")
+        ).collect()
+    ]
+    want = [float(np.rint(np.float64(v) * 1e6)) for v in vals]
+    assert got == want  # exact float equality, no tolerance
+    # and the disagreement this guards against is REAL: HALF_UP round
+    # differs from half-even at every exact half boundary above
+    halfup = [
+        float(r["k"])
+        for r in df.select(
+            (F.round(F.col("sim"), 6) * F.lit(1e6)).alias("k")
+        ).collect()
+    ]
+    assert halfup != want
