@@ -122,7 +122,12 @@ def _merge_session_best(
     """Fold this run's readings into the per-HEAD minima file and return
     the merged view: {"runs": n, "queries": minima, "heavy_ratios":
     per-op min ratio, "headline_total_best": Σ headline minima}."""
-    head = _git_head()
+    # the key carries the sf_dir too (r10 review): runs at different
+    # scale factors at the same code state must never merge — a sf0.01
+    # run's walls would masquerade as sf0.1 "session bests"
+    head = _git_head() + "|" + os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
     state = {"head": head, "runs": 0, "queries": {}, "heavy_ratios": {}}
     try:
         with open(_BEST_PATH) as fh:

@@ -557,7 +557,9 @@ def run_asym_search(spark, shapes: list[int]) -> dict:
         emb_path = os.path.join(SCRATCH, "asym", f"n{n_probe_rows}")
         pq_p = os.path.join(emb_path, "probe.parquet")
         pq_r = os.path.join(emb_path, "ref.parquet")
-        if not os.path.exists(pq_p):
+        # guard on BOTH sides (r10 review): a run killed between the two
+        # writes must regenerate, not benchmark a half-built fixture
+        if not (os.path.exists(pq_p) and os.path.exists(pq_r)):
             gen_embeddings(spark, n_probe_rows).write.mode("overwrite").parquet(pq_p)
             # disjoint ids so mode='knn' never self-filters
             gen_embeddings(spark, n_ref).withColumn(

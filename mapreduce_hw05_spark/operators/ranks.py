@@ -53,17 +53,26 @@ Determinism requires the order keys to be UNIQUE per row (pass a
 tie-breaking key, or pre-aggregate to one row per key as the AUC
 midrank consumer does); rows that compare equal would receive
 order-dependent intermediate sums. Summed columns may contain nulls:
-a null contributes 0 to the running total on BOTH routes (JVM:
-``coalesce(sum(c) over w, 0)``; Arrow: ``fillna(0)`` before the
-cumsum — the raw pandas cumsum would turn one null into NaN and
-poison every later value in the partition, ADVICE r9). This matches
-SQL's null-skipping window sum at every row EXCEPT an all-null global
-prefix, where SQL yields NULL and ``cum_<c>`` yields 0 — running
-totals here treat null as "absent", never as "unknown", so routing
-cannot change results (forced-route null test in test_ranks.py).
-Summed columns must be of integer or floating kind — DECIMAL running
-sums widen precision differently per route and are rejected up front
-rather than silently diverging.
+a null contributes 0 to the running total on BOTH routes, implemented
+as ONE JVM-side ``coalesce(cast(c), 0)`` into a typed temp column
+BEFORE the routes split (ADVICE r9 + r10 review). Doing it before the
+split is load-bearing twice over: a worker-side ``fillna`` cannot
+distinguish Spark NULL from a genuine NaN data value after Arrow
+conversion (it would zero NaNs the JVM window sum propagates), and a
+nullable long column reaches pandas as float64, silently rounding
+values past 2**53 (the non-null temp stays exact int64 end-to-end).
+Consequently: nulls read as 0 (matching SQL's null-skipping window
+sum everywhere except an all-null global prefix, where SQL yields
+NULL and ``cum_<c>`` yields 0 — null is "absent", never "unknown"),
+and routing cannot change results, types, or precision (forced-route
+null/2**53 tests in test_ranks.py). NON-FINITE doubles (NaN/inf) are
+REJECTED up front: the JVM window sum would propagate them but
+Spark's pandas serializer encodes NaN as NULL on the Arrow return
+path (measured — a NaN cannot round-trip ``mapInPandas``), so no
+implementation could make the routes agree; detection rides the
+already-collected offsets pass for free. Same policy as DECIMAL
+inputs, whose running sums widen precision differently per route and
+are likewise rejected rather than silently diverging.
 """
 
 from __future__ import annotations
@@ -133,8 +142,26 @@ def global_cumsum(
     # float64 below) so output schema and precision cannot depend on the
     # routing threshold (ADVICE r8). Integer kinds stay LONG.
 
+    # Null handling happens HERE, once, JVM-side (r10 review fix): each
+    # sum_col is coalesced to 0 and upcast into a typed temp BEFORE the
+    # routes split, so (a) the Arrow route's pandas column arrives as
+    # non-null int64 — never the nullable-long→float64 conversion that
+    # would round values past 2^53 and break integer exactness; (b) a
+    # genuine NaN DATA value (distinct from NULL) propagates through
+    # sum/cumsum/off_map identically on both routes, instead of being
+    # conflated with NULL by a worker-side fillna (pandas cannot tell
+    # Spark NULL from NaN after Arrow conversion — so the fill must
+    # happen where the distinction still exists).
+    sum_exprs = {
+        f"__sum_{c}": F.coalesce(
+            F.col(c).cast("long" if int_kind[c] else "double"),
+            F.lit(0).cast("long" if int_kind[c] else "double"),
+        )
+        for c in sum_cols
+    }
     part = (
-        df.repartitionByRange(n_part, *order_exprs)
+        df.withColumns(sum_exprs)
+        .repartitionByRange(n_part, *order_exprs)
         .sortWithinPartitions(*order_exprs)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint()
@@ -142,10 +169,30 @@ def global_cumsum(
 
     totals = part.groupBy("__pid").agg(
         F.count("*").alias("__nrows"),
-        *[F.sum(c).alias(c) for c in sum_cols],
+        *[F.sum(f"__sum_{c}").alias(c) for c in sum_cols],
     )
     # driver-sized: one row per shuffle partition (n_part), never data-sized
     rows = sorted(totals.collect(), key=lambda r: r["__pid"])
+    # Fail fast on non-finite data (r10 review): a NaN/inf double is a
+    # DATA value, not a NULL — the JVM window sum would propagate it
+    # while the Arrow return path CANNOT (Spark's pandas serializer
+    # encodes NaN as NULL — measured, PERF.md r10), so results would be
+    # route-dependent. Detection is free: Spark's SUM propagates NaN
+    # and overflows to ±inf, so any poisoned partition shows a
+    # non-finite total in the offsets pass already collected above.
+    # Same up-front-rejection policy as DECIMAL inputs.
+    import math
+
+    for r in rows:
+        for c in sum_cols:
+            if not int_kind[c] and not math.isfinite(r[c] or 0.0):
+                raise ValueError(
+                    f"global_cumsum: non-finite value (NaN/inf) in "
+                    f"sum_col {c!r} — running totals over non-finite "
+                    "doubles are route-dependent (the Arrow path cannot "
+                    "represent NaN distinctly from NULL); clean or "
+                    "filter the column first"
+                )
     max_part_rows = max((r["__nrows"] for r in rows), default=0)
     off_map: dict[int, dict[str, float]] = {}
     run = {c: 0 for c in sum_cols}
@@ -184,17 +231,19 @@ def global_cumsum(
         # driver-sized: one offset row per shuffle partition
         out = part.join(F.broadcast(off_df), "__pid")
         for c in sum_cols:
-            # coalesce: a null-prefix partial sum is NULL in SQL, but the
-            # true GLOBAL running total at that row is just the offset —
-            # and the Arrow route's fillna(0) agrees (module docstring)
-            cum_col = F.coalesce(F.sum(c).over(w), F.lit(0)) + F.col(
-                f"__off_{c}"
-            )
+            # __sum_<c> is non-null by construction and the frame always
+            # holds ≥1 row, so this window sum can never be NULL — no
+            # coalesce needed (nulls became 0 before the routes split)
+            cum_col = F.sum(f"__sum_{c}").over(w) + F.col(f"__off_{c}")
             out = out.withColumn(
                 f"cum_{c}",
                 cum_col.cast("long" if int_kind[c] else "double"),
             )
-        out = out.drop("__pid", *[f"__off_{c}" for c in sum_cols])
+        out = out.drop(
+            "__pid",
+            *[f"__off_{c}" for c in sum_cols],
+            *[f"__sum_{c}" for c in sum_cols],
+        )
     else:
         # Arrow route: per-batch cumsum with cross-batch carry in the
         # Python workers' own memory — safe for oversized partitions.
@@ -218,11 +267,13 @@ def global_cumsum(
                     # removed) — fail fast, never silently mis-offset
                     carry = dict(off_map[int(b["__pid"].iloc[0])])
                 for c in sum_cols:
-                    # fillna BEFORE astype/cumsum: nulls contribute 0 —
-                    # matching the JVM route's coalesce'd window sum — and
-                    # a NaN would otherwise poison the carry for the rest
-                    # of the partition (module docstring, ADVICE r9)
-                    base = b[c].fillna(0).astype(
+                    # __sum_<c> is non-null long/double by construction
+                    # (nulls → 0 JVM-side, where NULL and NaN are still
+                    # distinguishable), so this column arrives as exact
+                    # int64 — never nullable-long→float64 — and a real
+                    # NaN propagates through the cumsum and the carry
+                    # exactly as the JVM window sum propagates it
+                    base = b[f"__sum_{c}"].astype(
                         "int64" if int_kind[c] else "float64"
                     )
                     s = base.cumsum() + carry[c]
@@ -230,7 +281,9 @@ def global_cumsum(
                     carry[c] = s.iloc[-1]
                 yield b
 
-        out = part.mapInPandas(cum, schema=out_schema).drop("__pid")
+        out = part.mapInPandas(cum, schema=out_schema).drop(
+            "__pid", *[f"__sum_{c}" for c in sum_cols]
+        )
 
     if include_totals:
         for c in sum_cols:

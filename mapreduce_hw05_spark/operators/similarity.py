@@ -108,12 +108,20 @@ def _topk_per_row(
         valid = np.take_along_axis(subk, order, axis=1) != -_MASKED_KEY
         rows, cols = np.nonzero(valid)
         return rows, idx[rows, cols]
-    # exact fallback: full-row stable argsort on the negated rounded sims
-    # (id-ascending columns make ties resolve id ASC); non-finite sims
-    # rank as -inf i.e. never picked — matching the fast path's drop
-    ranked = np.where(keep & np.isfinite(sims), np.round(sims, 6), -np.inf)
+    # exact fallback: full-row stable argsort on the negated HALF-EVEN
+    # key rint(sims*1e6) — the SAME key the fast path packs and the
+    # blocked reduce's F.rint orders by (id-ascending columns make ties
+    # resolve id ASC). round(sims,6) would divide that key by 1e6,
+    # which above 2**53 can merge keys rint keeps distinct (r10
+    # review) — rint-everywhere makes the key identical at every
+    # magnitude. Masked/non-finite sims rank as -inf, i.e. never
+    # picked — matching the fast path's drop; validity is judged on
+    # the ORIGINAL sims so a finite-but-huge sim whose scaled key
+    # overflows to +inf still ranks first instead of being dropped.
+    ok = keep & np.isfinite(sims)
+    ranked = np.where(ok, np.rint(sims * 1e6), -np.inf)
     idx = np.argsort(-ranked, axis=1, kind="stable")[:, :kk]
-    valid = np.isfinite(np.take_along_axis(ranked, idx, axis=1))
+    valid = np.take_along_axis(ok, idx, axis=1)
     rows, cols = np.nonzero(valid)
     return rows, idx[rows, cols]
 
@@ -278,7 +286,7 @@ def _blocked_exact_search(
     shape can drift them one ulp vs the broadcast path, which the
     rounded top-k key absorbs and which threshold mode documents as a
     boundary caveat (see SIMS_CHUNK_BYTES). Forced-route identity
-    tests in tests/test_engine_ops.py cover self-join AND asymmetric
+    tests in tests/test_near_dup.py cover self-join AND asymmetric
     probe≠reference shapes.
 
     Scale: no executor ever holds more than one reference block plus
@@ -412,7 +420,7 @@ def cosine_pairs_topk_per_row(
     call per probe Arrow batch); past the cap the SAME search runs
     blocked-and-distributed (``_blocked_exact_search`` + a per-probe
     window reduction with the identical tie-break) — result-identical,
-    forced-route identity test in tests/test_engine_ops.py.
+    forced-route identity tests in tests/test_near_dup.py.
     """
     spark = probe.sparkSession
     n_ref = reference.count()  # counted gate: picks the physical strategy
@@ -436,7 +444,11 @@ def cosine_pairs_topk_per_row(
         # HALF_UP: at an exact half-integer sim*1e6 a tile-dropped
         # candidate could outrank a kept one under the other rounding
         # mode (ADVICE r9). rint(sim*1e6) orders identically to
-        # round(sim,6) everywhere else (monotone /1e6).
+        # round(sim,6) while |sim*1e6| < 2**53 (there /1e6 is
+        # injective, hence order-preserving); past that only the rint
+        # key is used anywhere — per-tile fast path, per-tile
+        # fallback, and this reduce all pack the same key (r10
+        # review).
         w = Window.partitionBy("id1").orderBy(
             F.rint(F.col("sim") * F.lit(1e6)).desc(), F.col("id2")
         )
@@ -757,7 +769,7 @@ def cosine_pairs_above(
     blocked-and-distributed (``_blocked_exact_search`` with threshold
     semantics — blocks partition id2, so no reduction is needed and each
     qualifying pair is emitted exactly once). Result-identical;
-    forced-route identity test in tests/test_engine_ops.py. For
+    forced-route identity tests in tests/test_near_dup.py. For
     APPROXIMATE sub-quadratic search prefer operators.ann (IVF /
     sign-LSH) — this kernel is the exact path.
     """

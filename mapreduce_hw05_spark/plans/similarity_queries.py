@@ -166,19 +166,20 @@ def q_cross_table_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pins the asymmetric path of the exact kernel through the driver
     oracle: past the broadcast cap the blocked route pays the probe's
     OWN count and slice assignment (VERDICT r9 item 6 — previously only
-    pytest-pinned via the forced-tiling identity test). The known probe
-    count is threaded through ``n_probe`` (ADVICE r9), so the blocked
-    route never re-scans the probe side to size its slices.
+    pytest-pinned via the forced-tiling identity test). No count is
+    threaded here: this caller doesn't already know one, and paying an
+    eager probe scan just to pass ``n_probe`` would be pure waste on
+    the broadcast route the counted gate picks at driver scale — the
+    kernel counts the probe itself exactly when (and only when) the
+    blocked route needs it. ``n_probe`` exists for callers that know
+    the count from earlier work (ADVICE r9); the forced-tiling identity
+    test covers both forms.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") % 3 == 0)
     reference = emb.filter(F.col("vec_id") % 3 != 0)
-    # model-sized count: one scan of the skinny probe filter, reused by
-    # the blocked route for slice sizing (no second probe scan)
-    n_probe = probe.count()
     nn = cosine_pairs_topk_per_row(
-        probe, reference, "vec_id", "embedding", k=2, mode="knn",
-        n_probe=n_probe,
+        probe, reference, "vec_id", "embedding", k=2, mode="knn"
     )
     return nn.select("id1", "id2", ratio(F.col("sim")).alias("cos_sim"))
 

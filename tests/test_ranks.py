@@ -331,3 +331,58 @@ def test_global_cumsum_null_inputs_route_identical(spark, monkeypatch):
     assert (jvm["cum_cnt"].to_numpy() == want_cnt).all()
     # all-null prefix (k=0,1) reads 0, not NULL
     assert jvm["cum_cnt"].iloc[0] == 0 and jvm["cum_x"].iloc[0] == 0.0
+
+
+def test_global_cumsum_rejects_non_finite_on_both_routes(
+    spark, monkeypatch
+):
+    """r10 review: NaN is a DATA value, not a NULL — the JVM window sum
+    would propagate it but Spark's pandas serializer encodes NaN as
+    NULL on the mapInPandas RETURN path (measured: an identity
+    mapInPandas turns NaN into None), so no implementation can make the
+    routes agree. The operator must therefore fail fast on non-finite
+    input — identically on both routes — rather than silently produce
+    route-dependent results."""
+    import pytest
+
+    from mapreduce_hw05_spark.operators import ranks
+
+    for bad in (float("nan"), float("inf")):
+        df = spark.createDataFrame(
+            [(0, 1.0), (1, None), (2, bad), (3, 2.0)],
+            "k long, x double",
+        )
+        with pytest.raises(ValueError, match="non-finite"):
+            global_cumsum(df, [F.col("k")], ["x"], num_partitions=2)
+        monkeypatch.setattr(ranks, "JVM_WINDOW_PARTITION_ROWS", 0)
+        with pytest.raises(ValueError, match="non-finite"):
+            global_cumsum(df, [F.col("k")], ["x"], num_partitions=2)
+        monkeypatch.undo()
+
+
+def test_global_cumsum_nullable_long_stays_exact_past_2_53(
+    spark, monkeypatch
+):
+    """r10 review: a NULLABLE long column reaches pandas as float64,
+    silently rounding values past 2**53 — the JVM-side coalesce into a
+    non-null long temp must keep the Arrow route exact int64 end-to-end
+    and bit-identical to the JVM window sum."""
+    from mapreduce_hw05_spark.operators import ranks
+
+    big = 9_007_199_254_740_993  # 2**53 + 1: not representable in float64
+    df = spark.createDataFrame(
+        [(0, None), (1, big), (2, 5)], "k long, v long"
+    )
+
+    def run():
+        return (
+            global_cumsum(df, [F.col("k")], ["v"], num_partitions=2)
+            .orderBy("k")
+            .toPandas()["cum_v"]
+            .tolist()
+        )
+
+    jvm = run()
+    monkeypatch.setattr(ranks, "JVM_WINDOW_PARTITION_ROWS", 0)
+    arrow = run()
+    assert jvm == arrow == [0, big, big + 5]  # exact, no float rounding
