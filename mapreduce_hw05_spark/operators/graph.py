@@ -43,10 +43,23 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
 
 
 def undirected(edges: DataFrame) -> DataFrame:
-    """Symmetrize canonical edges: each (a,b) becomes (a,b) and (b,a)."""
-    return edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    """Symmetrize canonical edges: each (a,b) becomes (a,b) and (b,a).
+
+    Implemented as one ``explode`` over a two-struct array rather than
+    ``edges.union(edges.swap)`` (r11, guide §3.3): Spark does not share
+    subplans across union arms, so the union formulation recomputed the
+    whole upstream edge DAG (typically a self-join + distinct) once per
+    arm at every materialization, and doubled the partition count every
+    scan. The explode emits the same row multiset from a single upstream
+    pass and keeps the upstream partitioning.
+    """
+    pair = F.explode(
+        F.array(
+            F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+            F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        )
+    ).alias("_e")
+    return edges.select(pair).select("_e.src", "_e.dst")
 
 
 def pagerank(
@@ -72,13 +85,41 @@ def pagerank(
     # self-join): persist it first so the setup aggregates and the loop
     # never recompute it.
     edges = edges.persist()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    n_nodes = nodes.count()  # scalar graph size — fixed for the whole loop
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+
+    # Nodes carry a static is_dangling flag so each iteration's dangling
+    # mass rides the checkpoint job as an Observation metric (the
+    # accumulator analog) instead of costing a separate aggregate job.
+    # Node-sized and referenced EVERY iteration — checkpoint it so the
+    # loop never re-derives it from the (edge-sized) inputs.
+    # r11: node set and dangling flag come from ONE explode + aggregate
+    # over a single pass of the cached edges — a node is dangling iff it
+    # never appears as src — replacing the src∪dst union (two cache
+    # scans), the distinct, and a second out_deg build + left join.
+    nodes_flagged = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.lit(True).alias("o")),
+                    F.struct(F.col("dst").alias("node"), F.lit(False).alias("o")),
+                )
+            ).alias("_n")
+        )
+        .groupBy(F.col("_n.node").alias("node"))
+        .agg((~F.max("_n.o")).alias("__dangling"))
+        .localCheckpoint()
+    )
+    # Graph-size scalars for the whole loop, from ONE cache-local agg on
+    # the checkpointed node table (r11: this replaces three separate
+    # edge-DAG passes — nodes.count(), a dangling anti-join count, and
+    # the initial-ranks checkpoint each re-scanned the cached edges).
+    row = nodes_flagged.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("__dangling").cast("long")).alias("d"),
+    ).first()
+    n_nodes, n_dangling = row["n"], row["d"]
+    has_dangling = n_dangling > 0
+
     # The moving state is NODE-sized; links are EDGE-sized. When the rank
     # table fits an executor, broadcast it every iteration and partition
     # the static links on dst ONCE — the contribs aggregation then reuses
@@ -94,33 +135,10 @@ def pagerank(
     )
     links.count()  # materialize once; reused every iteration
 
-    # Dangling-node SET is fixed by the graph shape — detect it once, not
-    # per iteration; symmetric graphs (our fixtures) skip the per-iteration
-    # dangling-mass job entirely.
-    dangling_nodes = nodes.join(
-        out_deg, nodes.node == out_deg.src, "left_anti"
-    ).persist()
-    has_dangling = dangling_nodes.count() > 0
-
-    # Nodes carry a static is_dangling flag so each iteration's dangling
-    # mass rides the checkpoint job as an Observation metric (the
-    # accumulator analog) instead of costing a separate aggregate job.
-    # Node-sized and referenced EVERY iteration — checkpoint it so the
-    # loop never re-derives it from the (edge-sized) inputs.
-    nodes_flagged = (
-        nodes.join(
-            out_deg.select(
-                F.col("src").alias("node"), F.lit(True).alias("__has_out")
-            ),
-            "node",
-            "left",
-        )
-        .select("node", F.col("__has_out").isNull().alias("__dangling"))
-        .localCheckpoint()
-    )
-
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
-    dangling = dangling_nodes.count() / n_nodes if has_dangling else 0.0
+    # Initial uniform ranks read the checkpointed node table (cache-local)
+    # — no separate checkpoint job for a column of constants.
+    ranks = nodes_flagged.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    dangling = n_dangling / n_nodes if has_dangling else 0.0
     n_iters = 0
     for _ in range(iterations):
         moving = F.broadcast(ranks) if bcast_ranks else ranks
@@ -179,7 +197,6 @@ def pagerank(
     if iterations_out is not None:
         iterations_out.append(n_iters)
     links.unpersist()
-    dangling_nodes.unpersist()
     edges.unpersist()
     return ranks
 
@@ -367,18 +384,33 @@ def connected_components_star(
     """
     # Working set: directed pairs (u, v) with u > v ("high points at low")
     # — large-star emits this orientation and small-star preserves it.
-    e = edges.select(
-        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
-    ).filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    # The canonical edge set is checkpointed BEFORE the self-loop filter
+    # (r11): the final node table then derives from this checkpoint
+    # instead of re-running the whole upstream edge DAG (typically a
+    # self-join + distinct) a second time at the end of the query — and a
+    # node whose only edges are self-loops must still appear in the
+    # output, so the pre-filter set is the right node source.
+    e0 = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    e = e0.filter(F.col("u") != F.col("v"))
+
+    _checksum_cols = (
+        F.count("*").alias("n"),
+        # decimal accumulator: a sum of int64 hashes overflows BIGINT
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    )
 
     def checksum(df: DataFrame):
-        row = df.agg(
-            F.count("*").alias("n"),
-            # decimal accumulator: a sum of int64 hashes overflows BIGINT
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).first()
+        row = df.agg(*_checksum_cols).first()
         return row["n"], row["h"]
 
+    from pyspark.sql import Observation
     from pyspark.sql import Window as W
 
     prev = checksum(e)
@@ -390,7 +422,17 @@ def connected_components_star(
         # per-node min rides an unordered window over the SAME shuffle
         # that groups the neighborhood — no separate aggregate + join
         # (halves the exchanges per round vs the join formulation).
-        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # one explode pass over the checkpointed edges instead of
+        # e.union(e.swap): union arms never share the subplan, so the
+        # union formulation scanned the checkpoint twice per round
+        sym = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("_s")
+        ).select("_s.u", "_s.v")
         large = (
             sym.withColumn(
                 "m", F.least(F.min("v").over(per_node), F.col("u"))
@@ -407,6 +449,12 @@ def connected_components_star(
         # explode; in `large` always m < u and v < u with m = min(v),
         # so filtering u != v afterwards drops exactly the (v→m) rows
         # where v IS the minimum (self-loops), never a (u→m) row.
+        # The convergence checksum rides the checkpoint materialization
+        # as an Observation (r11) — the identical (count, hash-sum) pair
+        # the standalone agg computed, at zero extra jobs per round (the
+        # pagerank dangling-mass pattern); CC rounds are scheduler-bound
+        # at small scale, so halving the jobs per round halves the wall.
+        obs = Observation()
         small = (
             large.withColumn("m", F.min("v").over(per_node))
             .select(
@@ -415,21 +463,19 @@ def connected_components_star(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .observe(obs, *_checksum_cols)
             .localCheckpoint()
         )
         e = small
         rounds += 1
-        cur = checksum(e)
+        got = obs.get
+        cur = (got["n"], got["h"])
         if cur == prev:
             break
         prev = cur
     if rounds_out is not None:
         rounds_out.append(rounds)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    nodes = e0.select(F.explode(F.array("u", "v")).alias("node")).distinct()
     return nodes.join(
         e.select(F.col("u").alias("node"), F.col("v").alias("comp")),
         "node",

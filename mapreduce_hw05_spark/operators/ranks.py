@@ -187,11 +187,14 @@ def global_cumsum(
         for c in sum_cols:
             if not int_kind[c] and not math.isfinite(r[c] or 0.0):
                 raise ValueError(
-                    f"global_cumsum: non-finite value (NaN/inf) in "
-                    f"sum_col {c!r} — running totals over non-finite "
-                    "doubles are route-dependent (the Arrow path cannot "
-                    "represent NaN distinctly from NULL); clean or "
-                    "filter the column first"
+                    f"global_cumsum: non-finite value (NaN/inf) or an "
+                    f"overflowing running total in sum_col {c!r} — the "
+                    "check is on per-partition SUMS, so all-finite "
+                    "inputs whose total overflows to ±inf are also "
+                    "rejected (ADVICE r10). Running totals over "
+                    "non-finite doubles are route-dependent (the Arrow "
+                    "path cannot represent NaN distinctly from NULL); "
+                    "clean, filter, or rescale the column first"
                 )
     max_part_rows = max((r["__nrows"] for r in rows), default=0)
     off_map: dict[int, dict[str, float]] = {}

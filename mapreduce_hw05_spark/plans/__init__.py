@@ -483,10 +483,12 @@ DRIVER_WINDOW_R11_PENDING: list[str] = []
 #: goes here AT CHANGE TIME.
 #:
 #: r10 churn so far: operators.ranks null semantics (ADVICE r9 — both
-#: routes now treat null sum_col values as 0; coalesce on the JVM
-#: window, fillna(0) on the Arrow cumsum). Every ranks consumer NOT in
-#: the r10 window re-verifies first in r11 (q_rank_distribution is in
-#: the r10 window and re-verifies there).
+#: routes now treat null sum_col values as 0; the coalesce happens
+#: ONCE, JVM-side, into typed temp columns BEFORE the routes split — a
+#: worker-side fillna would conflate NULL with NaN; see the ranks.py
+#: docstring). Every ranks consumer NOT in the r10 window re-verifies
+#: first in r11 (q_rank_distribution is in the r10 window and
+#: re-verifies there).
 DRIVER_WINDOW_R11_CHURN: list[str] = [
     "q_global_rank",           # r9 green; global_cumsum rank formulation
     "q_lift_deciles",          # r9 green; distributed_ntile(10)
@@ -528,6 +530,49 @@ DRIVER_WINDOW_R11_REVERIFY = DRIVER_WINDOW_R10_REVERIFY[44:] + [
     "q_ppr_seeds", "q_assortativity", "q_modularity", "q_hits_scores",
     "q_link_prediction_eval", "q_clustering_coefficient",
     "q_square_count",
+]
+
+#: Churn-first head for the NEXT window after r11 (the standing
+#: discipline: any contract whose PLAN changes on a green contract goes
+#: here AT CHANGE TIME). r11 optimization-round churn — all proven
+#: oracle-green at change time by the full 315-contract dress rehearsal
+#: (PERF.md r11), but their physical plans changed, so they re-verify
+#: driver-side ahead of the steady-state rotation:
+#:
+#: - ``operators.graph.undirected`` symmetrizes via one explode pass
+#:   instead of union arms (same row multiset; union never shares the
+#:   upstream subplan, so every materialization recomputed the edge DAG
+#:   twice) → every undirected-graph consumer below.
+#: - ``operators.graph.pagerank`` setup: node set + dangling flag from
+#:   ONE explode+aggregate pass; graph-size scalars from one agg on the
+#:   checkpointed node table → q_pagerank.
+#: - ``operators.graph.connected_components_star``: canonical edges
+#:   checkpointed pre-self-loop-filter (node table derives from the
+#:   checkpoint, not a second edge-DAG pass); convergence checksum rides
+#:   the per-round checkpoint as an Observation → q_connected_components,
+#:   q_pretrain_pipeline.
+#: - ``plans.similarity_queries.lsh_jaccard_pairs`` spreads a
+#:   single-split corpus before the signature kernel (spread_small gate)
+#:   → q_near_dup_lsh, q_pretrain_pipeline.
+#:
+#: Entries already in DRIVER_WINDOW_R11_REVERIFY re-verify in r11 first;
+#: they are listed here anyway so the churn record is complete at change
+#: time (dedupe when composing the R12 window).
+DRIVER_WINDOW_R12_CHURN: list[str] = [
+    "q_pagerank",
+    "q_connected_components",
+    "q_triangle_count",
+    "q_near_dup_lsh",
+    "q_pretrain_pipeline",
+    "q_khop_reach",
+    "q_label_propagation",
+    "q_resource_allocation",
+    "q_ppr_seeds",
+    "q_assortativity",
+    "q_modularity",
+    "q_square_count",
+    "q_link_prediction",
+    "q_kcore_rounds",
 ]
 
 

@@ -361,6 +361,14 @@ def lsh_jaccard_pairs(
     :func:`_verify_jaccard_on_candidates` helper (r6: one verify join
     for the whole LSH family, so the routing can't fork per variant).
     """
+    # r11 (guide §2.5 input skew): a corpus that is tiny ON DISK arrives
+    # as ONE scan split, so the signature kernel, the banding explode and
+    # the map side of the candidate distinct all ran in a single task
+    # (measured 52 s of a 76 s wall at sf0.1 — plans/r11). spread_small
+    # is the existing counted gate: a no-op whenever the scan already
+    # yields >= default-parallelism splits (any at-scale input).
+    n_docs = docs.count()
+    docs = spread_small(docs)
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=128)
     cands = lsh_candidate_pairs(
         sigs, "doc_id", num_bands=32, max_bucket_size=max_bucket_size
@@ -372,7 +380,7 @@ def lsh_jaccard_pairs(
         .agg(F.sort_array(F.collect_list("token")).alias("toks"))
     )
     return _verify_jaccard_on_candidates(
-        cands, doc_toks, "toks", threshold, docs.count(), broadcast_doc_limit
+        cands, doc_toks, "toks", threshold, n_docs, broadcast_doc_limit
     )
 
 
