@@ -101,17 +101,32 @@ def fit_logreg(
         partials = df.select(vec_col, label_col).mapInPandas(
             grad_pass, schema=_GRAD_SCHEMA
         )
-        agg = partials.groupBy().agg(
-            F.sum("n").alias("n"),
-            F.sum("loss").alias("loss"),
-            *[
-                F.sum(F.element_at("grad", i + 1)).alias(f"g{i}")
-                for i in range(dim + 1)
-            ],
-        ).first()
-        n = int(agg["n"])
-        grad = np.array([agg[f"g{i}"] for i in range(dim + 1)]) / n
-        losses.append(float(agg["loss"]) / n)
+        # Elementwise partial sum via posexplode + groupBy(position)
+        # instead of d+1 separate sum(element_at(grad, i)) columns (r11):
+        # the wide-agg plan cost Catalyst ~0.9 s of analysis + codegen
+        # PER ITERATION at d=64 (and grows with d); this plan is O(1) in
+        # the dimension. The exploded input is (#batch partials × (d+1))
+        # tiny rows — noise next to the data pass. Every partial
+        # contributes one row to every position group, so each group's
+        # sum(n)/sum(loss) equals the global total — read them off any
+        # one group instead of running a second aggregate job.
+        rows = (
+            partials.select(
+                "n", "loss", F.posexplode("grad").alias("i", "g")
+            )
+            .groupBy("i")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("loss").alias("loss"),
+                F.sum("g").alias("g"),
+            )
+            # model-sized: exactly d+1 rows (one per weight) by construction
+            .collect()
+        )
+        rows.sort(key=lambda r: r["i"])
+        n = int(rows[0]["n"])
+        grad = np.array([r["g"] for r in rows]) / n
+        losses.append(float(rows[0]["loss"]) / n)
         w = w - lr * grad
 
     return {"weights": w[:-1], "bias": float(w[-1]), "losses": losses}
