@@ -759,6 +759,49 @@ def test_star_cc_matches_min_label_on_fixture(spark):
     assert star == label
 
 
+def test_star_cc_keeps_self_loop_only_nodes(spark):
+    """A node whose EVERY edge is a self-loop must still appear in the
+    output as its own singleton component. Pins the r11 restructure:
+    the final node table now derives from the pre-self-loop-filter edge
+    checkpoint instead of a second pass over the raw edge DAG, and the
+    self-loop-only node is exactly the row the two sources differ on."""
+    from mapreduce_hw05_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 3), (2, 2)], "src long, dst long"
+    )
+    comps = {
+        r["node"]: r["comp"] for r in connected_components_star(edges).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 3}
+
+
+def test_undirected_matches_union_formulation(spark):
+    """undirected() (r11: one explode pass) must emit exactly the row
+    MULTISET of the union formulation it replaced — duplicates included,
+    both directions, self-loops doubled like union doubled them."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_hw05_spark.operators.graph import undirected
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (4, 4)], "src long, dst long"
+    )
+    got = Counter(
+        (r["src"], r["dst"]) for r in undirected(edges).collect()
+    )
+    want = Counter(
+        (r["src"], r["dst"])
+        for r in edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).collect()
+    )
+    assert got == want
+    assert undirected(edges).columns == ["src", "dst"]
+
+
 def test_star_cc_logarithmic_rounds_on_path_graph(spark):
     """A 300-hop path takes min-label ~300 rounds; the star algorithm
     must converge in O(log n) — the property that makes CC viable on
