@@ -168,6 +168,60 @@ def kmeans_parallel_init(
     return out
 
 
+def _centroid_update_partials(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str,
+) -> DataFrame:
+    """Per-Arrow-batch combiner for the Lloyd centroid update (r12,
+    guide §2.3 "aggregate before you shuffle"): the assignment kernel
+    itself reduces each batch to k rows of ``(cluster, cnt, sumvec,
+    inertia)`` — the sufficient statistics of the mean — so the
+    per-iteration shuffle carries batches×k×d values instead of the N×d
+    rows the old ``assignment ⋈ emb → posexplode → avg`` pipeline
+    exploded and exchanged. The assignment math is byte-identical to
+    :func:`assign_clusters` (same ``-2·V·Cᵀ + ‖c‖²`` form, same argmin
+    tie-break); only the reduction moved into the kernel.
+    """
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(centroids.astype(np.float64))
+    schema = T.StructType(
+        [
+            T.StructField("cluster", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("sumvec", T.ArrayType(T.DoubleType())),
+            T.StructField("inertia", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        C = bc.value  # (k, dim)
+        k = C.shape[0]
+        c_sq = (C * C).sum(axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = -2.0 * (V @ C.T) + c_sq[None, :]
+            best = d.argmin(axis=1)
+            v_sq = (V * V).sum(axis=1)
+            sq = v_sq + d[np.arange(len(best)), best]
+            sums = np.zeros((k, V.shape[1]))
+            np.add.at(sums, best, V)  # in-index-order scatter: deterministic
+            cnt = np.bincount(best, minlength=k)
+            loss = np.bincount(best, weights=sq, minlength=k)
+            yield pd.DataFrame(
+                {
+                    "cluster": np.arange(k, dtype=np.int64),
+                    "cnt": cnt.astype(np.int64),
+                    "sumvec": list(sums),
+                    "inertia": loss,
+                }
+            )
+
+    return emb.select(vec_col).mapInPandas(kernel, schema=schema)
+
+
 def kmeans(
     emb: DataFrame,
     k: int,
@@ -182,35 +236,59 @@ def kmeans(
     Empty clusters keep their previous centroid. The per-iteration driver
     traffic is exactly k×dim doubles — independent of data size. Pass
     ``inertia_out=[]`` to also collect the per-iteration inertia
-    (Σ sq_dist under the centroids each assignment used) — one extra
-    scalar per iteration, riding the centroid-update pass as an
-    Observation so no extra job runs.
-    """
-    from pyspark.sql import Observation
+    (Σ sq_dist under the centroids each assignment used) — it rides the
+    same combiner partials, so no extra job runs.
 
+    r12 (guide §2.3): each iteration is ONE pass — the assignment kernel
+    emits per-batch (cluster, cnt, Σvec, Σsq_dist) partials and the only
+    shuffle is the batches×k×d posexplode of those partials (the logreg
+    position-group reduce), replacing the old assignment⋈emb join plus
+    N×d posexplode exchange. Float-summation order over a cluster's
+    members changes (NumPy per-batch scatter-add, then Catalyst sum of
+    batch partials, instead of Catalyst partial-agg over raw elements);
+    assignment identity across sf0.001–0.1 is pinned by
+    tests/test_engine_ops.py::test_kmeans_combiner_matches_join_update.
+    """
     if init is None:
         init = label_seeded_centroids(emb, vec_col=vec_col)
     centroids = init.astype(np.float64).copy()
     dim = centroids.shape[1]
     for _ in range(iterations):
-        assignment = assign_clusters(emb, centroids, id_col, vec_col)
-        obs = None
-        if inertia_out is not None:
-            obs = Observation()
-            assignment = assignment.observe(
-                obs, F.sum("sq_dist").alias("inertia")
+        partials = _centroid_update_partials(emb, centroids, vec_col)
+        # Elementwise reduce via posexplode + groupBy(position) — the
+        # O(1)-plan-size logreg pattern. Every batch partial contributes
+        # one row per (cluster, pos), so each group's sum(cnt) and
+        # sum(inertia) are that CLUSTER's totals — read them off pos 0.
+        rows = (
+            partials.select(
+                "cluster", "cnt", "inertia", F.posexplode("sumvec")
             )
-        upd = (
-            assignment.join(emb.select(id_col, vec_col), id_col)
-            .select("cluster", F.posexplode(vec_col))
             .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("col").cast("double")).alias("v"))
-            .toPandas()  # model-sized: k x d centroid update
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("col").alias("s"),
+                F.sum("inertia").alias("inertia"),
+            )
+            # model-sized: exactly k × dim rows by construction
+            .collect()
         )
-        if obs is not None:
-            inertia_out.append(float(obs.get["inertia"]))
+        # Fail loudly on a malformed partial (the logreg-guard analog):
+        # every batch emits all k clusters × dim positions, so the reduce
+        # must return exactly k×dim groups whenever any batch ran.
+        if rows and len(rows) != centroids.shape[0] * dim:
+            raise ValueError(
+                f"kmeans: centroid reduce returned {len(rows)} "
+                f"(cluster, pos) groups, expected k*dim="
+                f"{centroids.shape[0] * dim} — a batch partial emitted a "
+                "malformed sumvec array"
+            )
+        if inertia_out is not None:
+            inertia_out.append(
+                float(sum(r["inertia"] for r in rows if r["pos"] == 0))
+            )
         new_c = centroids.copy()
-        for cluster, grp in upd.groupby("cluster"):
-            new_c[int(cluster)] = grp.sort_values("pos")["v"].to_numpy()[:dim]
+        for r in rows:
+            if r["cnt"] > 0:  # empty clusters keep their previous centroid
+                new_c[int(r["cluster"]), int(r["pos"])] = r["s"] / r["cnt"]
         centroids = new_c
     return assign_clusters(emb, centroids, id_col, vec_col), centroids

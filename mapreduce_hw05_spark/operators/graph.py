@@ -333,27 +333,43 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> DataFrame
     standard O(hops)-round distributed BFS. Frontier and visited sets are
     node-sized (never edge-sized), so the only big shuffle per round is
     the edges⋈frontier join on ``src``.
+
+    r12 (guide §2.4, the CC Observation pattern): ONE job per hop — the
+    frontier-emptiness probe rides the fresh-frontier checkpoint as an
+    Observation row count (was a separate ``first()`` job), and the
+    visited set is kept as the plain union of the per-hop CHECKPOINTED
+    frontiers instead of being re-materialized through its own
+    checkpoint every hop (each hop previously re-wrote the entire
+    visited set: 3 jobs and O(|visited|) checkpoint bytes per hop).
     """
-    visited = (
+    visited0 = (
         seeds.select("node").distinct().withColumn("hop", F.lit(0).cast("int"))
     ).localCheckpoint()
-    frontier = visited.select("node")
+    frames = [visited0]
+    frontier = visited0.select("node")
+    seen = frontier  # union of checkpointed per-hop frontiers
     for hop in range(1, max_hops + 1):
         neighbors = (
             edges.join(frontier, edges.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
         )
+        obs = Observation()
         fresh = (
-            neighbors.join(visited.select("node"), "node", "left_anti")
+            neighbors.join(seen, "node", "left_anti")
             .withColumn("hop", F.lit(hop).cast("int"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        if fresh.first() is None:
+        if obs.get["n"] == 0:
             break
-        visited = visited.union(fresh).localCheckpoint()
+        frames.append(fresh)
         frontier = fresh.select("node")
-    return visited
+        seen = seen.union(frontier)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.union(f)
+    return out
 
 
 def connected_components_star(
@@ -565,15 +581,29 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     shuffle bounded by the edge count. The argmax is max(struct(count,
     -label)) — a two-level aggregate, never a window sort over the edge
     list.
+
+    r12 (guide §2.4): the node set comes from one explode pass over the
+    cached edges instead of a two-arm union (union arms never share the
+    subplan — two cache scans), and the loop exits early at the label
+    fixpoint: synchronous LPA is a deterministic function of the
+    previous label table, so once a round reproduces its input exactly,
+    every remaining round reproduces it too — the result is identical
+    to running all ``rounds`` rounds. Fixpoint detection is the CC
+    (count, Σ xxhash64) checksum pair riding the per-round checkpoint
+    as an Observation — zero extra jobs.
     """
     edges = edges.persist()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    nodes = edges.select(
+        F.explode(F.array("src", "dst")).alias("node")
+    ).distinct()
     bcast = nodes.count() <= _PAGERANK_BROADCAST_NODE_LIMIT
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    _checksum = (
+        F.count(F.lit(1)).alias("n"),
+        # decimal accumulator: a sum of int64 hashes overflows BIGINT
+        F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")).alias("h"),
+    )
+    prev = None
     for _ in range(rounds):
         moving = F.broadcast(labels) if bcast else labels
         best = (
@@ -588,12 +618,19 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
             )
             .select(F.col("dst").alias("node"), (-F.col("m.nl")).alias("label"))
         )
+        obs = Observation()
         labels = (
             labels.select("node", F.col("label").alias("__old"))
             .join(F.broadcast(best) if bcast else best, "node", "left")
             .select("node", F.coalesce("label", "__old").alias("label"))
+            .observe(obs, *_checksum)
             .localCheckpoint()
         )
+        got = obs.get
+        cur = (got["n"], got["h"])
+        if cur == prev:
+            break
+        prev = cur
     edges.unpersist()
     return labels
 
@@ -612,6 +649,15 @@ def sssp(edges: DataFrame, seeds: DataFrame, rounds: int = 6) -> DataFrame:
     Scale: the distance table is node-sized and broadcast under the
     shared node limit; each round shuffles only the relaxed candidates
     (edge-bounded) into a partial-aggregated min.
+
+    r12 (guide §2.4): fixpoint early-exit — reached nodes only ever ADD
+    (the union keeps every prior node) and per-node distances only ever
+    DECREASE (the min includes the previous value), so the pair
+    ``(count, Σ dist)`` is invariant exactly at the Bellman–Ford
+    fixpoint; once it repeats, every remaining round would reproduce
+    the same table and is skipped. The integer-exact pair rides the
+    per-round checkpoint as an Observation — zero extra jobs, and the
+    result is identical to running all ``rounds`` rounds.
     """
     edges = edges.persist()
     bcast = (
@@ -624,18 +670,33 @@ def sssp(edges: DataFrame, seeds: DataFrame, rounds: int = 6) -> DataFrame:
         .withColumn("dist", F.lit(0).cast("long"))
         .localCheckpoint()
     )
+    prev = None
     for _ in range(rounds):
         moving = F.broadcast(dist) if bcast else dist
         relaxed = edges.join(moving, edges.src == moving["node"]).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("w")).alias("dist"),
         )
+        obs = Observation()
         dist = (
             dist.union(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                # decimal accumulator (the CC-checksum convention): an
+                # int64 sum could wrap at extreme scale and mask a
+                # decrease of exactly 2^64
+                F.sum(F.col("dist").cast("decimal(38,0)")).alias("s"),
+            )
             .localCheckpoint()
         )
+        got = obs.get
+        cur = (got["n"], got["s"])
+        if cur == prev:
+            break
+        prev = cur
     edges.unpersist()
     return dist
 

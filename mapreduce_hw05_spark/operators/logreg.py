@@ -124,6 +124,16 @@ def fit_logreg(
             .collect()
         )
         rows.sort(key=lambda r: r["i"])
+        # ADVICE r11: the position-group reduce silently assumes every
+        # partial emitted exactly dim+1 gradient entries (n and loss are
+        # read off group i=0 alone) — a malformed kernel batch must fail
+        # loudly, not feed a silently truncated gradient into the update.
+        if len(rows) != dim + 1:
+            raise ValueError(
+                f"fit_logreg: gradient reduce returned {len(rows)} position "
+                f"groups, expected dim+1={dim + 1} — a batch partial "
+                "emitted a malformed grad array"
+            )
         n = int(rows[0]["n"])
         grad = np.array([r["g"] for r in rows]) / n
         losses.append(float(rows[0]["loss"]) / n)

@@ -255,7 +255,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters are shallow), and the final agg is one shuffle on comp.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = lsh_jaccard_pairs(spread_small(docs), 0.8)
+    # ADVICE r11: no pre-spread — lsh_jaccard_pairs applies the
+    # spread_small gate internally since r11.
+    pairs = lsh_jaccard_pairs(docs, 0.8)
     edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     comps = connected_components(edges)
     return comps.groupBy(F.col("comp").alias("keep_doc_id")).agg(
@@ -864,7 +866,8 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = lsh_jaccard_pairs(spread_small(docs), 0.8)
+    # ADVICE r11: no pre-spread — lsh_jaccard_pairs spreads internally.
+    pairs = lsh_jaccard_pairs(docs, 0.8)
     edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     comps = connected_components(edges)
     members = comps.join(

@@ -244,6 +244,7 @@ def _verify_jaccard_on_candidates(
     threshold: float,
     n_docs: int,
     broadcast_doc_limit: int | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Shared exact-verify join for the MinHash-LSH family (unigram
     tokens AND word-bigram shingles): join each candidate pair to its
@@ -283,8 +284,16 @@ def _verify_jaccard_on_candidates(
     one machine's disk, which a cluster distributes); at sf0.1 it
     prunes 41 % and is wall-clock-neutral (A/B/A 38.5/39.9/37.2 s).
     The size table is two LONG columns — the same counted broadcast
-    gate as the array tables."""
-    sizes = per_doc.select("doc_id", F.size(set_col).alias("sz"))
+    gate as the array tables.
+
+    ``sizes`` (r12): callers that still hold the pre-array distinct
+    ``(doc_id, elem)`` pairs pass the per-doc COUNT aggregate directly —
+    ``size(sort_array(collect_list(e)))`` over distinct elements equals
+    ``count(*)`` by construction, but the count aggregate skips building
+    (and broadcasting twice) the array column just to measure it. Left
+    None, the sizes derive from ``per_doc`` as before."""
+    if sizes is None:
+        sizes = per_doc.select("doc_id", F.size(set_col).alias("sz"))
     z1 = sizes.withColumnsRenamed({"doc_id": "id1", "sz": "sz1"})
     z2 = sizes.withColumnsRenamed({"doc_id": "id2", "sz": "sz2"})
     ratio_ok = F.least("sz1", "sz2").cast("double") >= (
@@ -328,6 +337,10 @@ def lsh_jaccard_pairs(
     """Token-Jaccard ≥ threshold pairs via the LSH fast path:
     signatures → banding → candidate pairs → exact verify on candidates
     only. Returns (id1, id2, jaccard).
+
+    Callers need NOT pre-spread their input: the spread_small gate is
+    applied internally (r11) — wrapping the argument in spread_small is
+    a redundant no-op (ADVICE r11 dropped the last such wrappers).
 
     Matches the all-pairs inverted-index join on the fixture corpora
     (the LSH s-curve at 128 hashes / 32 bands gives per-pair recall
@@ -373,14 +386,24 @@ def lsh_jaccard_pairs(
     cands = lsh_candidate_pairs(
         sigs, "doc_id", num_bands=32, max_bucket_size=max_bucket_size
     )
-    doc_toks = (
-        tokenize(docs, "text", "doc_id")
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("token")).alias("toks"))
+    doc_elems = tokenize(docs, "text", "doc_id").distinct()
+    # r12 (guide §2.3): dictionary-encode tokens to dense int64 ids under
+    # the counted vocab gate — the verify's array_intersect then compares
+    # longs, not strings. Jaccard is invariant under the injective
+    # relabeling; past the gate the string path runs unchanged.
+    doc_elems = (
+        _sim.dict_encode_elements(doc_elems, "token") or doc_elems
+    )
+    # per-doc set sizes from the distinct pairs (count == array length by
+    # construction) — skips materializing the array column in the size
+    # prefilter's two broadcast arms.
+    sizes = doc_elems.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    doc_toks = doc_elems.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("token")).alias("toks")
     )
     return _verify_jaccard_on_candidates(
-        cands, doc_toks, "toks", threshold, n_docs, broadcast_doc_limit
+        cands, doc_toks, "toks", threshold, n_docs, broadcast_doc_limit,
+        sizes=sizes,
     )
 
 
@@ -858,14 +881,24 @@ def shingle_lsh_jaccard_pairs(
         docs, "doc_id", "text", num_hashes=128, shingle=2
     )
     cands = lsh_candidate_pairs(sigs, "doc_id", num_bands=32)
-    doc_grams = (
-        word_shingles(docs, 2, "text", "doc_id")
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("shingle")).alias("g"))
+    doc_elems = word_shingles(docs, 2, "text", "doc_id").distinct()
+    # r12: the cheap size aggregate (see lsh_jaccard_pairs) but NOT the
+    # int dictionary encoding — measured A/B (OPTIMIZATION_r12.md): this
+    # path's banded candidate set is small on realistic shingle corpora
+    # (bigram signatures collide far less than unigram ones), so the
+    # verify win cannot repay the encoder's two vocab jobs + per-arm
+    # mapping join (interleaved noop A/B at sf0.1: 4.36 s encoded vs
+    # 3.44 s strings; sf0.01: 4.24 vs 3.83). dict_encode_elements is a
+    # one-line flip here if a corpus's candidate regime ever inverts
+    # that trade (results are identical either way — the unigram route
+    # test proves the relabeling invariance).
+    sizes = doc_elems.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    doc_grams = doc_elems.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("g")
     )
     return _verify_jaccard_on_candidates(
-        cands, doc_grams, "g", threshold, docs.count(), broadcast_doc_limit
+        cands, doc_grams, "g", threshold, docs.count(), broadcast_doc_limit,
+        sizes=sizes,
     )
 
 
@@ -1117,10 +1150,18 @@ def q_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bias),
             lambda acc, v: acc + v,
         )
-        catalyst = emb.select(
-            "vec_id",
+        # r12 (guide §2.4/§3): the two inference paths ride ONE pass —
+        # the Catalyst zip_with prediction is computed below the kernel
+        # and flows through it as a column, so the old vec_id join of
+        # the two score frames (an N-row exchange+sort on both sides,
+        # executed TWICE: once for the agree aggregate, once when
+        # snapshot_result re-ran the uncached join for the final rows)
+        # is gone. Both predictions are still produced independently —
+        # pred_sql by the JVM expression, pred_np by the NumPy kernel.
+        catalyst_scored = emb.select(
             F.col("y").cast("long").alias("actual"),
             (margin > 0).cast("long").alias("pred_sql"),
+            "embedding",
         )
 
         w_arr = np.array(w + [bias])
@@ -1133,27 +1174,28 @@ def q_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 m = x @ w_arr[:-1] + w_arr[-1]
                 yield pd.DataFrame(
                     {
-                        "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                        "actual": pdf["actual"].to_numpy(dtype=np.int64),
+                        "pred_sql": pdf["pred_sql"].to_numpy(dtype=np.int64),
                         "pred_np": (m > 0).astype(np.int64),
                     }
                 )
 
-        numpy_preds = emb.select("vec_id", "embedding").mapInPandas(
-            score_kernel, schema="vec_id long, pred_np long"
+        both = catalyst_scored.mapInPandas(
+            score_kernel, schema="actual long, pred_sql long, pred_np long"
         )
-        joined = catalyst.join(numpy_preds, "vec_id")
-        agree = (
-            joined.agg(
-                F.min(F.col("pred_sql") == F.col("pred_np")).alias("ok")
-            ).first()["ok"]
+        grouped = (
+            both.groupBy("actual")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min(F.col("pred_sql") == F.col("pred_np")).alias("__ok"),
+            )
+            .collect()  # driver-sized: one row per class (≤ 2)
         )
-        result = (
-            joined.groupBy("actual")
-            .agg(F.count("*").alias("n_rows"))
-            .withColumn("paths_agree", F.lit(bool(agree)))
+        agree = all(r["__ok"] for r in grouped)
+        return spark.createDataFrame(
+            [(r["actual"], r["n_rows"], bool(agree)) for r in grouped],
+            "actual long, n_rows long, paths_agree boolean",
         )
-        # materialize before unpersist: the plan reads the cached input
-        return snapshot_result(result)
     finally:
         emb.unpersist()
 

@@ -1135,6 +1135,134 @@ def test_kmeans_parallel_init_degenerate_corpus(spark):
     assert np.allclose(c, 1.0)
 
 
+def test_kmeans_combiner_matches_join_update(spark):
+    """r12 pin: the in-kernel (cluster, cnt, sumvec) combiner update must
+    reproduce the pre-r12 assignment⋈emb → posexplode → avg formulation —
+    same final assignment, same centroids (to float tolerance), same
+    monotone inertia trajectory — on an adversarial mix of well-separated
+    and boundary points across several partitions."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mapreduce_hw05_spark.operators.clustering import (
+        assign_clusters,
+        kmeans,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(300):
+        center = (i % 3) * 2.0
+        rows.append(
+            (i, (center + 0.3 * rng.standard_normal(6)).tolist())
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(7)
+    init = np.stack([np.full(6, 0.0), np.full(6, 2.0), np.full(6, 4.0)])
+
+    def kmeans_old(df, centroids, iterations):
+        """The pre-r12 update, verbatim (join + posexplode + avg)."""
+        cents = centroids.astype(np.float64).copy()
+        dim = cents.shape[1]
+        inertias = []
+        for _ in range(iterations):
+            assignment = assign_clusters(df, cents)
+            # model-sized: k x d centroid update + one inertia scalar
+            upd = (
+                assignment.join(df.select("vec_id", "embedding"), "vec_id")
+                .select("cluster", "sq_dist", F.posexplode("embedding"))
+                .groupBy("cluster", "pos")
+                .agg(
+                    F.avg(F.col("col").cast("double")).alias("v"),
+                    F.sum("sq_dist").alias("sq"),
+                )
+                .toPandas()
+            )
+            inertias.append(
+                float(upd[upd["pos"] == 0]["sq"].sum())
+            )
+            new_c = cents.copy()
+            for cluster, grp in upd.groupby("cluster"):
+                new_c[int(cluster)] = grp.sort_values("pos")["v"].to_numpy()[:dim]
+            cents = new_c
+        return cents, inertias
+
+    old_c, old_inert = kmeans_old(emb, init, iterations=4)
+    new_inert: list[float] = []
+    a_new, new_c = kmeans(
+        emb, k=3, iterations=4, init=init, inertia_out=new_inert
+    )
+    assert np.allclose(old_c, new_c, rtol=0, atol=1e-9), (
+        np.abs(old_c - new_c).max()
+    )
+    np.testing.assert_allclose(new_inert, old_inert, rtol=1e-12)
+    old_assign = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(emb, old_c).collect()
+    }
+    new_assign = {r["vec_id"]: r["cluster"] for r in a_new.collect()}
+    assert old_assign == new_assign
+    assert all(
+        b <= a * (1 + 1e-9) for a, b in zip(new_inert, new_inert[1:])
+    )
+
+
+def test_kmeans_combiner_malformed_partial_raises(spark):
+    """The k×dim reduce-shape guard must fail loudly when a batch partial
+    emits a ragged sumvec (the logreg-guard analog, ADVICE r11)."""
+    import numpy as np
+    import pytest
+
+    from mapreduce_hw05_spark.operators import clustering
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    real = clustering._centroid_update_partials
+
+    def ragged(df, centroids, vec_col):
+        from pyspark.sql import functions as F
+
+        out = real(df, centroids, vec_col)
+        # drop the last sumvec element on cluster 0 rows only
+        return out.withColumn(
+            "sumvec",
+            F.when(
+                F.col("cluster") == 0,
+                F.slice("sumvec", 1, centroids.shape[1] - 1),
+            ).otherwise(F.col("sumvec")),
+        )
+
+    init = np.stack([[0.0, 0.0], [10.0, 1.0]])
+    try:
+        clustering._centroid_update_partials = ragged
+        with pytest.raises(ValueError, match="malformed sumvec"):
+            clustering.kmeans(emb, k=2, iterations=1, init=init)
+    finally:
+        clustering._centroid_update_partials = real
+
+
+def test_bfs_hops_early_stop_and_min_hop(spark):
+    """r12 pin for the 1-job-per-hop bfs_hops: (a) min-hop semantics on a
+    diamond (a node reachable at hops 2 and 3 reports 2), (b) the loop
+    stops on an empty frontier well before max_hops without emitting
+    empty frames, (c) disconnected nodes never appear."""
+    from mapreduce_hw05_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 3), (3, 4), (4, 2), (7, 8)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(edges, seeds, max_hops=10).collect()
+    }
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+
+
 def test_l2_normalize_arrow_empty_input(spark):
     from mapreduce_hw05_spark.operators.similarity import l2_normalize_arrow
 

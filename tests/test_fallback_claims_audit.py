@@ -152,6 +152,12 @@ REGISTRY: dict[tuple[str, str], str | None] = {
         "_PAGERANK_BROADCAST_NODE_LIMIT"
     ),
     ("operators/similarity.py", "<module>"): "maybe_broadcast",
+    # r12: the dictionary-encoded verify routes on the counted vocab
+    # gate — past it the caller keeps the string arrays (identical
+    # results; route test in tests/test_near_dup.py)
+    ("operators/similarity.py", "dict_encode_elements"): (
+        "MAX_BROADCAST_VOCAB"
+    ),
     # r6: the file-stat dim gate itself (its docstring states the
     # past-the-cap behavior it implements)
     ("sources/fixtures.py", "dim_broadcast"): "MAX_BROADCAST_DIM_BYTES",

@@ -389,6 +389,50 @@ def test_size_table_shuffled_route_matches_broadcast(spark, monkeypatch):
         assert not compare_frames(got, want), name
 
 
+def test_dict_encoded_verify_matches_string_route(spark, monkeypatch):
+    """r12 (VERDICT r11 item 3): the unigram LSH verify's per-doc arrays
+    are dictionary-encoded to int64 under the counted vocab gate. With
+    the gate forced to 0 (string arrays, the pre-r12 route) each
+    encoder-routed contract's frame must be identical — Jaccard is
+    invariant under the injective relabeling. (The shingle path keeps
+    the string route by measurement — see shingle_lsh_jaccard_pairs.)"""
+    from mapreduce_hw05_spark.operators import similarity as sim
+    from tests.conftest import compare_frames
+
+    for name in ("q_near_dup_lsh", "q_dedup_clusters"):
+        got = QUERIES[name](spark, "/root/testdata/sf0.001").toPandas()
+        monkeypatch.setattr(sim, "MAX_BROADCAST_VOCAB", 0)
+        want = QUERIES[name](spark, "/root/testdata/sf0.001").toPandas()
+        monkeypatch.undo()
+        assert not compare_frames(got, want), name
+
+
+def test_dict_encode_elements_bijective_and_gated(spark, monkeypatch):
+    """The encoder must assign one id per distinct element (a real
+    dictionary — collision-free by construction), keep (doc_id, elem)
+    pair multiplicity, and return None past the vocab gate."""
+    from mapreduce_hw05_spark.operators import similarity as sim
+
+    elems = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "b"), (2, "c"), (3, "a")],
+        "doc_id long, token string",
+    )
+    enc = sim.dict_encode_elements(elems, "token")
+    rows = enc.collect()
+    assert enc.columns == ["doc_id", "token"]
+    assert len(rows) == 5
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["token"])
+    # bijection: doc 1 and 3 share exactly the id of "a"; 1 and 2 share "b"
+    assert len(by_doc[1] | by_doc[2] | by_doc[3]) == 3
+    assert len(by_doc[1] & by_doc[3]) == 1
+    assert len(by_doc[1] & by_doc[2]) == 1
+    assert not (by_doc[2] & by_doc[3])
+    monkeypatch.setattr(sim, "MAX_BROADCAST_VOCAB", 2)
+    assert sim.dict_encode_elements(elems, "token") is None
+
+
 def test_verify_size_prefilter_keeps_exact_tie_pair(spark):
     """r6 size-ratio prefilter epsilon regression: at t = 7/51 with a
     7-token doc CONTAINED in a 51-token doc, the verify filter keeps the
