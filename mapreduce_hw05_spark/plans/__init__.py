@@ -464,7 +464,8 @@ DRIVER_WINDOW_R10 = (
     + DRIVER_WINDOW_R10_REVERIFY[:44]
 )
 
-DRIVER_WINDOW = DRIVER_WINDOW_R10
+#: r12: the active window rotates to DRIVER_WINDOW_R12 (defined below,
+#: after the churn lists it is composed from).
 
 #: ---------------------------------------------------------------------
 #: r11 PRE-STAGE (VERDICT r9 item 2 — the stale-pool ENDGAME: after the
@@ -574,6 +575,63 @@ DRIVER_WINDOW_R12_CHURN: list[str] = [
     "q_link_prediction",
     "q_kcore_rounds",
 ]
+
+#: r12-round churn (plan-changed DURING r12, at change time — the same
+#: discipline; all proven oracle-green through the driver surface before
+#: landing, see OPTIMIZATION_r12.md):
+#:
+#: - ``operators.clustering.kmeans`` centroid update: in-kernel
+#:   (cluster, cnt, sumvec) combiner partials instead of the N×d
+#:   assignment⋈emb posexplode shuffle → q_kmeans.
+#: - ``plans.similarity_queries.q_logreg_score``: both inference paths
+#:   ride ONE pass (the Catalyst prediction flows through the NumPy
+#:   kernel as a column — the vec_id join of the two score frames is
+#:   gone); ``operators.logreg.fit_logreg`` gains the dim+1 reduce-shape
+#:   guard (ADVICE r11) → q_logreg_score, q_logreg_train.
+#: - ``operators.graph.bfs_hops``: 1 job/hop (frontier-emptiness rides
+#:   the checkpoint as an Observation; visited = union of checkpointed
+#:   frontiers) → q_khop_reach (already staged above).
+#: - ``operators.graph.sssp`` / ``label_propagation``: integer-exact
+#:   fixpoint early-exit riding the per-round checkpoint Observation;
+#:   LPA node set from one explode pass → q_sssp_cheapest,
+#:   q_label_propagation (staged above).
+#: - ``lsh_jaccard_pairs``: per-doc arrays dictionary-encoded to int64
+#:   under the counted vocab gate; per-doc sizes from the distinct-pair
+#:   count aggregate → q_near_dup_lsh (staged above), q_dedup_clusters,
+#:   q_dedup_survivorship, q_pretrain_pipeline (staged above);
+#:   ``shingle_lsh_jaccard_pairs`` takes the size aggregate only →
+#:   q_near_dup_shingle_lsh.
+DRIVER_WINDOW_R12_CHURN_B: list[str] = [
+    "q_kmeans",
+    "q_logreg_score",
+    "q_logreg_train",
+    "q_sssp_cheapest",
+    "q_near_dup_shingle_lsh",
+    "q_dedup_clusters",
+    "q_dedup_survivorship",
+]
+
+#: r12 ACTIVE window (VERDICT r11 item 7, executed): the pre-staged
+#: R12_CHURN head (deduped — its entries already include four of this
+#: round's plan-changed contracts), the r12-round churn additions, the
+#: five r11 ranks-churn entries (still never driver-re-verified — the
+#: r11 optimization round deliberately did not rotate the window), then
+#: the R11_REVERIFY tranche head to fill 50. The tranche's 20-entry
+#: r4-stale core and the four r1-latest scalar batteries all land
+#: inside the fill, so the ≤r4 stale pool drains this round
+#: (test_stale_pool_drained_by_r12).
+_R12_HEAD = list(
+    dict.fromkeys(
+        DRIVER_WINDOW_R12_CHURN
+        + DRIVER_WINDOW_R12_CHURN_B
+        + DRIVER_WINDOW_R11_CHURN
+    )
+)
+DRIVER_WINDOW_R12 = _R12_HEAD + [
+    n for n in DRIVER_WINDOW_R11_REVERIFY if n not in _R12_HEAD
+][: 50 - len(_R12_HEAD)]
+
+DRIVER_WINDOW = DRIVER_WINDOW_R12
 
 
 def _reorder_registry() -> None:

@@ -29,6 +29,9 @@ from mapreduce_hw05_spark.plans import (
     DRIVER_WINDOW_R11_CHURN,
     DRIVER_WINDOW_R11_PENDING,
     DRIVER_WINDOW_R11_REVERIFY,
+    DRIVER_WINDOW_R12,
+    DRIVER_WINDOW_R12_CHURN,
+    DRIVER_WINDOW_R12_CHURN_B,
     ORACLES,
     QUERIES,
 )
@@ -53,6 +56,15 @@ def _history_through_r9() -> set[str]:
     )
 
 
+def _history_through_r11() -> set[str]:
+    """r1–r9 history plus the executed r10/r11 windows (same 50 both
+    rounds — the r11 optimization round did not rotate)."""
+    out = _history_through_r9()
+    for rnd in ("10", "11"):
+        out |= set(json.load(open(f"/root/repo/CORRECTNESS_r{rnd}.json")))
+    return out
+
+
 def test_window_is_registry_prefix():
     assert list(QUERIES)[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
     assert list(ORACLES)[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
@@ -63,20 +75,61 @@ def test_window_size_and_uniqueness():
     assert len(set(DRIVER_WINDOW)) == 50
 
 
-def test_window_is_r10():
-    """VERDICT r9 item 1: the r10 swap is the pre-staged composition —
-    the two new r10 contracts, the four r9 broadcast-cosine churn
-    entries, then the head of the R10_REVERIFY tranche (the 16-entry
-    R9_REVERIFY tail + the r4-stale core churn-first)."""
-    assert DRIVER_WINDOW == DRIVER_WINDOW_R10
+def test_window_is_r12():
+    """VERDICT r11 item 7 (executed): the active window is the r12
+    composition — the pre-staged R12_CHURN head, the r12-round churn
+    additions, the five r11 ranks-churn entries (the r11 optimization
+    round deliberately did not rotate), then the R11_REVERIFY tranche
+    head to fill 50, deduped in that priority order (ADVICE r11: the
+    dedup rule is now enforced here, not by a comment)."""
+    assert DRIVER_WINDOW == DRIVER_WINDOW_R12
+    head = list(
+        dict.fromkeys(
+            list(DRIVER_WINDOW_R12_CHURN)
+            + list(DRIVER_WINDOW_R12_CHURN_B)
+            + list(DRIVER_WINDOW_R11_CHURN)
+        )
+    )
+    assert DRIVER_WINDOW_R12 == head + [
+        n for n in DRIVER_WINDOW_R11_REVERIFY if n not in head
+    ][: 50 - len(head)]
+    # every plan-changed contract re-verifies THIS round, at the head
+    assert DRIVER_WINDOW[0] == "q_pagerank"
+    for n in list(DRIVER_WINDOW_R12_CHURN) + list(DRIVER_WINDOW_R12_CHURN_B):
+        assert n in DRIVER_WINDOW, n
+
+
+def test_r10_window_stays_frozen():
+    """The executed r10/r11 window (the driver verified the same 50 both
+    rounds) stays pinned against its own CORRECTNESS records."""
+    r10 = json.load(open("/root/repo/CORRECTNESS_r10.json"))
+    r11 = json.load(open("/root/repo/CORRECTNESS_r11.json"))
+    assert list(r10) == DRIVER_WINDOW_R10
+    assert list(r11) == DRIVER_WINDOW_R10
     assert DRIVER_WINDOW_R10 == (
         list(DRIVER_WINDOW_R10_PENDING)
         + list(DRIVER_WINDOW_R10_CHURN)
         + list(DRIVER_WINDOW_R10_REVERIFY[:44])
     )
-    # new contracts head the window (never-driver-verified first)
-    assert DRIVER_WINDOW[0] == "q_cross_table_knn"
-    assert DRIVER_WINDOW[1] == "q_running_total_nulls"
+    for record in (r10, r11):
+        for row in record.values():
+            assert (
+                row["rows_match"] and row["schema_match"] and row["hash_match"]
+            )
+
+
+def test_r12_churn_entries_valid():
+    """ADVICE r11 item 3: both r12 churn lists must be registered,
+    oracled, de-dupable (no dup WITHIN a list), and — unlike the r11
+    situation the advice flagged — their overlap with other window
+    sources is resolved by the enforced composition above, not a
+    comment."""
+    for churn in (DRIVER_WINDOW_R12_CHURN, DRIVER_WINDOW_R12_CHURN_B):
+        assert len(set(churn)) == len(churn)
+        assert all(n in QUERIES and n in ORACLES for n in churn)
+    # the B-list is the genuinely-new churn: no overlap with the
+    # pre-staged list
+    assert not set(DRIVER_WINDOW_R12_CHURN_B) & set(DRIVER_WINDOW_R12_CHURN)
 
 
 def test_window_fully_oracled():
@@ -86,28 +139,28 @@ def test_window_fully_oracled():
 
 
 def test_window_spans_families():
-    """At least one representative per family the R10 window targets:
-    the two new contracts, the r9 kernel-churn head, the R9_REVERIFY
-    tail (streaming/connector core), and the r4-stale families
-    (sketch/quantile, similarity/fingerprint, text-analysis,
-    join-strategy, events, relational/TPC-H)."""
+    """At least one representative per family the R12 window targets:
+    the r11/r12 plan-churn families (graph, iterative ML, LSH/near-dup,
+    pipelines, ranks), then the r4-stale reverify core (events,
+    aggregates, relational/TPC-H) and the r1-latest scalar batteries."""
     family_markers = {
-        "new-contracts": ["q_cross_table_knn", "q_running_total_nulls"],
-        "kernel-churn": ["q_similarity_topk", "q_knn_accuracy",
-                         "q_hard_negatives", "q_near_dup_embedding"],
-        "sketch-quantile": ["q_heavy_hitters", "q_weighted_sample",
-                            "q_rank_distribution"],
-        "similarity-fingerprint": ["q_semantic_dedup", "q_dedup_clusters",
-                                   "q_simhash", "q_fingerprint_groups"],
-        "text-analysis": ["q_chunk_documents", "q_token_entropy",
-                          "q_lm_score"],
-        "join-strategy": ["q_salted_join_contract", "q_bloom_join_contract",
-                          "q_join_hints_contract"],
-        "schema-io": ["q_null_safe_join", "q_union_by_name",
-                      "q_schema_evolution"],
-        # the events + relational/TPC-H tail of the r4-stale core rolls
-        # to r11 (DRIVER_WINDOW_R11_REVERIFY head) — covered by
-        # test_stale_pool_drained_by_r11, not window membership
+        "graph-churn": ["q_pagerank", "q_connected_components",
+                        "q_khop_reach", "q_sssp_cheapest"],
+        "iterative-ml-churn": ["q_kmeans", "q_logreg_score",
+                               "q_logreg_train"],
+        "lsh-near-dup-churn": ["q_near_dup_lsh", "q_near_dup_shingle_lsh",
+                               "q_dedup_clusters"],
+        "pipeline-churn": ["q_pretrain_pipeline", "q_dedup_survivorship"],
+        "ranks-churn": ["q_global_rank", "q_lift_deciles",
+                        "q_rfm_segments", "q_nb_auc"],
+        "events-stale": ["q_rolling_dau", "q_cumulative_users",
+                         "q_event_sequences", "q_time_weighted_avg"],
+        "aggregate-stale": ["q_stats_moments", "q_string_agg",
+                            "q_min_max_by", "q_conditional_agg"],
+        "tpch-stale": ["q_tpch_q18", "q_tpch_q14", "q_tpch_q19",
+                       "q_tpch_q22"],
+        "scalar-batteries": ["q_calendar_funcs", "q_bitwise_funcs",
+                             "q_encoding_funcs", "q_format_funcs"],
     }
     window = set(DRIVER_WINDOW)
     missing = {
@@ -153,20 +206,18 @@ def test_frozen_windows_match_driver_records():
 
 
 def test_rotation_plan_covers_all_queries_exactly_once():
-    """driver-green history (r1–r9) + this round's window + the r11
+    """driver-green history (now r1–r11) + this round's window + the
     pending list must cover every registered query — the schedule that
     gets every contract a driver-green CORRECTNESS row. New contracts
-    added NEXT round must be appended to DRIVER_WINDOW_R11_PENDING (that
-    is what keeps this test green)."""
-    verified = _history_through_r9()
+    (none in r11/r12) must join DRIVER_WINDOW_R11_PENDING."""
+    verified = _history_through_r11()
     window = set(DRIVER_WINDOW)
     pending = set(DRIVER_WINDOW_R11_PENDING)
     union = verified | window | pending
     assert union >= set(QUERIES), set(QUERIES) - union
-    # the ONLY never-driver-verified contracts in the r10 window are the
-    # two new r10 contracts, staged at the window head
-    assert window - verified == {"q_cross_table_knn", "q_running_total_nulls"}
-    # new-contract debt never overlaps history or the active window
+    # every r12-window entry was previously driver-green: this round's
+    # window is pure re-verification (churn-first), no new-contract debt
+    assert not window - verified
     assert not (pending & (verified | window))
 
 
@@ -183,13 +234,13 @@ def test_pending_debt_capped():
 
 def test_r11_churn_entries_valid():
     """Churn entries must be registered, oracled, previously
-    driver-green, and not already re-verifying in the active window
-    (else the churn listing is redundant)."""
+    driver-green — and, now that the r12 rotation executed, IN the
+    active window (they re-verify this round, at last)."""
     churn = list(DRIVER_WINDOW_R11_CHURN)
     assert len(set(churn)) == len(churn)
     assert all(n in QUERIES and n in ORACLES for n in churn)
     assert set(churn) <= _history_through_r9()
-    assert not set(churn) & set(DRIVER_WINDOW)
+    assert set(churn) <= set(DRIVER_WINDOW)
 
 
 def test_r11_churn_covers_r10_ranks_churn():
@@ -203,12 +254,10 @@ def test_r11_churn_covers_r10_ranks_churn():
 
 
 def test_r11_prestage_is_valid():
-    """VERDICT r9 item 2: the r11 window = R11_PENDING + R11_CHURN + the
-    head of the R11_REVERIFY tranche (the 20-entry R10_REVERIFY tail,
-    the four r1-latest batteries, then the r5-latest pool churn-first).
-    Every entry previously driver-green, still registered + oracled, no
-    overlap with the active r10 window, and the composed window is a
-    valid 50."""
+    """The R11_REVERIFY tranche (now feeding the r12 window's fill
+    slots): every entry previously driver-green, still registered +
+    oracled, no duplicates, the R10_REVERIFY remainder leads it, and no
+    overlap with the r11 churn head."""
     history = _history_through_r9()
     tranche = list(DRIVER_WINDOW_R11_REVERIFY)
     assert len(set(tranche)) == len(tranche)
@@ -218,39 +267,25 @@ def test_r11_prestage_is_valid():
     assert tranche[: len(DRIVER_WINDOW_R10_REVERIFY) - 44] == list(
         DRIVER_WINDOW_R10_REVERIFY[44:]
     )
-    # no overlap with the active r10 window or the churn head
-    assert not set(tranche) & set(DRIVER_WINDOW)
     assert not set(tranche) & set(DRIVER_WINDOW_R11_CHURN)
-    head = list(DRIVER_WINDOW_R11_PENDING) + list(DRIVER_WINDOW_R11_CHURN)
-    assert len(set(head)) == len(head)
-    r11_window = head + [n for n in tranche if n not in head][: 50 - len(head)]
-    assert len(r11_window) == 50 and len(set(r11_window)) == 50
 
 
-def test_stale_pool_drained_by_r11():
-    """VERDICT r9 item 2 — the stale-pool ENDGAME, asserted statically
-    against the committed CORRECTNESS history: every contract whose
-    LATEST driver-green record predates r5 (i.e. older than the
-    near-dup-gate/quantile/ranks engine churn of r5–r9) is re-verified
-    by the r10 window or by the GUARANTEED-EXECUTED prefix of the r11
-    staging — the churn head plus the reverify slots that survive even
-    a maximally-filled (6-entry) r11 pending list. So by r11 close, max
-    staleness across all contracts is ≥ r5 regardless of how much new
-    surface r11 adds."""
+def test_stale_pool_drained_by_r12():
+    """The stale-pool ENDGAME (VERDICT r9 item 2, rescheduled after the
+    r11 optimization round held the r10 window), asserted statically
+    against the committed CORRECTNESS history r1–r11: every contract
+    whose LATEST driver-green record predates r5 re-verifies IN the
+    active r12 window — by r12 close, max staleness across all
+    contracts is ≥ r5."""
     latest: dict[str, int] = {}
-    for rnd in range(1, 10):
-        record = json.load(open(f"/root/repo/CORRECTNESS_r0{rnd}.json"))
+    for rnd in range(1, 12):
+        record = json.load(open(f"/root/repo/CORRECTNESS_r{rnd:02d}.json"))
         for name, row in record.items():
             if row["rows_match"] and not row.get("err"):
                 latest[name] = rnd
-    stale = {n for n in QUERIES if n in latest and latest[n] <= 4}
-    guaranteed_r11_slots = 50 - PENDING_CAP - len(DRIVER_WINDOW_R11_CHURN)
-    guaranteed = (
-        set(DRIVER_WINDOW)
-        | set(DRIVER_WINDOW_R11_CHURN)
-        | set(DRIVER_WINDOW_R11_REVERIFY[:guaranteed_r11_slots])
-    )
-    uncovered = stale - guaranteed
+    assert set(latest) == set(QUERIES)  # no never-verified contracts
+    stale = {n for n in QUERIES if latest[n] <= 4}
+    uncovered = stale - set(DRIVER_WINDOW)
     assert not uncovered, sorted(uncovered)
 
 
@@ -262,4 +297,5 @@ def test_r10_churn_covers_r9_kernel_churn():
     for name in ("q_similarity_topk", "q_knn_accuracy",
                  "q_hard_negatives", "q_near_dup_embedding"):
         assert name in DRIVER_WINDOW_R10_CHURN, name
-        assert name in DRIVER_WINDOW, name
+        # they re-verified in the executed r10/r11 windows (frozen above)
+        assert name in DRIVER_WINDOW_R10, name
