@@ -1,19 +1,60 @@
 """Differential tests: every contract query with a DuckDB oracle must
 match on row count, schema (column names), and values at sf0.01 — the
 local replica of the driver's CORRECTNESS gate.
+
+r12 (VERDICT r11 item 2): the sweep's ~315 contracts are independent
+jobs, so they now run through a small driver-side thread pool (guide
+§2.6 "overlap independent jobs") instead of strictly sequentially — the
+full suite must finish inside the driver's verify window (the r11 gate
+read false purely by timeout at ~30 min). Each worker thread drives its
+OWN ``spark.newSession()`` clone: SQL confs are session-scoped and the
+streaming replays scope ``spark.sql.shuffle.partitions`` session-wide
+(set → restore), so clones keep that mutation — and every fixed-name
+temp view — isolated per thread. The DuckDB side gets one cursor per
+thread. The parametrized tests below stay one-test-per-contract, so the
+driver-visible test count and per-contract failure reporting are
+unchanged; a contract that raises surfaces as ITS test's failure, not a
+fixture error.
 """
 
 from __future__ import annotations
 
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
 import pytest
 
 from mapreduce_hw05_spark.plans import ORACLES, QUERIES
-from tests.conftest import run_contract
+from tests.conftest import SF_DIR, compare_frames, run_contract
+
+#: 2-4 jobs in flight is the guide's sweet spot: enough to back-fill a
+#: job's straggler tail with the next job's tasks, not so many that the
+#: local executor thrashes.
+_SWEEP_WORKERS = 4
+
+
+@pytest.fixture(scope="session")
+def parity_results(spark, oracle):
+    local = threading.local()
+
+    def run(name: str):
+        if not hasattr(local, "sess"):
+            local.sess = spark.newSession()
+            local.con = oracle.cursor()
+        try:
+            sp = QUERIES[name](local.sess, SF_DIR).toPandas()
+            od = local.con.execute(ORACLES[name]).df()
+            return name, compare_frames(sp, od)
+        except Exception as ex:  # surfaces as the contract's own failure
+            return name, [f"EXCEPTION {type(ex).__name__}: {ex}"]
+
+    with ThreadPoolExecutor(max_workers=_SWEEP_WORKERS) as pool:
+        return dict(pool.map(run, sorted(ORACLES)))
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_parity(spark, oracle, name):
-    problems = run_contract(spark, oracle, name)
+def test_oracle_parity(parity_results, name):
+    problems = parity_results[name]
     assert not problems, f"{name}: " + " | ".join(problems)
 
 
@@ -24,3 +65,11 @@ def test_rows_only_queries_run(spark, oracle, name):
     rows = df.collect()
     assert df.columns, name
     assert rows is not None
+
+
+def test_sequential_comparator_still_agrees(spark, oracle):
+    """Guard the pooled sweep against a clone/threading artifact: a
+    spot-check of contracts re-run strictly sequentially through the
+    same run_contract helper the sweep replaced must agree with it."""
+    for name in ("q_groupagg_pricing", "q_sessionize", "q_near_dup_lsh"):
+        assert not run_contract(spark, oracle, name), name
