@@ -218,7 +218,16 @@ def _run_part(part: str) -> None:
             ratios[key] = round(out[key] / sentinels[key], 3)
         for key, names in HEAVY_NOOP_QUERIES.items():
             # additive compute-only reading (guide §1.4): same query,
-            # noop sink instead of a 2.97 M-row py4j collect
+            # noop sink instead of a 2.97 M-row py4j collect.
+            # ADVICE r11: noop keys get the SAME best-of-2 sentinel
+            # sample + ratio as every other heavy key, so noop readings
+            # are variance-normalizable across host eras too.
+            sent_runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[sent](spark, sf_dir).collect()
+                sent_runs.append(time.perf_counter() - t0)
+            sentinels[key] = round(min(sent_runs), 4)
             per_run = []
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -228,6 +237,7 @@ def _run_part(part: str) -> None:
                     ).mode("overwrite").save()
                 per_run.append(time.perf_counter() - t0)
             out[key] = round(min(per_run), 4)
+            ratios[key] = round(out[key] / sentinels[key], 3)
         out["__heavy_sentinel_sec"] = sentinels
         out["__heavy_ratios"] = ratios
     print(_MARK + json.dumps(out), flush=True)
