@@ -114,7 +114,15 @@ class SeqGenDataSource(DataSource):
 
 
 def register_seqgen(spark) -> None:
-    """Idempotent per-session registration (latest registration wins)."""
+    """Idempotent per-SESSION registration (latest registration wins).
+
+    Caveat (Spark 4.1, surfaced by the r12 pooled parity sweep): only
+    same-session re-registration overwrites cleanly. A ``newSession()``
+    CLONE whose parent already registered the name can raise
+    DATA_SOURCE_ALREADY_EXISTS on re-register while its own lookup
+    still misses — run data-source contracts on the session that owns
+    the registration (the sweep schedules them on the root session).
+    """
     spark.dataSource.register(SeqGenDataSource)
 
 
@@ -207,4 +215,6 @@ def manifest_files(path: str) -> list[str]:
 
 
 def register_jsonlsink(spark) -> None:
+    """Idempotent per-SESSION registration (see register_seqgen's
+    clone caveat)."""
     spark.dataSource.register(JsonlSinkDataSource)

@@ -51,19 +51,34 @@ def parity_results(spark, oracle):
         except Exception as ex:  # surfaces as the contract's own failure
             return name, [f"EXCEPTION {type(ex).__name__}: {ex}"]
 
-    # STREAMING contracts run SEQUENTIALLY on the main thread: four
-    # concurrent processAllAvailable() waits wedge the JVM once the py4j
-    # callback server has been primed by an earlier foreachBatch user
+    # STREAMING contracts run SEQUENTIALLY: four concurrent
+    # processAllAvailable() waits wedge the JVM once the py4j callback
+    # server has been primed by an earlier foreachBatch user
     # (reproduced: test_cdc first, then the pooled sweep — all four
     # workers blocked in processAllAvailable indefinitely, JVM idle;
     # faulthandler dump in the r12 work log). Batch contracts have no
     # JVM->Python callback surface and pool safely.
+    #
+    # Contracts that REGISTER a Python data source also run sequentially
+    # and on the ROOT session: Spark 4.1 clones resolve runtime-
+    # registered names unreliably once the parent session has the name
+    # (register raises DATA_SOURCE_ALREADY_EXISTS while lookup can still
+    # miss) — the root session re-registers as a clean overwrite.
+    _DATA_SOURCE_CONTRACTS = {"q_custom_datasource", "q_custom_sink_roundtrip"}
+
+    def run_on_root(name: str):
+        try:
+            sp = QUERIES[name](spark, SF_DIR).toPandas()
+            od = oracle.execute(ORACLES[name]).df()
+            return compare_frames(sp, od)
+        except Exception as ex:
+            return [f"EXCEPTION {type(ex).__name__}: {ex}"]
+
     seq = [n for n in sorted(ORACLES)
-           if QUERIES[n].__module__.endswith("streaming_queries")]
+           if QUERIES[n].__module__.endswith("streaming_queries")
+           or n in _DATA_SOURCE_CONTRACTS]
     pooled = [n for n in sorted(ORACLES) if n not in set(seq)]
-    results = {}
-    for n in seq:
-        results[n] = run(n)[1]
+    results = {n: run_on_root(n) for n in seq}
     with ThreadPoolExecutor(max_workers=_SWEEP_WORKERS) as pool:
         results.update(dict(pool.map(run, pooled)))
     return results
